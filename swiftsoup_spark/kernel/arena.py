@@ -1,0 +1,429 @@
+"""Flat struct-of-arrays DOM arena + node facade.
+
+Where the reference builds a pointer-based node tree
+(/root/reference/Sources/Node.swift:23-86), this engine keeps each
+document's DOM as parallel arrays (node_id-indexed): ``parent``, ``ntype``,
+``tag``, ``text``, ``attrs``, ``children``. Document order is DFS order over
+``children``; selector evaluation and text extraction run as passes over
+these columns, and the Spark kernel exports them directly into Arrow arrays
+(the "arena DOM" demanded by the north star).
+
+Node types:
+  0 DOCUMENT, 1 ELEMENT, 2 TEXT, 3 DATA (script/style contents),
+  4 COMMENT, 5 DOCTYPE, 6 XMLDECL, 7 CDATA (text, whitespace-preserving)
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin
+
+from swiftsoup_spark.kernel.tags import GLOBAL_TAGS, TagRegistry
+
+DOCUMENT, ELEMENT, TEXT, DATA, COMMENT, DOCTYPE, XMLDECL, CDATA = range(8)
+
+_WS_RUN = re.compile(r"[ \t\n\f\r\xa0]+")
+_ASCII_WS = " \t\n\f\r"
+
+
+class Arena:
+    """One document's DOM as struct-of-arrays."""
+
+    __slots__ = (
+        "parent", "ntype", "tag", "text", "attrs", "children",
+        "tags", "base_uri", "quirks", "errors", "location", "selfclosing",
+    )
+
+    def __init__(self, tags: TagRegistry | None = None, base_uri: str = "") -> None:
+        self.parent: list[int] = []
+        self.ntype: list[int] = []
+        self.tag: list[int] = []
+        self.text: list[str | None] = []
+        self.attrs: list[dict | None] = []
+        self.children: list[list[int]] = []
+        self.tags = tags if tags is not None else GLOBAL_TAGS
+        self.base_uri = base_uri
+        self.quirks = 0  # 0 no-quirks, 1 quirks, 2 limited-quirks
+        self.errors = 0
+        self.location = base_uri
+        self.selfclosing: set[int] = set()  # nodes whose start tag had '/>'
+
+    # -- construction ----------------------------------------------------------
+    def new_node(self, ntype: int, tag: int = -1, text: str | None = None,
+                 attrs: dict | None = None) -> int:
+        nid = len(self.parent)
+        self.parent.append(-1)
+        self.ntype.append(ntype)
+        self.tag.append(tag)
+        self.text.append(text)
+        self.attrs.append(attrs)
+        self.children.append([])
+        return nid
+
+    def new_element(self, name: str, attrs: dict | None = None) -> int:
+        return self.new_node(ELEMENT, self.tags.intern(name), None, attrs)
+
+    def append_child(self, pid: int, nid: int) -> None:
+        if self.parent[nid] != -1:
+            self.remove_from_parent(nid)
+        self.parent[nid] = pid
+        self.children[pid].append(nid)
+
+    def insert_child(self, pid: int, index: int, nid: int) -> None:
+        if self.parent[nid] != -1:
+            self.remove_from_parent(nid)
+        self.parent[nid] = pid
+        self.children[pid].insert(index, nid)
+
+    def insert_before(self, ref: int, nid: int) -> None:
+        pid = self.parent[ref]
+        self.insert_child(pid, self.children[pid].index(ref), nid)
+
+    def remove_from_parent(self, nid: int) -> None:
+        pid = self.parent[nid]
+        if pid != -1:
+            self.children[pid].remove(nid)
+            self.parent[nid] = -1
+
+    # -- trait helpers ---------------------------------------------------------
+    def tag_name(self, nid: int) -> str:
+        t = self.tag[nid]
+        return self.tags.name(t) if t >= 0 else ""
+
+    def is_block(self, nid: int) -> bool:
+        return self.ntype[nid] == ELEMENT and self.tags.is_block(self.tag[nid])
+
+    def preserves_ws(self, nid: int) -> bool:
+        """Reference Element.preserveWhitespace: this element or its parent
+        (one level up only) has the preserve-whitespace trait."""
+        if nid < 0 or self.ntype[nid] != ELEMENT:
+            return False
+        if self.tags.preserve_ws(self.tag[nid]):
+            return True
+        pid = self.parent[nid]
+        return pid >= 0 and self.ntype[pid] == ELEMENT and self.tags.preserve_ws(self.tag[pid])
+
+    # -- traversal -------------------------------------------------------------
+    def descendants(self, root: int) -> list[int]:
+        """All nodes under root (excluding root) in document order."""
+        out: list[int] = []
+        stack = list(reversed(self.children[root]))
+        while stack:
+            nid = stack.pop()
+            out.append(nid)
+            ch = self.children[nid]
+            if ch:
+                stack.extend(reversed(ch))
+        return out
+
+    def element_descendants(self, root: int) -> list[int]:
+        return [n for n in self.descendants(root) if self.ntype[n] == ELEMENT]
+
+    # -- text extraction (the byte-identical contract) ---------------------------
+    def node_text(self, root: int) -> str:
+        """Element.text() semantics, byte-identical to the reference:
+        DFS head-visitor; normalized text unless an enclosing pre/plaintext/
+        title/textarea; single space on block/br boundaries; final trim.
+        (reference Element.swift:1705-1875, StringUtil.swift:465-580)"""
+        parts: list[str] = []
+        nonempty = False
+        last_space = False
+        ntype, children, tag, tags, text = (
+            self.ntype, self.children, self.tag, self.tags, self.text)
+        br_id = tags.name_to_id.get("br", -2)
+        stack = [root]
+        while stack:
+            nid = stack.pop()
+            t = ntype[nid]
+            if t == TEXT or t == CDATA:
+                raw = text[nid] or ""
+                if t == CDATA or self.preserves_ws(self.parent[nid]):
+                    if raw:
+                        parts.append(raw)
+                        nonempty = True
+                        last_space = raw[-1] == " "
+                else:
+                    norm = _WS_RUN.sub(" ", raw)
+                    if norm:
+                        if (not nonempty or last_space) and norm[0] == " ":
+                            norm = norm[1:]
+                        if norm:
+                            parts.append(norm)
+                            nonempty = True
+                            last_space = norm[-1] == " "
+                continue
+            if t == ELEMENT:
+                tid = tag[nid]
+                if nonempty and not last_space and (tags.is_block(tid) or tid == br_id):
+                    parts.append(" ")
+                    last_space = True
+            ch = children[nid]
+            if ch:
+                stack.extend(reversed(ch))
+        return "".join(parts).strip(_ASCII_WS)
+
+    def own_text(self, nid: int) -> str:
+        """Direct-child text only; <br> contributes a space.
+        (reference Element.swift:1952-1986)"""
+        parts: list[str] = []
+        nonempty = False
+        last_space = False
+        br_id = self.tags.name_to_id.get("br", -2)
+        for cid in self.children[nid]:
+            t = self.ntype[cid]
+            if t == TEXT or t == CDATA:
+                raw = self.text[cid] or ""
+                if t == CDATA or self.preserves_ws(nid):
+                    if raw:
+                        parts.append(raw)
+                        nonempty = True
+                        last_space = raw[-1] == " "
+                else:
+                    norm = _WS_RUN.sub(" ", raw)
+                    if norm:
+                        if (not nonempty or last_space) and norm[0] == " ":
+                            norm = norm[1:]
+                        if norm:
+                            parts.append(norm)
+                            nonempty = True
+                            last_space = norm[-1] == " "
+            elif t == ELEMENT and self.tag[cid] == br_id and not last_space:
+                parts.append(" ")
+                last_space = True
+        return "".join(parts).strip(_ASCII_WS)
+
+    def node_data(self, root: int) -> str:
+        """Concatenated DataNode/CDATA contents under root (Element.data())."""
+        parts: list[str] = []
+        stack = [root]
+        while stack:
+            nid = stack.pop()
+            t = self.ntype[nid]
+            if t == DATA or t == CDATA:
+                parts.append(self.text[nid] or "")
+            ch = self.children[nid]
+            if ch:
+                stack.extend(reversed(ch))
+        return "".join(parts)
+
+    def whole_text(self, root: int) -> str:
+        parts: list[str] = []
+        stack = [root]
+        while stack:
+            nid = stack.pop()
+            t = self.ntype[nid]
+            if t == TEXT or t == CDATA:
+                parts.append(self.text[nid] or "")
+            ch = self.children[nid]
+            if ch:
+                stack.extend(reversed(ch))
+        return "".join(parts)
+
+
+class Node:
+    """Lightweight facade over (arena, id) — the test/parity API surface."""
+
+    __slots__ = ("arena", "id")
+
+    def __init__(self, arena: Arena, nid: int) -> None:
+        self.arena = arena
+        self.id = nid
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, Node) and other.arena is self.arena and other.id == self.id
+
+    def __hash__(self) -> int:
+        return hash((id(self.arena), self.id))
+
+    @property
+    def node_type(self) -> int:
+        return self.arena.ntype[self.id]
+
+    @property
+    def node_name(self) -> str:
+        t = self.arena.ntype[self.id]
+        if t == ELEMENT:
+            return self.arena.tag_name(self.id)
+        return {DOCUMENT: "#document", TEXT: "#text", DATA: "#data",
+                COMMENT: "#comment", DOCTYPE: "#doctype", CDATA: "#cdata",
+                XMLDECL: "#xmldecl"}.get(t, "#node")
+
+    def parent(self) -> "Element | None":
+        pid = self.arena.parent[self.id]
+        if pid < 0:
+            return None
+        return _wrap(self.arena, pid)
+
+    def child_nodes(self) -> list["Node"]:
+        return [_wrap(self.arena, c) for c in self.arena.children[self.id]]
+
+    def sibling_index(self) -> int:
+        pid = self.arena.parent[self.id]
+        if pid < 0:
+            return 0
+        return self.arena.children[pid].index(self.id)
+
+    def next_sibling(self) -> "Node | None":
+        pid = self.arena.parent[self.id]
+        if pid < 0:
+            return None
+        sibs = self.arena.children[pid]
+        i = sibs.index(self.id) + 1
+        return _wrap(self.arena, sibs[i]) if i < len(sibs) else None
+
+    def previous_sibling(self) -> "Node | None":
+        pid = self.arena.parent[self.id]
+        if pid < 0:
+            return None
+        sibs = self.arena.children[pid]
+        i = sibs.index(self.id) - 1
+        return _wrap(self.arena, sibs[i]) if i >= 0 else None
+
+    def remove(self) -> None:
+        self.arena.remove_from_parent(self.id)
+
+    # attributes
+    def attr(self, key: str) -> str:
+        a = self.arena.attrs[self.id]
+        if a is None:
+            return ""
+        if key.startswith("abs:"):
+            return self.abs_url(key[4:])
+        return a.get(key, "")
+
+    def has_attr(self, key: str) -> bool:
+        if key.startswith("abs:"):
+            return bool(self.abs_url(key[4:]))
+        a = self.arena.attrs[self.id]
+        return a is not None and key in a
+
+    def set_attr(self, key: str, value: str) -> "Node":
+        a = self.arena.attrs[self.id]
+        if a is None:
+            a = {}
+            self.arena.attrs[self.id] = a
+        a[key] = value
+        return self
+
+    def remove_attr(self, key: str) -> "Node":
+        a = self.arena.attrs[self.id]
+        if a is not None:
+            a.pop(key, None)
+        return self
+
+    def abs_url(self, key: str) -> str:
+        rel = self.attr(key)
+        if not rel:
+            return ""
+        base = self.arena.base_uri
+        if not base:
+            # accept only already-absolute urls
+            return rel if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", rel) else ""
+        try:
+            return urljoin(base, rel)
+        except ValueError:
+            return ""
+
+    def outer_html(self) -> str:
+        from swiftsoup_spark.kernel.serializer import serialize
+        return serialize(self.arena, self.id)
+
+
+class Element(Node):
+    __slots__ = ()
+
+    @property
+    def tag_name(self) -> str:
+        return self.arena.tag_name(self.id)
+
+    def is_block(self) -> bool:
+        return self.arena.is_block(self.id)
+
+    def element_id(self) -> str:
+        return self.attr("id")
+
+    def class_names(self) -> list[str]:
+        cls = self.attr("class").strip()
+        return [c for c in re.split(r"[ \t\n\f\r]+", cls) if c] if cls else []
+
+    def has_class(self, name: str) -> bool:
+        lname = name.lower()
+        return any(c.lower() == lname for c in self.class_names())
+
+    def children(self) -> list["Element"]:
+        a = self.arena
+        return [Element(a, c) for c in a.children[self.id] if a.ntype[c] == ELEMENT]
+
+    def text(self) -> str:
+        return self.arena.node_text(self.id)
+
+    def own_text(self) -> str:
+        return self.arena.own_text(self.id)
+
+    def whole_text(self) -> str:
+        return self.arena.whole_text(self.id)
+
+    def data(self) -> str:
+        return self.arena.node_data(self.id)
+
+    def text_nodes(self) -> list[Node]:
+        a = self.arena
+        return [Node(a, c) for c in a.children[self.id] if a.ntype[c] in (TEXT, CDATA)]
+
+    def select(self, css: str) -> "list[Element]":
+        from swiftsoup_spark.select.engine import select as _select
+        return [Element(self.arena, i) for i in _select(self.arena, self.id, css)]
+
+    def select_first(self, css: str) -> "Element | None":
+        r = self.select(css)
+        return r[0] if r else None
+
+    def matches(self, css: str) -> bool:
+        from swiftsoup_spark.select.engine import node_matches
+        return node_matches(self.arena, self.id, css)
+
+    def html(self) -> str:
+        from swiftsoup_spark.kernel.serializer import inner_html
+        return inner_html(self.arena, self.id)
+
+    def get_elements_by_tag(self, name: str) -> "list[Element]":
+        a = self.arena
+        tid = a.tags.name_to_id.get(name.lower())
+        if tid is None:
+            return []
+        return [Element(a, n) for n in a.element_descendants(self.id) if a.tag[n] == tid] + (
+            [Element(a, self.id)] if a.ntype[self.id] == ELEMENT and a.tag[self.id] == tid else [])
+
+
+class Document(Element):
+    __slots__ = ()
+
+    def _find(self, name: str) -> Element | None:
+        a = self.arena
+        tid = a.tags.name_to_id.get(name)
+        for n in a.descendants(self.id):
+            if a.ntype[n] == ELEMENT and a.tag[n] == tid:
+                return Element(a, n)
+        return None
+
+    def head(self) -> Element | None:
+        return self._find("head")
+
+    def body(self) -> Element | None:
+        return self._find("body")
+
+    def title(self) -> str:
+        t = self._find("title")
+        return _WS_RUN.sub(" ", t.text()).strip(_ASCII_WS) if t else ""
+
+    def text(self) -> str:
+        return self.arena.node_text(self.id)
+
+
+def _wrap(arena: Arena, nid: int) -> Node:
+    t = arena.ntype[nid]
+    if t == ELEMENT:
+        return Element(arena, nid)
+    if t == DOCUMENT:
+        return Document(arena, nid)
+    return Node(arena, nid)

@@ -1,0 +1,168 @@
+"""DOM → HTML serialization with the reference's pretty-print semantics.
+
+Reproduces Element/TextNode/Comment/DataNode/DocumentType outerHtml rules
+(/root/reference/Sources/Element.swift:2682-2756, TextNode.swift:281-332,
+Comment.swift:74, DataNode.swift:197, DocumentType.swift:95,
+Node.swift:1117 indent): blocks indent on newlines, void tags emit
+`` />``, boolean attributes collapse, text normalizes unless whitespace is
+preserved.
+"""
+
+from __future__ import annotations
+
+from swiftsoup_spark.kernel.arena import (
+    Arena, CDATA, COMMENT, DATA, DOCTYPE, DOCUMENT, ELEMENT, TEXT, XMLDECL,
+)
+from swiftsoup_spark.kernel.entities import escape
+
+BOOLEAN_ATTRIBUTES = frozenset([
+    "allowfullscreen", "async", "autofocus", "checked", "compact", "controls",
+    "crossorigin", "declare", "default", "defer", "disabled", "formnovalidate",
+    "hidden", "inert", "ismap", "itemscope", "multiple", "muted", "nohref",
+    "noresize", "noshade", "novalidate", "nowrap", "open", "readonly",
+    "required", "reversed", "seamless", "selected", "sortable", "truespeed",
+    "typemustmatch",
+])
+
+
+class OutputSettings:
+    __slots__ = ("pretty_print", "indent_amount", "outline", "syntax", "escape_mode")
+
+    def __init__(self, pretty_print: bool = True, indent_amount: int = 1,
+                 outline: bool = False, syntax: str = "html",
+                 escape_mode: str = "base") -> None:
+        self.pretty_print = pretty_print
+        self.indent_amount = indent_amount
+        self.outline = outline
+        self.syntax = syntax
+        self.escape_mode = escape_mode
+
+
+DEFAULT_OUT = OutputSettings()
+
+
+def _attrs_html(attrs: dict | None, out: OutputSettings, buf: list[str]) -> None:
+    if not attrs:
+        return
+    for k, v in attrs.items():
+        buf.append(" ")
+        buf.append(k)
+        if not (v == "" and out.syntax == "html" and k.lower() in BOOLEAN_ATTRIBUTES):
+            buf.append('="')
+            buf.append(escape(v, in_attribute=True, escape_mode=out.escape_mode))
+            buf.append('"')
+
+
+def _indent(buf: list[str], depth: int, out: OutputSettings) -> None:
+    buf.append("\n" + " " * (depth * out.indent_amount))
+
+
+def serialize(arena: Arena, nid: int, out: OutputSettings | None = None) -> str:
+    out = out or DEFAULT_OUT
+    buf: list[str] = []
+    _ser(arena, nid, 0, out, buf)
+    s = "".join(buf)
+    return s
+
+
+def inner_html(arena: Arena, nid: int, out: OutputSettings | None = None) -> str:
+    out = out or DEFAULT_OUT
+    buf: list[str] = []
+    for c in arena.children[nid]:
+        _ser(arena, c, 0, out, buf)
+    s = "".join(buf)
+    if out.pretty_print:
+        s = s.strip(" \t\n\f\r")
+    return s
+
+
+def _is_blank(s: str) -> bool:
+    return not s.strip(" \t\n\f\r\xa0")
+
+
+def _ser(arena: Arena, nid: int, depth: int, out: OutputSettings, buf: list[str]) -> None:
+    t = arena.ntype[nid]
+    tags = arena.tags
+    if t == DOCUMENT:
+        for c in arena.children[nid]:
+            _ser(arena, c, depth, out, buf)
+        return
+    if t == ELEMENT:
+        tid = arena.tag[nid]
+        name = tags.name(tid)
+        fab = tags.format_as_block(tid)
+        pid = arena.parent[nid]
+        parent_fab = (pid >= 0 and arena.ntype[pid] == ELEMENT
+                      and tags.format_as_block(arena.tag[pid]))
+        if out.pretty_print and (fab or parent_fab or out.outline) and buf:
+            _indent(buf, depth, out)
+        buf.append("<")
+        buf.append(name)
+        _attrs_html(arena.attrs[nid], out, buf)
+        children = arena.children[nid]
+        if not children and (tags.is_empty(tid) or nid in arena.selfclosing):
+            buf.append(" />")
+            return
+        buf.append(">")
+        for c in children:
+            _ser(arena, c, depth + 1, out, buf)
+        if out.pretty_print and children and (
+            fab or (out.outline and (len(children) > 1 or (
+                len(children) == 1 and arena.ntype[children[0]] != TEXT)))):
+            _indent(buf, depth, out)
+        buf.append("</")
+        buf.append(name)
+        buf.append(">")
+        return
+    if t == TEXT or t == CDATA:
+        raw = arena.text[nid] or ""
+        pid = arena.parent[nid]
+        if out.pretty_print:
+            sib0 = (pid >= 0 and arena.children[pid] and arena.children[pid][0] == nid)
+            parent_fab = (pid >= 0 and arena.ntype[pid] == ELEMENT
+                          and tags.format_as_block(arena.tag[pid]))
+            if sib0 and parent_fab and not _is_blank(raw):
+                _indent(buf, depth, out)
+            normalise = not (t == CDATA or arena.preserves_ws(pid))
+            buf.append(escape(raw, escape_mode=out.escape_mode, normalise_ws=normalise))
+        else:
+            buf.append(escape(raw, escape_mode=out.escape_mode))
+        return
+    if t == DATA:
+        buf.append(arena.text[nid] or "")
+        return
+    if t == COMMENT:
+        if out.pretty_print:
+            _indent(buf, depth, out)
+        buf.append("<!--")
+        buf.append(arena.text[nid] or "")
+        buf.append("-->")
+        return
+    if t == DOCTYPE:
+        a = arena.attrs[nid] or {}
+        pub = a.get("publicid", "")
+        sys = a.get("systemid", "")
+        name = arena.text[nid] or ""
+        if out.syntax == "html" and not pub and not sys:
+            buf.append("<!doctype")
+        else:
+            buf.append("<!DOCTYPE")
+        if name:
+            buf.append(" " + name)
+        if pub:
+            buf.append(' PUBLIC "%s"' % pub)
+        if sys:
+            buf.append(' "%s"' % sys)
+        buf.append(">")
+        return
+    if t == XMLDECL:
+        a = arena.attrs[nid]
+        name = arena.text[nid] or ""
+        pi = name.startswith("!")
+        buf.append("<" + ("!" if pi else "?"))
+        buf.append(name.lstrip("!?"))
+        tmp: list[str] = []
+        _attrs_html(a, out, tmp)
+        buf.extend(tmp)
+        buf.append(("!" if pi else "?") + ">")
+        return

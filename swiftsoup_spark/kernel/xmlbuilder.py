@@ -1,0 +1,73 @@
+"""Naive XML tree builder (reference XmlTreeBuilder.swift:19-193):
+start tag pushes, end tag pops to closest matching open element, no HTML
+insertion semantics. Comments starting with '?' or '!' become
+declaration nodes."""
+
+from __future__ import annotations
+
+from swiftsoup_spark.kernel.arena import (
+    Arena, CDATA, COMMENT, DATA, DOCTYPE, DOCUMENT, TEXT, XMLDECL,
+)
+from swiftsoup_spark.kernel.tags import TagRegistry
+from swiftsoup_spark.kernel.tokenizer import Tokeniser
+
+
+class XmlTreeBuilder:
+    def __init__(self, tags: TagRegistry | None = None) -> None:
+        self.tags = tags
+
+    def parse(self, xml: str, base_uri: str = "") -> Arena:
+        a = Arena(self.tags, base_uri)
+        doc = a.new_node(DOCUMENT)
+        stack = [doc]
+        tok = Tokeniser(xml)
+        while True:
+            t = tok.read()
+            k = t[0]
+            if k == "eof":
+                break
+            if k == "start":
+                el = a.new_element(t[1], t[2])
+                a.append_child(stack[-1], el)
+                if t[3]:
+                    a.selfclosing.add(el)
+                else:
+                    stack.append(el)
+            elif k == "end":
+                # pop to closest matching open element; ignore if none
+                for i in range(len(stack) - 1, 0, -1):
+                    if a.tag_name(stack[i]) == t[1]:
+                        del stack[i:]
+                        break
+            elif k in ("char", "cdata"):
+                n = a.new_node(TEXT if k == "char" else CDATA, text=t[1])
+                a.append_child(stack[-1], n)
+            elif k == "data":
+                n = a.new_node(DATA, text=t[1])
+                a.append_child(stack[-1], n)
+            elif k == "comment":
+                data = t[1]
+                if data.startswith("?") or data.startswith("!"):
+                    # XML declaration / processing instruction
+                    body = data.strip("?!")
+                    name = body.split(None, 1)[0] if body.split() else body
+                    n = a.new_node(XMLDECL, text=("!" if data.startswith("!") else "") + name)
+                    # parse pseudo-attributes
+                    rest = body[len(name):]
+                    attrs: dict[str, str] = {}
+                    import re
+                    for m in re.finditer(r'([^\s=]+)\s*=\s*"([^"]*)"|([^\s=]+)\s*=\s*\'([^\']*)\'', rest):
+                        if m.group(1):
+                            attrs[m.group(1)] = m.group(2)
+                        else:
+                            attrs[m.group(3)] = m.group(4)
+                    if attrs:
+                        a.attrs[n] = attrs
+                else:
+                    n = a.new_node(COMMENT, text=data)
+                a.append_child(stack[-1], n)
+            elif k == "doctype":
+                d = a.new_node(DOCTYPE, text=t[1])
+                a.attrs[d] = {"publicid": t[2] or "", "systemid": t[3] or ""}
+                a.append_child(stack[-1], d)
+        return a
