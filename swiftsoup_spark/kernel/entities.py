@@ -139,8 +139,8 @@ def escape(
     Entities.swift:485-1100).
     """
     out: list[str] = []
-    last_was_white = strip_leading_ws
-    reached_non_white = not strip_leading_ws and not normalise_ws
+    last_was_white = False
+    reached_non_white = not strip_leading_ws
     for ch in s:
         if normalise_ws and ch in " \t\n\f\r":
             if last_was_white or not reached_non_white:
