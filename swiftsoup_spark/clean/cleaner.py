@@ -48,11 +48,13 @@ def _copy_safe(src: Arena, src_root: int, dst: Arena, dst_root: int, wl: Whiteli
         if t == ELEMENT:
             tag = src.tag_name(nid)
             if wl.is_safe_tag(tag):
-                new_attrs: dict[str, str] = {}
+                new_attrs: dict[str, str | None] = {}
                 for k, v in (src.attrs[nid] or {}).items():
-                    sv = wl.safe_attribute(tag, k, v, src.base_uri)
+                    sv = wl.safe_attribute(tag, k, v or "", src.base_uri)
                     if sv is None:
                         discarded += 1
+                    elif v is None and sv == "":
+                        new_attrs[k] = None  # keep valueless attrs bare
                     else:
                         new_attrs[k] = sv
                 new_attrs.update(wl.enforced_for(tag))

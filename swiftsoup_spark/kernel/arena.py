@@ -284,12 +284,12 @@ class Node:
 
     # attributes
     def attr(self, key: str) -> str:
+        if key.startswith("abs:"):
+            return self.abs_url(key[4:])
         a = self.arena.attrs[self.id]
         if a is None:
             return ""
-        if key.startswith("abs:"):
-            return self.abs_url(key[4:])
-        return a.get(key, "")
+        return a.get(key) or ""
 
     def has_attr(self, key: str) -> bool:
         if key.startswith("abs:"):

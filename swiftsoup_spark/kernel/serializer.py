@@ -47,6 +47,8 @@ def _attrs_html(attrs: dict | None, out: OutputSettings, buf: list[str]) -> None
     for k, v in attrs.items():
         buf.append(" ")
         buf.append(k)
+        if v is None:
+            continue  # valueless attribute serializes bare
         if not (v == "" and out.syntax == "html" and k.lower() in BOOLEAN_ATTRIBUTES):
             buf.append('="')
             buf.append(escape(v, in_attribute=True, escape_mode=out.escape_mode))

@@ -103,6 +103,18 @@ class Tokeniser:
             end, close = self._script_end(i)
         else:
             end, close = self._find_close(i, tag)
+            if close < 0 and mode == "rcdata":
+                # reference deviation (TokeniserState RcdataLessthanSign):
+                # '<'+alpha with no appropriate end tag ahead breaks out of
+                # RCDATA, synthesizing the end tag
+                bj = self._find_breakout(i)
+                if bj >= 0:
+                    text = s[i:bj]
+                    self.pos = bj
+                    self._pending.append(("end", tag))
+                    if text:
+                        return ("char", self._decode(text))
+                    return self._pending.pop(0)
         text = s[i:end]
         if close >= 0:
             # consume the whole `</tag ...>` end tag
@@ -118,6 +130,18 @@ class Tokeniser:
                 return ("char", self._decode(text))
             return ("data", text)
         return self._pending.pop(0) if self._pending else EOF_TOK
+
+    def _find_breakout(self, i: int) -> int:
+        s, n = self.s, self.n
+        j = i
+        while True:
+            j = s.find("<", j)
+            if j < 0 or j + 1 >= n:
+                return -1
+            c = s[j + 1]
+            if c.isascii() and c.isalpha():
+                return j
+            j += 1
 
     def _find_close(self, i: int, tag: str) -> tuple[int, int]:
         """Find `</tag` (case-insensitive, followed by ws / '/' '>' or EOF).
@@ -234,8 +258,9 @@ class Tokeniser:
             if not name.islower():
                 name = name.lower()
             j = _WS_RE.match(s, j).end()
-            val = ""
+            val: str | None = None  # valueless attr (serializes bare)
             if j < n and s[j] == "=":
+                val = ""
                 j = _WS_RE.match(s, j + 1).end()
                 if j >= n:
                     return attrs, self_closing, j, True
@@ -250,7 +275,7 @@ class Tokeniser:
                     m = _UNQUOTED_VAL_RE.match(s, j)
                     val = m.group(0)
                     j = m.end()
-                if "&" in val:
+                if val and "&" in val:
                     val = unescape(val, in_attribute=True)
             if attrs is None:
                 attrs = {name: val}
@@ -287,14 +312,18 @@ class Tokeniser:
         p2 = s.find("--!>", i)
         if p2 >= 0 and (p1 < 0 or p2 < p1):
             self.pos = p2 + 4
-            return ("comment", s[i:p2])
-        if p1 >= 0:
+            data = s[i:p2]
+        elif p1 >= 0:
             self.pos = p1 + 3
-            return ("comment", s[i:p1])
-        self.pos = n
-        data = s[i:]
-        if data.endswith("--!"):
-            data = data[:-3]
+            data = s[i:p1]
+        else:
+            self.pos = n
+            data = s[i:]
+            if data.endswith("--!"):
+                data = data[:-3]
+        if data.startswith("-") and not data.startswith("--"):
+            # comment-start-dash consumes one leading dash (jsoup-style)
+            data = data[1:]
         return ("comment", data)
 
     def _bogus_comment(self, i: int) -> tuple:

@@ -86,7 +86,7 @@ class HtmlTreeBuilder:
         self.frameset_ok = True
         self.foster_inserts = False
         self.pending_chars: list[tuple] = []
-        self.base_uri_set = bool(base_uri)
+        self.base_uri_set = False
         self.fragment = False
         self.context_tag: str | None = None
 
@@ -169,9 +169,12 @@ class HtmlTreeBuilder:
         return el
 
     def _maybe_base(self, name: str, attrs: dict | None) -> None:
-        # first <base href> wins (HtmlParserTest base-href semantics)
-        if name == "base" and attrs and "href" in attrs and not self.base_uri_set:
-            self.arena.base_uri = attrs["href"]
+        # first <base href> wins, resolved against the document base
+        # (reference HtmlParserTest testHandlesBaseTags)
+        if name == "base" and attrs and attrs.get("href") and not self.base_uri_set:
+            from swiftsoup_spark.clean.whitelist import resolve_url
+            href = attrs["href"]
+            self.arena.base_uri = resolve_url(self.arena.base_uri, href) or href
             self.base_uri_set = True
 
     def insert_char(self, text: str, kind: int = TEXT) -> None:
@@ -383,6 +386,9 @@ class HtmlTreeBuilder:
 
     # --------------------------------------------------------------- dispatch
     def process(self, t: tuple, mode: int | None = None) -> bool:
+        if t[0] == "cdata":
+            # reference (pre-CDataNode jsoup): CDATA becomes a plain TextNode
+            t = ("char", t[1])
         m = self.mode if mode is None else mode
         return _MODES[m](self, t)
 

@@ -133,7 +133,7 @@ class Ctx:
             for nid in self.order:
                 a = attrs[nid]
                 if a is not None and key in a:
-                    v[nid] = a[key]
+                    v[nid] = a[key] or ""
             self._cache[ck] = v
         return v
 
