@@ -1,38 +1,445 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` is the operator inventory of SURVEY.md §2 made runnable:
+HTML kernel operators (parse → text()/select()/clean()/outerHtml over the
+deterministic Common-Crawl-style pages table synthesized from
+``documents``), plus the training-data-pipeline operators (dedup,
+similarity search, text analysis). ``oracle_sql()`` gives each a
+closed-form DuckDB oracle over the same parquet inputs — for the HTML
+queries the oracle inverts the page template, so the check validates the
+whole synth → tokenize → tree-build → extract chain byte-for-byte.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from swiftsoup_spark.spark.pages import (
+    EXPECTED_DOC_TEXT_SQL, EXPECTED_MAIN_TEXT_SQL, EXPECTED_TITLE_SQL,
+    HTML_SQL, NP_SQL, URL_SQL, pages_df, load_documents,
+)
+from swiftsoup_spark.spark import extract as X
+from swiftsoup_spark.ops import dedup as D, similarity as S, textstats as TX
+from swiftsoup_spark.ops.multimodal import image_features, synth_image_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# --------------------------------------------------------------------------
+# HTML kernel queries (§2.2/2.3/2.6/2.7 operators end-to-end)
+# --------------------------------------------------------------------------
+
+def q_extract_text(spark, sf_dir):
+    """Document.text(): whole-document whitespace-normalized extraction."""
+    pages = pages_df(spark, sf_dir)
+    return X.extract_pages(pages).select("url", "text").orderBy("url")
+
+
+def q_extract_main_text(spark, sf_dir):
+    """Element.text() under a CSS scope (#main) — boilerplate-strip shape."""
+    pages = pages_df(spark, sf_dir)
+    return X.extract_pages(pages, css_scope="#main").select("url", "text")
+
+
+def q_extract_title(spark, sf_dir):
+    """Document.title() (RCDATA + entity decode)."""
+    pages = pages_df(spark, sf_dir)
+    return X.extract_pages(pages).select("url", "title")
+
+
+def q_select_count(spark, sf_dir):
+    """select('div#main > p').size() — child combinator + id selector."""
+    pages = pages_df(spark, sf_dir)
+    udf = X.make_select_count_udf("div#main > p")
+    return pages.select("url", udf(F.col("html")).alias("n_p"))
+
+
+def q_select_attr(spark, sf_dir):
+    """select('div.footer a.next').attr('href') — class/descendant + attrs."""
+    pages = pages_df(spark, sf_dir)
+    udf = X.make_select_udf("div.footer a.next", mode="attr:href")
+    return pages.select(
+        "url", F.element_at(udf(F.col("html")), 1).alias("href"))
+
+
+def q_own_text(spark, sf_dir):
+    """Element.ownText() of h1."""
+    pages = pages_df(spark, sf_dir)
+    udf = X.make_select_udf("h1", mode="own_text")
+    return pages.select(
+        "url", F.element_at(udf(F.col("html")), 1).alias("own_text"))
+
+
+def q_outer_html(spark, sf_dir):
+    """Element.outerHtml() round-trip (serializer + entity escape)."""
+    pages = pages_df(spark, sf_dir)
+    udf = X.make_select_udf("div.footer > a", mode="outer_html")
+    return pages.select(
+        "url", F.element_at(udf(F.col("html")), 1).alias("a_html"))
+
+
+def q_selector_spans(spark, sf_dir):
+    """Selector source-span columns: char offsets of 'div#main > p' tags."""
+    pages = pages_df(spark, sf_dir)
+    udf = X.make_spans_udf("div#main > p")
+    out = pages.select("url", F.posexplode(udf(F.col("html"))).alias("k", "sp"))
+    return out.select(
+        "url", "k",
+        F.col("sp.start").alias("start"), F.col("sp.end").alias("end"))
+
+
+def q_clean_simpletext(spark, sf_dir):
+    """Cleaner with simpleText whitelist over the page body fragment."""
+    load_documents(spark, sf_dir)
+    body = spark.sql(f"SELECT {URL_SQL} AS url, {_BODY_SQL} AS body FROM documents")
+    udf = X.make_clean_udf("simpleText")
+    return body.select("url", udf(F.col("body")).alias("clean_html"))
+
+
+def q_parse_metrics(spark, sf_dir):
+    """Per-doc parse metrics: node count, parse errors, html byte size."""
+    pages = pages_df(spark, sf_dir)
+    udf = X.make_extract_udf()
+    return pages.select(
+        "url",
+        udf(F.col("html")).alias("ex"),
+        F.length("html").alias("n_chars_html"),
+    ).select("url", F.col("ex.n_nodes").alias("n_nodes"),
+             F.col("ex.parse_errors").alias("parse_errors"), "n_chars_html")
+
+
+def q_corpus_metrics(spark, sf_dir):
+    """Lineage-style aggregate: docs + total html bytes per (lang, source).
+    (§2.4 metrics aggregates; this is the per-partition manifest shape.)"""
+    pages = pages_df(spark, sf_dir)
+    return (pages.groupBy("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length("html")).alias("total_chars"))
+            .select("lang", "source", "n_docs", "total_chars"))
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline queries (dedup / similarity / text analysis)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir)).select("fp", "rep_doc_id", "n_dupes")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return D.minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5, limit_ids=300)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, limit_ids=200)
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir))
+
+
+def q_token_count(spark, sf_dir):
+    return TX.token_count(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    df = TX.quality_score(_docs(spark, sf_dir))
+    # fixed-point encode ratios so value-hash compare is float-format-proof
+    return df.select(
+        "doc_id", "n_tokens",
+        F.round(F.col("distinct_ratio") * 1000000).cast("long").alias("distinct_ratio_e6"),
+        "n_stopword_types",
+        F.round(F.col("mean_token_len") * 1000000).cast("long").alias("mean_token_len_e6"),
+    )
+
+
+def q_lang_signal(spark, sf_dir):
+    return TX.lang_signal(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return TX.fingerprint(_docs(spark, sf_dir))
+
+
+def q_ann_brute_force(spark, sf_dir):
+    df = S.brute_force_topk(_emb(spark, sf_dir), n_queries=8, k=5)
+    return df.select("query_id", "neighbor_id", "rank",
+                     F.round(F.col("sim") * 10000).cast("long").alias("sim_e4"))
+
+
+def q_ann_bucketed(spark, sf_dir):
+    df = S.bucketed_topk(_emb(spark, sf_dir), n_queries=8, k=5)
+    return df.select("query_id", "neighbor_id", "rank",
+                     F.round(F.col("sim") * 10000).cast("long").alias("sim_e4"))
+
+
+def q_cosine_near_dup(spark, sf_dir):
+    df = S.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.8, limit_ids=200)
+    return df.select("i", "j", F.round(F.col("sim") * 10000).cast("long").alias("sim_e4"))
+
+
+def q_image_meta(spark, sf_dir):
+    img = synth_image_table(_docs(spark, sf_dir))
+    return img.select("doc_id", F.length("payload").alias("n_payload"),
+                      "width", "height", "format")
+
+
+def q_image_features(spark, sf_dir):
+    img = synth_image_table(_docs(spark, sf_dir))
+    return image_features(img).select("doc_id", "n_bytes",
+                                      F.size("features").alias("n_features"))
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value") * 1000000).cast("long").alias("sum_value_e6"))
+            .select(F.unix_timestamp("h").cast("long").alias("hour_epoch"),
+                    "event_type", "n", "sum_value_e6"))
+
+
+# --------------------------------------------------------------------------
+
+_BODY_SQL = (
+    "'<div id=\"main\" class=\"content article\"><h1>Doc ' || doc_id || '</h1>' || "
+    f"repeat('<p>' || text || '</p>', {NP_SQL}) || "
+    "'</div><div class=\"nav footer\"><a href=\"/l/' || doc_id || "
+    "'\" class=\"next\">next &gt;</a></div>'"
+)
+
+# char length of the template before the first <p> (132 + two copies of the
+# doc_id rendered length), and the per-paragraph stride 7 + length(text)
+_SPAN_PREFIX_SQL = "(132 + 2 * length('' || doc_id))"
+_SPAN_STRIDE_SQL = "(7 + length(text))"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: HTML→text extraction over the synthesized pages table."""
+    return q_extract_text(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_text": q_extract_text,
+        "extract_main_text": q_extract_main_text,
+        "extract_title": q_extract_title,
+        "select_count": q_select_count,
+        "select_attr": q_select_attr,
+        "own_text": q_own_text,
+        "outer_html": q_outer_html,
+        "selector_spans": q_selector_spans,
+        "clean_simpletext": q_clean_simpletext,
+        "parse_metrics": q_parse_metrics,
+        "corpus_metrics": q_corpus_metrics,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "token_count": q_token_count,
+        "quality": q_quality,
+        "lang_signal": q_lang_signal,
+        "fingerprint": q_fingerprint,
+        "ann_brute_force": q_ann_brute_force,
+        "ann_bucketed": q_ann_bucketed,
+        "cosine_near_dup": q_cosine_near_dup,
+        "image_meta": q_image_meta,
+        "image_features": q_image_features,
+        "events_hourly": q_events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    jac = """
+WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+           FROM documents WHERE doc_id < 200),
+e AS (SELECT doc_id, unnest(ws) AS w FROM t),
+inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+          FROM e a JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+s AS (SELECT doc_id, len(ws) AS sz FROM t)
+SELECT i, j, round(c * 1.0 / (si.sz + sj.sz - c), 6) AS jaccard
+FROM inter JOIN s si ON si.doc_id = i JOIN s sj ON sj.doc_id = j
+WHERE round(c * 1.0 / (si.sz + sj.sz - c), 6) >= 0.5
+"""
+    minhash_cols = ", ".join(
+        f"min(md5(w || '{i}')) AS h{i}" for i in range(D.K_MINHASH))
+    minhash = f"""
+WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+           FROM documents)
+SELECT doc_id, {minhash_cols} FROM w GROUP BY doc_id
+"""
+    lsh_pairs = f"""
+WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+           FROM documents WHERE doc_id < 300),
+w AS (SELECT doc_id, unnest(ws) AS w FROM t),
+sig AS (SELECT doc_id, {minhash_cols} FROM w GROUP BY doc_id),
+bands AS (SELECT doc_id, md5(h0 || h1) AS b0, md5(h2 || h3) AS b1,
+                 md5(h4 || h5) AS b2, md5(h6 || h7) AS b3 FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j FROM bands a JOIN bands b
+    ON (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+   AND a.doc_id < b.doc_id),
+e AS (SELECT doc_id, unnest(ws) AS w FROM t),
+inter AS (SELECT c.i, c.j, count(*) AS c FROM cand c
+          JOIN e a ON a.doc_id = c.i JOIN e b ON b.doc_id = c.j AND a.w = b.w
+          GROUP BY c.i, c.j),
+s AS (SELECT doc_id, len(ws) AS sz FROM t)
+SELECT i, j, round(c * 1.0 / (si.sz + sj.sz - c), 6) AS jaccard
+FROM inter JOIN s si ON si.doc_id = i JOIN s sj ON sj.doc_id = j
+WHERE round(c * 1.0 / (si.sz + sj.sz - c), 6) >= 0.5
+"""
+    ann = """
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM b WHERE vec_id < 8),
+s AS (SELECT query_id, vec_id AS neighbor_id,
+             list_cosine_similarity(qv, v) AS sim_raw
+      FROM b, q WHERE vec_id != query_id),
+r AS (SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim_raw DESC, neighbor_id) AS INTEGER) AS rank,
+             sim_raw FROM s)
+SELECT query_id, neighbor_id, rank,
+       CAST(round(round(sim_raw, 4) * 10000) AS BIGINT) AS sim_e4
+FROM r WHERE rank <= 5
+"""
+    ann_bucketed = """
+WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qb, v AS qv FROM b WHERE vec_id < 8),
+s AS (SELECT query_id, vec_id AS neighbor_id,
+             list_cosine_similarity(qv, v) AS sim_raw
+      FROM b JOIN q ON b.label = q.qb WHERE vec_id != query_id),
+r AS (SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim_raw DESC, neighbor_id) AS INTEGER) AS rank,
+             sim_raw FROM s)
+SELECT query_id, neighbor_id, rank,
+       CAST(round(round(sim_raw, 4) * 10000) AS BIGINT) AS sim_e4
+FROM r WHERE rank <= 5
+"""
+    near_dup = """
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id < 200)
+SELECT a.vec_id AS i, c.vec_id AS j,
+       CAST(round(round(list_cosine_similarity(a.v, c.v), 4) * 10000) AS BIGINT) AS sim_e4
+FROM b a JOIN b c ON a.vec_id < c.vec_id
+WHERE round(list_cosine_similarity(a.v, c.v), 4) >= 0.8
+"""
+    quality = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS nc
+           FROM documents)
+SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_tokens,
+       CAST(round(len(list_distinct(ws)) * 1.0 / len(ws) * 1000000) AS BIGINT)
+         AS distinct_ratio_e6,
+       CAST(len(list_intersect(list_distinct(ws),
+           ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'])) AS INTEGER)
+         AS n_stopword_types,
+       CAST(round((nc - len(ws) + 1) * 1.0 / len(ws) * 1000000) AS BIGINT)
+         AS mean_token_len_e6
+FROM t
+"""
+    lang = """
+SELECT doc_id, lang,
+       CAST(regexp_matches(text, '[一-鿿]') AS INTEGER) AS has_cjk,
+       CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+            ['the', 'a', 'of', 'and'])) AS INTEGER) AS en_stopword_types,
+       CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+            WHEN len(list_intersect(list_distinct(string_split(text, ' ')),
+                 ['the', 'a', 'of', 'and'])) >= 1 THEN 'en'
+            ELSE 'und' END AS lang_pred
+FROM documents
+"""
+    return {
+        "extract_text": (
+            f"SELECT {URL_SQL} AS url, {EXPECTED_DOC_TEXT_SQL} AS text "
+            f"FROM documents ORDER BY url"),
+        "extract_main_text": (
+            f"SELECT {URL_SQL} AS url, {EXPECTED_MAIN_TEXT_SQL} AS text "
+            f"FROM documents"),
+        "extract_title": (
+            f"SELECT {URL_SQL} AS url, {EXPECTED_TITLE_SQL} AS title "
+            f"FROM documents"),
+        "select_count": (
+            f"SELECT {URL_SQL} AS url, CAST({NP_SQL} AS INTEGER) AS n_p "
+            f"FROM documents"),
+        "select_attr": (
+            f"SELECT {URL_SQL} AS url, '/l/' || doc_id AS href FROM documents"),
+        "own_text": (
+            f"SELECT {URL_SQL} AS url, 'Doc ' || doc_id AS own_text FROM documents"),
+        "outer_html": (
+            f"SELECT {URL_SQL} AS url, "
+            "'<a href=\"/l/' || doc_id || '\" class=\"next\">next &gt;</a>' AS a_html "
+            "FROM documents"),
+        "selector_spans": (
+            f"SELECT {URL_SQL} AS url, CAST(k AS INTEGER) AS k, "
+            f"CAST({_SPAN_PREFIX_SQL} + k * {_SPAN_STRIDE_SQL} AS BIGINT) AS start, "
+            f"CAST({_SPAN_PREFIX_SQL} + k * {_SPAN_STRIDE_SQL} + 3 AS BIGINT) AS \"end\" "
+            f"FROM documents, (VALUES (0), (1), (2), (3)) AS t(k) "
+            f"WHERE k < {NP_SQL}"),
+        "clean_simpletext": (
+            f"SELECT {URL_SQL} AS url, "
+            f"'Doc ' || doc_id || repeat(text, {NP_SQL}) || 'next &gt;' AS clean_html "
+            f"FROM documents"),
+        "parse_metrics": (
+            f"SELECT {URL_SQL} AS url, "
+            f"CAST(12 + 2 * {NP_SQL} AS INTEGER) AS n_nodes, "
+            f"0 AS parse_errors, "
+            f"CAST(length({HTML_SQL}) AS INTEGER) AS n_chars_html "
+            f"FROM documents"),
+        "corpus_metrics": (
+            f"SELECT lang, source, count(*) AS n_docs, "
+            f"CAST(sum(length({HTML_SQL})) AS BIGINT) AS total_chars "
+            f"FROM documents GROUP BY lang, source"),
+        "dedup_exact": (
+            "SELECT md5(text) AS fp, min(doc_id) AS rep_doc_id, "
+            "count(*) AS n_dupes FROM documents GROUP BY md5(text)"),
+        "minhash_signatures": minhash,
+        "minhash_lsh_pairs": lsh_pairs,
+        "ngram_jaccard": jac,
+        # simhash: bit-accumulation isn't SQL-expressible → rows-only check
+        "token_count": (
+            "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_m, "
+            "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens "
+            "FROM documents"),
+        "quality": quality,
+        "lang_signal": lang,
+        "fingerprint": (
+            "SELECT doc_id, md5(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))) "
+            "AS fp FROM documents"),
+        "ann_brute_force": ann,
+        "ann_bucketed": ann_bucketed,
+        "cosine_near_dup": near_dup,
+        "image_meta": (
+            "SELECT doc_id, 16 AS n_payload, "
+            "CAST(1 + doc_id % 64 AS INTEGER) AS width, "
+            "CAST(1 + doc_id % 48 AS INTEGER) AS height, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format "
+            "FROM documents"),
+        "image_features": (
+            "SELECT doc_id, 16 AS n_bytes, 8 AS n_features FROM documents"),
+        "events_hourly": (
+            "SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT) "
+            "AS hour_epoch, event_type, count(*) AS n, "
+            "CAST(round(sum(value) * 1000000) AS BIGINT) AS sum_value_e6 "
+            "FROM events GROUP BY 1, 2"),
+    }

@@ -32,6 +32,7 @@ class Arena:
     __slots__ = (
         "parent", "ntype", "tag", "text", "attrs", "children",
         "tags", "base_uri", "quirks", "errors", "location", "selfclosing",
+        "src_start", "src_end",
     )
 
     def __init__(self, tags: TagRegistry | None = None, base_uri: str = "") -> None:
@@ -41,6 +42,9 @@ class Arena:
         self.text: list[str | None] = []
         self.attrs: list[dict | None] = []
         self.children: list[list[int]] = []
+        # source spans (char offsets into the decoded input; -1 = untracked)
+        self.src_start: list[int] = []
+        self.src_end: list[int] = []
         self.tags = tags if tags is not None else GLOBAL_TAGS
         self.base_uri = base_uri
         self.quirks = 0  # 0 no-quirks, 1 quirks, 2 limited-quirks
@@ -58,6 +62,8 @@ class Arena:
         self.text.append(text)
         self.attrs.append(attrs)
         self.children.append([])
+        self.src_start.append(-1)
+        self.src_end.append(-1)
         return nid
 
     def new_element(self, name: str, attrs: dict | None = None) -> int:

@@ -39,7 +39,8 @@ EOF_TOK = ("eof",)
 
 
 class Tokeniser:
-    __slots__ = ("s", "pos", "n", "_pending", "_raw_mode", "_raw_tag", "errors")
+    __slots__ = ("s", "pos", "n", "_pending", "_raw_mode", "_raw_tag", "errors",
+                 "tok_start", "tok_end")
 
     def __init__(self, s: str) -> None:
         if "\x00" in s:
@@ -51,6 +52,8 @@ class Tokeniser:
         self._raw_mode: str | None = None  # rcdata|rawtext|script|plaintext
         self._raw_tag = ""
         self.errors = 0
+        self.tok_start = 0  # source span of the token last returned by read()
+        self.tok_end = 0
 
     # -- tree-builder handoff -------------------------------------------------
     def enter_raw(self, mode: str, tag: str) -> None:
@@ -59,6 +62,12 @@ class Tokeniser:
 
     # -- main pump -------------------------------------------------------------
     def read(self) -> tuple:
+        self.tok_start = self.pos
+        t = self._read()
+        self.tok_end = self.pos
+        return t
+
+    def _read(self) -> tuple:
         if self._pending:
             return self._pending.pop(0)
         if self._raw_mode is not None:

@@ -186,6 +186,9 @@ class HtmlTreeBuilder:
         self._insert_node(c)
 
     def _insert_node(self, nid: int) -> None:
+        # selector-span support: record the triggering token's source span
+        self.arena.src_start[nid] = self.tok.tok_start
+        self.arena.src_end[nid] = self.tok.tok_end
         if not self.stack:
             self.arena.append_child(self.doc, nid)
         elif self.foster_inserts and self.current_name() in ("table", "tbody", "tfoot", "thead", "tr"):

@@ -1,0 +1,169 @@
+"""Arrow-batched extraction kernel: the Spark-facing physical operator.
+
+Each pandas UDF here receives an Arrow record batch of documents and runs
+the per-document kernel (tokenize → tree-build → extract) inside the batch
+— the "vectorized pandas/Arrow UDF, never per-row Python" contract of the
+north star. The per-document state machine is inherently sequential
+(reference TokeniserState), but execution is parallel across documents via
+Spark tasks and batched across the JVM↔Python boundary via Arrow.
+
+Selector compilation happens ONCE per executor (driver-side string →
+broadcast by closure → compiled lazily and cached per worker process by
+``parse_query``'s LRU), mirroring the reference's QueryParser cache.
+"""
+
+import pandas as pd
+
+from pyspark.sql import functions as F, types as T
+
+EXTRACT_SCHEMA = T.StructType([
+    T.StructField("text", T.StringType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("n_nodes", T.IntegerType()),
+    T.StructField("parse_errors", T.IntegerType()),
+])
+
+SPAN_SCHEMA = T.ArrayType(T.StructType([
+    T.StructField("node", T.IntegerType()),
+    T.StructField("start", T.LongType()),
+    T.StructField("end", T.LongType()),
+]))
+
+
+def _to_str(v) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, (bytes, bytearray)):
+        from swiftsoup_spark.api import decode_html
+        return decode_html(bytes(v))
+    return v
+
+
+def make_extract_udf(css_scope: str | None = None):
+    """html -> struct(text, title, n_nodes, parse_errors).
+
+    ``css_scope``: optional selector; text is extracted from the first
+    match (reference Element.text()) instead of the whole document.
+    """
+    @F.pandas_udf(EXTRACT_SCHEMA)
+    def extract(html: pd.Series) -> pd.DataFrame:
+        from swiftsoup_spark.kernel.treebuilder import HtmlTreeBuilder
+        from swiftsoup_spark.kernel.arena import Document
+        from swiftsoup_spark.select.engine import select as sel
+
+        texts, titles, nodes, errs = [], [], [], []
+        tb = HtmlTreeBuilder()
+        for raw in html:
+            arena = tb.parse(_to_str(raw))
+            doc = Document(arena, 0)
+            if css_scope:
+                m = sel(arena, 0, css_scope)
+                texts.append(arena.node_text(m[0]) if m else "")
+            else:
+                texts.append(arena.node_text(0))
+            titles.append(doc.title())
+            nodes.append(len(arena.parent) - 1)
+            errs.append(arena.errors)
+        return pd.DataFrame(
+            {"text": texts, "title": titles, "n_nodes": nodes, "parse_errors": errs})
+
+    return extract
+
+
+def make_select_udf(css: str, mode: str = "text"):
+    """html -> array<string> of per-match values, in document order.
+
+    mode: 'text' | 'own_text' | 'outer_html' | 'tag' | 'attr:<key>'
+    """
+    attr_key = css_mode = None
+    if mode.startswith("attr:"):
+        attr_key = mode[5:]
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def select_vals(html: pd.Series) -> pd.Series:
+        from swiftsoup_spark.kernel.treebuilder import HtmlTreeBuilder
+        from swiftsoup_spark.kernel.serializer import serialize
+        from swiftsoup_spark.select.engine import select as sel
+
+        out = []
+        tb = HtmlTreeBuilder()
+        for raw in html:
+            arena = tb.parse(_to_str(raw))
+            ids = sel(arena, 0, css)
+            if attr_key is not None:
+                vals = [(arena.attrs[i] or {}).get(attr_key) or "" for i in ids]
+            elif mode == "text":
+                vals = [arena.node_text(i) for i in ids]
+            elif mode == "own_text":
+                vals = [arena.own_text(i) for i in ids]
+            elif mode == "outer_html":
+                vals = [serialize(arena, i) for i in ids]
+            elif mode == "tag":
+                vals = [arena.tag_name(i) for i in ids]
+            else:
+                raise ValueError(mode)
+            out.append(vals)
+        return pd.Series(out)
+
+    return select_vals
+
+
+def make_select_count_udf(css: str):
+    @F.pandas_udf(T.IntegerType())
+    def select_count(html: pd.Series) -> pd.Series:
+        from swiftsoup_spark.kernel.treebuilder import HtmlTreeBuilder
+        from swiftsoup_spark.select.engine import select as sel
+
+        tb = HtmlTreeBuilder()
+        return pd.Series([len(sel(tb.parse(_to_str(raw)), 0, css)) for raw in html])
+
+    return select_count
+
+
+def make_spans_udf(css: str):
+    """html -> array<struct<node,start,end>> source spans of matches."""
+    @F.pandas_udf(SPAN_SCHEMA)
+    def spans(html: pd.Series) -> pd.Series:
+        from swiftsoup_spark.kernel.treebuilder import HtmlTreeBuilder
+        from swiftsoup_spark.select.engine import select as sel
+
+        out = []
+        tb = HtmlTreeBuilder()
+        for raw in html:
+            arena = tb.parse(_to_str(raw))
+            ids = sel(arena, 0, css)
+            out.append([
+                {"node": i, "start": arena.src_start[i], "end": arena.src_end[i]}
+                for i in ids])
+        return pd.Series(out)
+
+    return spans
+
+
+def make_clean_udf(whitelist: str = "basic"):
+    """body html -> sanitized body html (reference SwiftSoup.clean)."""
+    @F.pandas_udf(T.StringType())
+    def clean_html(html: pd.Series) -> pd.Series:
+        from swiftsoup_spark.clean.cleaner import clean_html as _clean
+
+        return pd.Series([_clean(_to_str(raw), whitelist) for raw in html])
+
+    return clean_html
+
+
+def extract_pages(pages_df, css_scope: str | None = None):
+    """pages(url, html, ...) -> (url, text, title, n_nodes, parse_errors).
+
+    The single-projection shape keeps Catalyst free to prune the scan to
+    (url, html) only; the UDF is one ArrowEvalPython stage pipelined with
+    the scan — no shuffle.
+    """
+    udf = make_extract_udf(css_scope)
+    out = pages_df.select("url", udf(F.col("html")).alias("ex"))
+    return out.select(
+        "url",
+        F.col("ex.text").alias("text"),
+        F.col("ex.title").alias("title"),
+        F.col("ex.n_nodes").alias("n_nodes"),
+        F.col("ex.parse_errors").alias("parse_errors"),
+    )

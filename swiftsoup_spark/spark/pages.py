@@ -1,0 +1,79 @@
+"""Deterministic Common-Crawl-style ``pages`` table synthesizer.
+
+The north rule's input is an Iceberg table
+``(url string, warc_ts timestamp, html binary, text string, lang string)``.
+This module derives it deterministically from the driver-provided
+``documents`` table with ONE shared SQL expression that both Spark SQL and
+DuckDB evaluate identically — so every extraction query has a closed-form
+ANSI-SQL oracle over the same parquet inputs (no external data, seed-free).
+
+Template (np = 1 + doc_id % 4 identical paragraphs):
+
+  <html><head><meta charset="utf-8"><title>Doc {id} &amp; friends</title>
+  </head><body><div id="main" class="content article"><h1>Doc {id}</h1>
+  <p>{text}</p> × np
+  </div><div class="nav footer"><a href="/l/{id}" class="next">next &gt;</a>
+  </div></body></html>
+
+The static parts exercise entity decoding (&amp;, &gt;), attribute parsing,
+id/class selectors, and block-boundary text joins.
+"""
+
+from __future__ import annotations
+
+# epoch seconds of 2026-01-01T00:00:00Z
+TS0 = 1767225600
+
+# Common-dialect SQL fragments (valid in Spark SQL and DuckDB).
+URL_SQL = "'https://' || source || '.docs.test/' || lang || '/p' || doc_id"
+NP_SQL = "(1 + doc_id % 4)"
+HTML_SQL = (
+    "'<html><head><meta charset=\"utf-8\"><title>Doc ' || doc_id || "
+    "' &amp; friends</title></head><body>"
+    "<div id=\"main\" class=\"content article\"><h1>Doc ' || doc_id || '</h1>' || "
+    f"repeat('<p>' || text || '</p>', {NP_SQL}) || "
+    "'</div><div class=\"nav footer\"><a href=\"/l/' || doc_id || "
+    "'\" class=\"next\">next &gt;</a></div></body></html>'"
+)
+
+# Expected-value fragments (the oracle side of the extraction contract).
+# text in the documents table is single-space-normalized already; the
+# kernel's whitespace rules therefore reduce to these concatenations.
+EXPECTED_MAIN_TEXT_SQL = (
+    f"'Doc ' || doc_id || ' ' || trim(repeat(text || ' ', {NP_SQL}))"
+)
+EXPECTED_DOC_TEXT_SQL = (
+    "'Doc ' || doc_id || ' & friends Doc ' || doc_id || ' ' || "
+    f"trim(repeat(text || ' ', {NP_SQL})) || ' next >'"
+)
+EXPECTED_TITLE_SQL = "'Doc ' || doc_id || ' & friends'"
+
+
+def pages_select(docs_table: str = "documents", html_as: str = "string") -> str:
+    """SELECT statement producing the pages table from ``documents``.
+
+    ``html_as='binary'`` wraps html in an engine-appropriate cast (Spark);
+    the oracle never needs the binary form.
+    """
+    html = HTML_SQL
+    if html_as == "binary":
+        html = f"encode({HTML_SQL}, 'utf-8')"
+    return (
+        f"SELECT {URL_SQL} AS url, "
+        f"{TS0} + doc_id AS ts_epoch, "
+        f"{html} AS html, "
+        f"text, lang, doc_id, source "
+        f"FROM {docs_table}"
+    )
+
+
+def load_documents(spark, sf_dir: str):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df.createOrReplaceTempView("documents")
+    return df
+
+
+def pages_df(spark, sf_dir: str, html_as: str = "string"):
+    """The synthesized pages DataFrame (deterministic, distributed)."""
+    load_documents(spark, sf_dir)
+    return spark.sql(pages_select("documents", html_as=html_as))
