@@ -23,6 +23,7 @@ from swiftsoup_spark.kernel.tags import GLOBAL_TAGS, TagRegistry
 DOCUMENT, ELEMENT, TEXT, DATA, COMMENT, DOCTYPE, XMLDECL, CDATA = range(8)
 
 _WS_RUN = re.compile(r"[ \t\n\f\r\xa0]+")
+_WS_CHECK = re.compile(r"[\t\n\f\r\xa0]|  ")  # needs-normalization probe
 _ASCII_WS = " \t\n\f\r"
 
 
@@ -134,38 +135,53 @@ class Arena:
         parts: list[str] = []
         nonempty = False
         last_space = False
-        ntype, children, tag, tags, text = (
-            self.ntype, self.children, self.tag, self.tags, self.text)
+        ntype, children, tag, tags, text, parent = (
+            self.ntype, self.children, self.tag, self.tags, self.text, self.parent)
+        traits = tags.traits
+        from swiftsoup_spark.kernel.tags import IS_BLOCK, PRESERVE_WS
         br_id = tags.name_to_id.get("br", -2)
+        ws_check = _WS_CHECK.search
         stack = [root]
         while stack:
             nid = stack.pop()
             t = ntype[nid]
             if t == TEXT or t == CDATA:
-                raw = text[nid] or ""
-                if t == CDATA or self.preserves_ws(self.parent[nid]):
-                    if raw:
-                        parts.append(raw)
-                        nonempty = True
-                        last_space = raw[-1] == " "
+                raw = text[nid]
+                if not raw:
+                    continue
+                pid = parent[nid]
+                preserve = t == CDATA
+                if not preserve and pid >= 0 and ntype[pid] == ELEMENT:
+                    if traits[tag[pid]] & PRESERVE_WS:
+                        preserve = True
+                    else:
+                        gp = parent[pid]
+                        preserve = (gp >= 0 and ntype[gp] == ELEMENT
+                                    and bool(traits[tag[gp]] & PRESERVE_WS))
+                if preserve:
+                    parts.append(raw)
+                    nonempty = True
+                    last_space = raw[-1] == " "
                 else:
-                    norm = _WS_RUN.sub(" ", raw)
+                    norm = raw if ws_check(raw) is None else _WS_RUN.sub(" ", raw)
+                    if (not nonempty or last_space) and norm[:1] == " ":
+                        norm = norm[1:]
                     if norm:
-                        if (not nonempty or last_space) and norm[0] == " ":
-                            norm = norm[1:]
-                        if norm:
-                            parts.append(norm)
-                            nonempty = True
-                            last_space = norm[-1] == " "
+                        parts.append(norm)
+                        nonempty = True
+                        last_space = norm[-1] == " "
                 continue
             if t == ELEMENT:
                 tid = tag[nid]
-                if nonempty and not last_space and (tags.is_block(tid) or tid == br_id):
+                if nonempty and not last_space and (traits[tid] & IS_BLOCK or tid == br_id):
                     parts.append(" ")
                     last_space = True
             ch = children[nid]
             if ch:
-                stack.extend(reversed(ch))
+                if len(ch) == 1:
+                    stack.append(ch[0])
+                else:
+                    stack.extend(reversed(ch))
         return "".join(parts).strip(_ASCII_WS)
 
     def own_text(self, nid: int) -> str:

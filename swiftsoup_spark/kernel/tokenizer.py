@@ -244,7 +244,8 @@ class Tokeniser:
         attrs: dict[str, str] | None = None
         self_closing = False
         while True:
-            j = _WS_RE.match(s, j).end()
+            if j < n and s[j] in "\t\n\f\r ":
+                j = _WS_RE.match(s, j).end()
             if j >= n:
                 return attrs, self_closing, j, True
             c = s[j]
@@ -266,7 +267,8 @@ class Tokeniser:
                 j = m.end()
             if not name.islower():
                 name = name.lower()
-            j = _WS_RE.match(s, j).end()
+            if j < n and s[j] in "\t\n\f\r ":
+                j = _WS_RE.match(s, j).end()
             val: str | None = None  # valueless attr (serializes bare)
             if j < n and s[j] == "=":
                 val = ""

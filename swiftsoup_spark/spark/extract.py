@@ -151,17 +151,18 @@ def make_clean_udf(whitelist: str = "basic"):
     return clean_html
 
 
-def extract_pages(pages_df, css_scope: str | None = None):
-    """pages(url, html, ...) -> (url, text, title, n_nodes, parse_errors).
+def extract_pages(pages_df, css_scope: str | None = None, keep_cols: tuple = ()):
+    """pages(url, html, ...) -> (url, *keep_cols, text, title, n_nodes,
+    parse_errors).
 
     The single-projection shape keeps Catalyst free to prune the scan to
-    (url, html) only; the UDF is one ArrowEvalPython stage pipelined with
-    the scan — no shuffle.
+    (url, html, *keep_cols) only; the UDF is one ArrowEvalPython stage
+    pipelined with the scan — no shuffle.
     """
     udf = make_extract_udf(css_scope)
-    out = pages_df.select("url", udf(F.col("html")).alias("ex"))
+    out = pages_df.select("url", *keep_cols, udf(F.col("html")).alias("ex"))
     return out.select(
-        "url",
+        "url", *keep_cols,
         F.col("ex.text").alias("text"),
         F.col("ex.title").alias("title"),
         F.col("ex.n_nodes").alias("n_nodes"),

@@ -67,8 +67,14 @@ def pages_select(docs_table: str = "documents", html_as: str = "string") -> str:
     )
 
 
-def load_documents(spark, sf_dir: str):
+def load_documents(spark, sf_dir: str, repartition: bool = True):
+    """Register the documents view. The parquet is a single small file →
+    one input split; repartition the tiny base BEFORE the html synthesis
+    fans out, so downstream parse work spreads across all cores without
+    shuffling the synthesized bytes."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if repartition:
+        df = df.repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
     df.createOrReplaceTempView("documents")
     return df
 
