@@ -350,6 +350,32 @@ class Node:
         from swiftsoup_spark.kernel.serializer import serialize
         return serialize(self.arena, self.id)
 
+    # -- mutations (§2.5 DML surface; delegates to kernel.mutations) ------
+    def before(self, html: str) -> "Node":
+        from swiftsoup_spark.kernel import mutations as M
+        M.before_html(self.arena, self.id, html)
+        return self
+
+    def after(self, html: str) -> "Node":
+        from swiftsoup_spark.kernel import mutations as M
+        M.after_html(self.arena, self.id, html)
+        return self
+
+    def wrap(self, html: str) -> "Node":
+        from swiftsoup_spark.kernel import mutations as M
+        M.wrap(self.arena, self.id, html)
+        return self
+
+    def unwrap(self) -> "Node":
+        from swiftsoup_spark.kernel import mutations as M
+        M.unwrap(self.arena, self.id)
+        return self
+
+    def replace_with(self, other: "Node") -> "Node":
+        from swiftsoup_spark.kernel import mutations as M
+        M.replace_with(self.arena, self.id, other.id)
+        return self
+
 
 class Element(Node):
     __slots__ = ()
@@ -392,9 +418,10 @@ class Element(Node):
         a = self.arena
         return [Node(a, c) for c in a.children[self.id] if a.ntype[c] in (TEXT, CDATA)]
 
-    def select(self, css: str) -> "list[Element]":
+    def select(self, css: str):
         from swiftsoup_spark.select.engine import select as _select
-        return [Element(self.arena, i) for i in _select(self.arena, self.id, css)]
+        from swiftsoup_spark.kernel.elements_api import Elements
+        return Elements(Element(self.arena, i) for i in _select(self.arena, self.id, css))
 
     def select_first(self, css: str) -> "Element | None":
         r = self.select(css)
@@ -408,13 +435,105 @@ class Element(Node):
         from swiftsoup_spark.kernel.serializer import inner_html
         return inner_html(self.arena, self.id)
 
-    def get_elements_by_tag(self, name: str) -> "list[Element]":
-        a = self.arena
-        tid = a.tags.name_to_id.get(name.lower())
-        if tid is None:
+    # getElementsBy* family (reference Element.swift:1215-1693) — these are
+    # the reference's physical fast paths; here they compile to selectors.
+    def get_elements_by_tag(self, name: str):
+        return self.select(name.lower())
+
+    def get_element_by_id(self, idv: str):
+        r = self.select(f"#{idv}")
+        return r[0] if r else None
+
+    def get_elements_by_class(self, name: str):
+        return self.select(f".{name}")
+
+    def get_elements_by_attribute(self, key: str):
+        return self.select(f"[{key}]")
+
+    def get_elements_by_attribute_value(self, key: str, value: str):
+        return self.select(f'[{key}="{value}"]')
+
+    def get_all_elements(self):
+        return self.select("*")
+
+    def siblings(self) -> "list[Element]":
+        p = self.parent()
+        if p is None:
             return []
-        return [Element(a, n) for n in a.element_descendants(self.id) if a.tag[n] == tid] + (
-            [Element(a, self.id)] if a.ntype[self.id] == ELEMENT and a.tag[self.id] == tid else [])
+        return [e for e in p.children() if e.id != self.id]
+
+    def next_element_sibling(self) -> "Element | None":
+        p = self.parent()
+        if p is None:
+            return None
+        sibs = p.children()
+        idx = [e.id for e in sibs].index(self.id)
+        return sibs[idx + 1] if idx + 1 < len(sibs) else None
+
+    def previous_element_sibling(self) -> "Element | None":
+        p = self.parent()
+        if p is None:
+            return None
+        sibs = p.children()
+        idx = [e.id for e in sibs].index(self.id)
+        return sibs[idx - 1] if idx > 0 else None
+
+    def elem_sibling_index(self) -> int:
+        p = self.parent()
+        if p is None:
+            return 0
+        return [e.id for e in p.children()].index(self.id)
+
+    # mutations
+    def append_html(self, html: str) -> "Element":
+        from swiftsoup_spark.kernel import mutations as M
+        M.append_html(self.arena, self.id, html)
+        return self
+
+    def prepend_html(self, html: str) -> "Element":
+        from swiftsoup_spark.kernel import mutations as M
+        M.prepend_html(self.arena, self.id, html)
+        return self
+
+    def set_text(self, text: str) -> "Element":
+        from swiftsoup_spark.kernel import mutations as M
+        M.set_text(self.arena, self.id, text)
+        return self
+
+    def set_html(self, html: str) -> "Element":
+        from swiftsoup_spark.kernel import mutations as M
+        M.set_html(self.arena, self.id, html)
+        return self
+
+    def set_tag_name(self, name: str) -> "Element":
+        from swiftsoup_spark.kernel import mutations as M
+        M.set_tag_name(self.arena, self.id, name)
+        return self
+
+    def empty(self) -> "Element":
+        from swiftsoup_spark.kernel import mutations as M
+        M.empty(self.arena, self.id)
+        return self
+
+    def add_class(self, name: str) -> "Element":
+        from swiftsoup_spark.kernel import mutations as M
+        M.add_class(self.arena, self.id, name)
+        return self
+
+    def remove_class(self, name: str) -> "Element":
+        from swiftsoup_spark.kernel import mutations as M
+        M.remove_class(self.arena, self.id, name)
+        return self
+
+    def toggle_class(self, name: str) -> "Element":
+        from swiftsoup_spark.kernel import mutations as M
+        M.toggle_class(self.arena, self.id, name)
+        return self
+
+    def val(self) -> str:
+        if self.tag_name == "textarea":
+            return self.text()
+        return self.attr("value")
 
 
 class Document(Element):
