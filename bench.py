@@ -113,7 +113,7 @@ def _headline_subprocess(n_cores: int):
 
 def main():
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    levels_env = os.environ.get("BENCH_LEVELS", f"{max(CPUS // 16, 1) * 2},{CPUS // 4},{CPUS}")
+    levels_env = os.environ.get("BENCH_LEVELS", f"{max(CPUS // 16, 2)},{CPUS // 4},{CPUS}")
     levels = sorted({int(x) for x in levels_env.split(",") if x.strip()})
     runs = {}
     for n in levels:
