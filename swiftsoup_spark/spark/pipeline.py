@@ -86,5 +86,6 @@ def run_extraction(spark, pages_df, out_dir: str, n_buckets: int = 32,
 def corpus_checksum(spark, out_dir: str) -> int:
     """Order-independent whole-corpus checksum (the N-vs-4N oracle)."""
     m = spark.read.parquet(_manifest_path(out_dir))
-    row = m.agg(F.sum("checksum").alias("c"), F.sum("row_count").alias("n")).collect()[0]
+    row = m.agg(F.expr("bit_xor(checksum)").alias("c"),
+                F.sum("row_count").alias("n")).collect()[0]
     return (row.c or 0, row.n or 0)
