@@ -63,15 +63,18 @@ class Tokeniser:
     # -- main pump -------------------------------------------------------------
     def read(self) -> tuple:
         self.tok_start = self.pos
-        t = self._read()
+        if self._pending:
+            self.tok_end = self.pos
+            return self._pending.pop(0)
+        if self._raw_mode is not None:
+            t = self._read_raw()
+            self.tok_end = self.pos
+            return t
+        t = self._data()
         self.tok_end = self.pos
         return t
 
-    def _read(self) -> tuple:
-        if self._pending:
-            return self._pending.pop(0)
-        if self._raw_mode is not None:
-            return self._read_raw()
+    def _data(self) -> tuple:
         s, n = self.s, self.n
         pos = self.pos
         start = pos

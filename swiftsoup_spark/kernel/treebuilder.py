@@ -69,8 +69,10 @@ SCOPE_BASE = ("applet", "caption", "html", "table", "td", "th", "marquee", "obje
 
 
 class HtmlTreeBuilder:
-    def __init__(self, tags: TagRegistry | None = None) -> None:
+    def __init__(self, tags: TagRegistry | None = None,
+                 track_spans: bool = True) -> None:
         self.tags = tags
+        self.track_spans = track_spans
 
     # ------------------------------------------------------------------ setup
     def _init(self, html: str, base_uri: str) -> None:
@@ -186,15 +188,22 @@ class HtmlTreeBuilder:
         self._insert_node(c)
 
     def _insert_node(self, nid: int) -> None:
-        # selector-span support: record the triggering token's source span
-        self.arena.src_start[nid] = self.tok.tok_start
-        self.arena.src_end[nid] = self.tok.tok_end
+        a = self.arena
+        if self.track_spans:
+            # selector-span support: record the triggering token's span
+            a.src_start[nid] = self.tok.tok_start
+            a.src_end[nid] = self.tok.tok_end
         if not self.stack:
-            self.arena.append_child(self.doc, nid)
-        elif self.foster_inserts and self.current_name() in ("table", "tbody", "tfoot", "thead", "tr"):
+            pid = self.doc
+        elif self.foster_inserts and self.current_name() in (
+                "table", "tbody", "tfoot", "thead", "tr"):
             self._foster_parent(nid)
+            return
         else:
-            self.arena.append_child(self.current(), nid)
+            pid = self.stack[-1]
+        # fresh node: direct append (no reparent check needed)
+        a.parent[nid] = pid
+        a.children[pid].append(nid)
 
     def _foster_parent(self, nid: int) -> None:
         a = self.arena
@@ -265,8 +274,11 @@ class HtmlTreeBuilder:
     # scopes (reference HtmlTreeBuilder.swift:1000-1162)
     def _in_scope(self, names: tuple[str, ...], base: tuple[str, ...] = SCOPE_BASE,
                   extra: tuple[str, ...] = ()) -> bool:
-        for el in reversed(self.stack[-100:]):
-            n = self._name(el)
+        stack = self.stack
+        arena_tag, tag_names = self.arena.tag, self.arena.tags.names
+        lo = max(len(stack) - 100, 0)
+        for i in range(len(stack) - 1, lo - 1, -1):
+            n = tag_names[arena_tag[stack[i]]]
             if n in names:
                 return True
             if n in base or n in extra:

@@ -52,7 +52,7 @@ def make_extract_udf(css_scope: str | None = None):
         from swiftsoup_spark.select.engine import select as sel
 
         texts, titles, nodes, errs = [], [], [], []
-        tb = HtmlTreeBuilder()
+        tb = HtmlTreeBuilder(track_spans=False)
         for raw in html:
             arena = tb.parse(_to_str(raw))
             doc = Document(arena, 0)
@@ -86,7 +86,7 @@ def make_select_udf(css: str, mode: str = "text"):
         from swiftsoup_spark.select.engine import select as sel
 
         out = []
-        tb = HtmlTreeBuilder()
+        tb = HtmlTreeBuilder(track_spans=False)
         for raw in html:
             arena = tb.parse(_to_str(raw))
             ids = sel(arena, 0, css)
@@ -114,7 +114,7 @@ def make_select_count_udf(css: str):
         from swiftsoup_spark.kernel.treebuilder import HtmlTreeBuilder
         from swiftsoup_spark.select.engine import select as sel
 
-        tb = HtmlTreeBuilder()
+        tb = HtmlTreeBuilder(track_spans=False)
         return pd.Series([len(sel(tb.parse(_to_str(raw)), 0, css)) for raw in html])
 
     return select_count
@@ -128,7 +128,7 @@ def make_spans_udf(css: str):
         from swiftsoup_spark.select.engine import select as sel
 
         out = []
-        tb = HtmlTreeBuilder()
+        tb = HtmlTreeBuilder(track_spans=True)
         for raw in html:
             arena = tb.parse(_to_str(raw))
             ids = sel(arena, 0, css)
