@@ -104,6 +104,29 @@ def q_selector_spans(spark, sf_dir):
         F.col("sp.start").alias("start"), F.col("sp.end").alias("end"))
 
 
+def q_select_has(spark, sf_dir):
+    """:has structural pseudo — semi-join shape (§2.4)."""
+    pages = pages_df(spark, sf_dir)
+    udf = X.make_select_count_udf("div:has(a.next)")
+    return pages.select("url", udf(F.col("html")).alias("n_has"))
+
+
+def q_select_nth(spark, sf_dir):
+    """:nth-child(an+b) positional pseudo."""
+    pages = pages_df(spark, sf_dir)
+    udf = X.make_select_count_udf("div#main > p:nth-child(even)")
+    return pages.select("url", udf(F.col("html")).alias("n_even"))
+
+
+def q_clean_basic(spark, sf_dir):
+    """Cleaner with basic whitelist: protocol rejection (relative href w/o
+    base is dropped) + enforced rel=nofollow."""
+    load_documents(spark, sf_dir)
+    body = spark.sql(f"SELECT {URL_SQL} AS url, {_BODY_SQL} AS body FROM documents")
+    udf = X.make_clean_udf("basic")
+    return body.select("url", udf(F.col("body")).alias("clean_html"))
+
+
 def q_clean_simpletext(spark, sf_dir):
     """Cleaner with simpleText whitelist over the page body fragment."""
     load_documents(spark, sf_dir)
@@ -249,6 +272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "own_text": q_own_text,
         "outer_html": q_outer_html,
         "selector_spans": q_selector_spans,
+        "select_has": q_select_has,
+        "select_nth": q_select_nth,
+        "clean_basic": q_clean_basic,
         "clean_simpletext": q_clean_simpletext,
         "parse_metrics": q_parse_metrics,
         "corpus_metrics": q_corpus_metrics,
@@ -396,6 +422,16 @@ FROM documents
             f"CAST({_SPAN_PREFIX_SQL} + k * {_SPAN_STRIDE_SQL} + 3 AS BIGINT) AS \"end\" "
             f"FROM documents, (VALUES (0), (1), (2), (3)) AS t(k) "
             f"WHERE k < {NP_SQL}"),
+        "select_has": (
+            f"SELECT {URL_SQL} AS url, CAST(1 AS INTEGER) AS n_has FROM documents"),
+        "select_nth": (
+            f"SELECT {URL_SQL} AS url, "
+            f"CAST(floor(({NP_SQL} + 1) / 2.0) AS INTEGER) AS n_even FROM documents"),
+        "clean_basic": (
+            f"SELECT {URL_SQL} AS url, "
+            f"'Doc ' || doc_id || repeat(chr(10) || '<p>' || text || '</p>', {NP_SQL}) || "
+            "chr(10) || '<a rel=\"nofollow\">next &gt;</a>' AS clean_html "
+            "FROM documents"),
         "clean_simpletext": (
             f"SELECT {URL_SQL} AS url, "
             f"'Doc ' || doc_id || repeat(text, {NP_SQL}) || 'next &gt;' AS clean_html "

@@ -1,0 +1,74 @@
+"""Physical-plan quality gates: the properties that matter at 100 TB.
+
+- Column pruning: extraction over a pages table must scan ONLY (url, html)
+  — a scan reading all columns for the 2-column kernel input is a bug.
+- No shuffle in the extraction path: scan → project → ArrowEvalPython.
+- Small dimension joins broadcast (ANN query side).
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from swiftsoup_spark.spark.session import get_spark
+    yield get_spark(master="local[4]", app="plan-test")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extraction_prunes_scan_columns(spark, tmp_path_factory):
+    from swiftsoup_spark.spark.pages import pages_df
+    from swiftsoup_spark.spark.extract import extract_pages
+
+    out = str(tmp_path_factory.mktemp("pages"))
+    pages_df(spark, SF_DIR).write.mode("overwrite").parquet(out)
+    pages = spark.read.parquet(out)
+    ex = extract_pages(pages).select("url", "text")
+    plan = _plan(ex)
+    # parquet scan must read only url + html
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "url" in read_schema and "html" in read_schema
+    for col in ("text", "lang", "source", "ts_epoch", "doc_id"):
+        assert f"{col}:" not in read_schema, f"unpruned column {col}: {read_schema}"
+
+
+def test_extraction_has_no_shuffle(spark, tmp_path_factory):
+    from swiftsoup_spark.spark.extract import extract_pages
+
+    out = str(tmp_path_factory.mktemp("pages2"))
+    from swiftsoup_spark.spark.pages import pages_df
+    pages_df(spark, SF_DIR).write.mode("overwrite").parquet(out)
+    pages = spark.read.parquet(out)
+    ex = extract_pages(pages)
+    plan = _plan(ex)
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan or "EvalPython" in plan
+
+
+def test_ann_broadcasts_query_side(spark):
+    from swiftsoup_spark.ops.similarity import brute_force_topk
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = brute_force_topk(emb)
+    plan = _plan(df)
+    assert "Broadcast" in plan, plan
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    """groupBy(md5) must partial-aggregate map-side before the shuffle."""
+    from swiftsoup_spark.ops.dedup import exact_dedup
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(exact_dedup(docs))
+    # two HashAggregate phases around one Exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
