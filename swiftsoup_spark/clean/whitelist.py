@@ -36,6 +36,7 @@ class Whitelist:
         self.attributes: dict[str, set[str]] = {}
         self.enforced: dict[str, dict[str, str]] = {}
         self.protocols: dict[str, dict[str, set[str]]] = {}
+        self.css_properties: dict[str, set[str]] = {}
         self.preserve_relative_links = False
         self.url_whitespace_mode = ALLOW
 
@@ -78,6 +79,11 @@ class Whitelist:
         if s:
             for p in prots:
                 s.discard(p.lower())
+        return self
+
+    def add_css_properties(self, tag: str, *props: str) -> "Whitelist":
+        self.css_properties.setdefault(tag.lower(), set()).update(
+            p.lower() for p in props)
         return self
 
     def set_preserve_relative_links(self, v: bool) -> "Whitelist":
@@ -153,6 +159,10 @@ class Whitelist:
         else None (reference safeAttribute, Whitelist.swift:646-690)."""
         if not self.is_safe_attribute(tag, key, value, base_uri):
             return None
+        if key == "style":
+            allowed = self._css_props_for(tag)
+            if allowed is not None:
+                return _sanitize_style(value, allowed)
         if not self._is_url_attribute(tag, key):
             return value
         candidate = value.strip(_WS) if base_uri else value
@@ -162,8 +172,78 @@ class Whitelist:
                 return resolved
         return self._prepare_output(value)
 
+    def _css_props_for(self, tag: str) -> set[str] | None:
+        t = self.css_properties.get(tag)
+        a = self.css_properties.get(":all") if tag != ":all" else None
+        if t is None and a is None:
+            return None
+        return (t or set()) | (a or set())
+
     def enforced_for(self, tag: str) -> dict[str, str]:
         return dict(self.enforced.get(tag, {}))
+
+
+_CSS_COMMENT = re.compile(r"/\*.*?\*/", re.S)
+_ALWAYS_UNSAFE_CSS = frozenset(["behavior", "-moz-binding"])
+
+
+def _sanitize_style(style: str, allowed: set[str]) -> str | None:
+    """Inline-CSS filter (reference Whitelist.sanitizeStyleAttribute):
+    keep only whitelisted properties, strip comments, drop XSS vectors.
+    Returns None to drop the attribute entirely."""
+    s = _CSS_COMMENT.sub("", style)
+    out = []
+    for decl in _split_declarations(s):
+        name, _, value = decl.partition(":")
+        name = name.strip().lower()
+        value = value.strip()
+        if not name or not value or name not in allowed:
+            continue
+        if name in _ALWAYS_UNSAFE_CSS:
+            continue
+        norm = re.sub(r"\s+", "", _CSS_COMMENT.sub("", value).lower())
+        if "expression(" in norm or "@import" in norm or "url(" in norm:
+            continue
+        out.append(f"{name}:{value}")
+    if not out:
+        return None
+    return "; ".join(out)
+
+
+def _split_declarations(s: str) -> list[str]:
+    parts = []
+    buf = []
+    quote = None
+    depth = 0
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if quote:
+            buf.append(c)
+            if c == "\\" and i + 1 < len(s):
+                buf.append(s[i + 1])
+                i += 2
+                continue
+            if c == quote:
+                quote = None
+        elif c in "\"'":
+            quote = c
+            buf.append(c)
+        elif c == "(":
+            depth += 1
+            buf.append(c)
+        elif c == ")":
+            depth = max(0, depth - 1)
+            buf.append(c)
+        elif c == ";" and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    if buf:
+        parts.append("".join(buf))
+    return [p for p in (x.strip() for x in parts) if p]
 
 
 # --- presets (reference Whitelist.swift:91-207) -------------------------------

@@ -131,3 +131,38 @@ def test_nbsp_normalization():
 def test_comments_dropped_and_counted():
     assert clean("<!-- c --><p>One</p>", "basic") == "<p>One</p>"
     assert not is_valid("<!-- c --><p>One</p>", "basic")
+
+
+def test_style_attr_not_url_mangled():
+    wl = W.relaxed().add_tags("div").add_attributes("div", "style")
+    out = clean('<div style="background-color:#E9EAEB;">content</div>', wl)
+    # '#' must not be URL-percent-encoded (style is not a URL attribute)
+    assert "background-color:#E9EAEB;" in out
+
+
+def test_filters_style_to_whitelisted_properties():
+    wl = (W.Whitelist().add_tags("p").add_attributes("p", "style")
+          .add_css_properties("p", "color", "font-weight"))
+    out = clean('<p style="color: red; position: absolute; font-weight: bold;">Hello</p>', wl)
+    assert out == '<p style="color:red; font-weight:bold">Hello</p>'
+
+
+def test_drops_style_when_nothing_remains():
+    wl = (W.Whitelist().add_tags("p").add_attributes("p", "style")
+          .add_css_properties("p", "color"))
+    assert clean('<p style="position:absolute">Hello</p>', wl) == "<p>Hello</p>"
+
+
+def test_all_pseudo_css_properties():
+    wl = (W.Whitelist().add_tags("div", "span").add_attributes(":all", "style")
+          .add_css_properties(":all", "color"))
+    out = sn(clean('<div style="color:red; position:absolute">One</div>'
+                   '<span style="font-weight:bold; color:blue">Two</span>', wl))
+    assert out == '<div style="color:red">One</div><span style="color:blue">Two</span>'
+
+
+def test_css_xss_vectors_dropped():
+    wl = (W.Whitelist().add_tags("p").add_attributes("p", "style")
+          .add_css_properties("p", "color", "background"))
+    assert clean('<p style="background:url(javascript:alert(1))">x</p>', wl) == "<p>x</p>"
+    assert clean('<p style="color:expression(alert(1))">x</p>', wl) == "<p>x</p>"
