@@ -33,7 +33,7 @@ class Arena:
     __slots__ = (
         "parent", "ntype", "tag", "text", "attrs", "children",
         "tags", "base_uri", "quirks", "errors", "location", "selfclosing",
-        "src_start", "src_end",
+        "src_start", "src_end", "form_controls",
     )
 
     def __init__(self, tags: TagRegistry | None = None, base_uri: str = "") -> None:
@@ -52,6 +52,9 @@ class Arena:
         self.errors = 0
         self.location = base_uri
         self.selfclosing: set[int] = set()  # nodes whose start tag had '/>'
+        # form association (reference FormElement.swift): form node id ->
+        # ordered list of its tracked control element ids
+        self.form_controls: dict[int, list[int]] = {}
 
     # -- construction ----------------------------------------------------------
     def new_node(self, ntype: int, tag: int = -1, text: str | None = None,
@@ -534,6 +537,46 @@ class Element(Node):
         if self.tag_name == "textarea":
             return self.text()
         return self.attr("value")
+
+    def as_form(self) -> "FormElement | None":
+        return FormElement(self.arena, self.id) if self.tag_name == "form" else None
+
+
+class FormElement(Element):
+    """Form with tracked controls (reference FormElement.swift:14-161)."""
+
+    __slots__ = ()
+
+    def elements(self) -> list[Element]:
+        return [Element(self.arena, c)
+                for c in self.arena.form_controls.get(self.id, [])]
+
+    def form_data(self) -> list[tuple[str, str]]:
+        """(name, value) pairs of submittable controls."""
+        out: list[tuple[str, str]] = []
+        for el in self.elements():
+            name = el.attr("name")
+            if not name or el.has_attr("disabled"):
+                continue
+            tag = el.tag_name
+            typ = el.attr("type").lower()
+            if tag == "select":
+                any_sel = False
+                for opt in el.select("option[selected]"):
+                    out.append((name, opt.val() or opt.text()))
+                    any_sel = True
+                if not any_sel:
+                    first = el.select_first("option")
+                    if first is not None:
+                        out.append((name, first.val() or first.text()))
+            elif typ in ("checkbox", "radio"):
+                if el.has_attr("checked"):
+                    out.append((name, el.attr("value") or "on"))
+            elif tag == "textarea":
+                out.append((name, el.text()))
+            else:
+                out.append((name, el.attr("value")))
+        return out
 
 
 class Document(Element):

@@ -145,11 +145,16 @@ class HtmlTreeBuilder:
     def is_special(self, nid: int) -> bool:
         return self._name(nid) in SPECIAL
 
+    FORM_LISTED = frozenset(
+        "button fieldset input keygen object output select textarea".split())
+
     def insert_elem(self, name: str, attrs: dict | None = None) -> int:
         el = self.arena.new_element(name, attrs)
         self._insert_node(el)
         self.stack.append(el)
         self._maybe_base(name, attrs)
+        if self.form_el is not None and name in self.FORM_LISTED:
+            self.arena.form_controls.setdefault(self.form_el, []).append(el)
         return el
 
     def insert_from_token(self, name: str, attrs: dict | None, sc: bool) -> int:
@@ -168,6 +173,8 @@ class HtmlTreeBuilder:
         if self_closing:
             self.arena.selfclosing.add(el)
         self._maybe_base(name, attrs)
+        if self.form_el is not None and name in self.FORM_LISTED:
+            self.arena.form_controls.setdefault(self.form_el, []).append(el)
         return el
 
     def _maybe_base(self, name: str, attrs: dict | None) -> None:

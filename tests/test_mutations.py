@@ -146,3 +146,30 @@ def test_sibling_navigation():
     assert p2.previous_element_sibling().attr("id") == "1"
     assert [e.attr("id") for e in p2.siblings()] == ["1", "3"]
     assert p2.elem_sibling_index() == 1
+
+
+def test_form_element_association():
+    doc = parse("""<form id=f action='/submit'>
+      <input type=text name=user value=jo>
+      <input type=checkbox name=flag checked>
+      <input type=checkbox name=off>
+      <input type=radio name=pick value=a>
+      <input type=radio name=pick value=b checked>
+      <textarea name=msg>Hello</textarea>
+      <select name=sel><option value=1>one<option value=2 selected>two</select>
+      <input type=submit name=go value=Go disabled>
+    </form>""")
+    form = doc.select("form")[0].as_form()
+    assert form is not None
+    assert len(form.elements()) == 8
+    assert form.form_data() == [
+        ("user", "jo"), ("flag", "on"), ("pick", "b"),
+        ("msg", "Hello"), ("sel", "2"),
+    ]
+
+
+def test_form_tracks_fostered_controls():
+    # control outside the form subtree (table foster) still belongs to it
+    doc = parse("<table><form><input name=q value=x><td>one</td></table>")
+    form = doc.select("form")[0].as_form()
+    assert form.form_data() == [("q", "x")]
