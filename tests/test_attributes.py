@@ -1,0 +1,106 @@
+"""Attribute parsing parity, ported from the reference AttributeParseTest
+(/root/reference/Tests/SwiftSoupTests/AttributeParseTest.swift)."""
+
+from swiftsoup_spark import parse
+
+
+def _attrs(el):
+    return el.arena.attrs[el.id] or {}
+
+
+def test_parses_rough_attribute_string():
+    html = "<a id=\"123\" class=\"baz = 'bar'\" style = 'border: 2px'qux zim foo = 12 mux=18 />"
+    el = parse(html).select("a")[0]
+    a = _attrs(el)
+    assert len(a) == 7
+    assert a["id"] == "123"
+    assert a["class"] == "baz = 'bar'"
+    assert a["style"] == "border: 2px"
+    assert a["qux"] is None and a["zim"] is None
+    assert a["foo"] == "12"
+    assert a["mux"] == "18"
+
+
+def test_handles_newlines_and_returns():
+    html = "<a\r\nfoo='bar\r\nqux'\r\nbar\r\n=\r\ntwo>One</a>"
+    el = parse(html).select("a")[0]
+    assert len(_attrs(el)) == 2
+    assert el.attr("foo") == "bar\r\nqux"
+    assert el.attr("bar") == "two"
+
+
+def test_parses_empty_string():
+    el = parse("<a />").select("a")[0]
+    assert _attrs(el) == {}
+
+
+def test_can_start_with_eq():
+    el = parse("<a =empty />").select("a")[0]
+    a = _attrs(el)
+    assert list(a) == ["=empty"]
+    assert el.attr("=empty") == ""
+
+
+def test_strict_attribute_unescapes():
+    html = ("<a id=1 href='?foo=bar&mid&lt=true'>One</a> "
+            "<a id=2 href='?foo=bar&lt;qux&lg=1'>Two</a>")
+    els = parse(html).select("a")
+    assert els[0].attr("href") == "?foo=bar&mid&lt=true"
+    assert els[1].attr("href") == "?foo=bar<qux&lg=1"
+
+
+def test_more_attribute_unescapes():
+    els = parse("<a href='&wr_id=123&mid-size=true&ok=&wr'>Check</a>").select("a")
+    assert els[0].attr("href") == "&wr_id=123&mid-size=true&ok=&wr"
+
+
+def test_query_string_keeps_ampersands():
+    el = parse('<a href="/search?q=1&x=2&y=3"></a>').select("a")[0]
+    assert el.attr("href") == "/search?q=1&x=2&y=3"
+
+
+def test_query_string_decodes_entities():
+    el = parse('<a href="/search?q=1&amp;x=2&amp;y=3"></a>').select("a")[0]
+    assert el.attr("href") == "/search?q=1&x=2&y=3"
+
+
+def test_parses_boolean_attributes():
+    html = '<a normal="123" boolean empty=""></a>'
+    el = parse(html).select("a")[0]
+    assert el.attr("normal") == "123"
+    assert el.attr("boolean") == ""
+    assert el.attr("empty") == ""
+    a = _attrs(el)
+    assert len(a) == 3
+    assert a["boolean"] is None  # valueless (BooleanAttribute)
+    assert a["empty"] == ""
+    assert el.outer_html() == html
+
+
+def test_multibyte_attribute_values():
+    el = parse('<a title="你&amp;好" href=hello&amp;world data=πβ></a>').select("a")[0]
+    assert el.attr("title") == "你&好"
+    assert el.attr("href") == "hello&world"
+    assert el.attr("data") == "πβ"
+
+
+def test_before_attribute_name_skips_whitespace():
+    el = parse("<a  \t\r\nfoo=bar></a>").select("a")[0]
+    assert el.attr("foo") == "bar"
+
+
+def test_retains_slash_from_attribute_name():
+    doc = parse("<img /onerror='doMyJob'/>")
+    assert len(doc.select("img[onerror]")) != 0
+    assert doc.body().html() == '<img onerror="doMyJob" />'
+
+
+def test_attribute_names_lowercased():
+    el = parse("<a HREF=x DATA-Foo=y></a>").select("a")[0]
+    assert el.attr("href") == "x"
+    assert el.attr("data-foo") == "y"
+
+
+def test_dupe_attribute_first_wins():
+    el = parse("<a href=one href=two></a>").select("a")[0]
+    assert el.attr("href") == "one"
