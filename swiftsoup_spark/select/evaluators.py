@@ -545,6 +545,55 @@ class MatchesOwnRegex(Evaluator):
 
 
 # --- structural ----------------------------------------------------------------
+class HasChild(Evaluator):
+    """:has(> X): some direct child matches inner."""
+
+    def __init__(self, inner: Evaluator) -> None:
+        self.inner = inner
+
+    def mask(self, ctx: Ctx) -> np.ndarray:
+        inner = self.inner.mask(ctx)
+        m = np.zeros(ctx.n, dtype=bool)
+        idx = np.nonzero(inner)[0]
+        pp = ctx.parent[idx]
+        m[pp[pp >= 0]] = True
+        return ctx.is_elem & m
+
+
+class HasImmediateFollowingSibling(Evaluator):
+    """:has(+ X): the immediately-following element sibling matches."""
+
+    def __init__(self, inner: Evaluator) -> None:
+        self.inner = inner
+
+    def mask(self, ctx: Ctx) -> np.ndarray:
+        inner = self.inner.mask(ctx)
+        prev = ctx.prev_elem_sibling()
+        m = np.zeros(ctx.n, dtype=bool)
+        idx = np.nonzero(inner)[0]
+        pv = prev[idx]
+        m[pv[pv >= 0]] = True
+        return ctx.is_elem & m
+
+
+class HasFollowingSibling(Evaluator):
+    """:has(~ X): some later element sibling matches."""
+
+    def __init__(self, inner: Evaluator) -> None:
+        self.inner = inner
+
+    def mask(self, ctx: Ctx) -> np.ndarray:
+        inner = self.inner.mask(ctx)
+        prev = ctx.prev_elem_sibling()
+        m = np.zeros(ctx.n, dtype=bool)
+        # suffix-OR along sibling chains: iterate reverse document order
+        for nid in reversed(ctx.order):
+            pv = prev[nid]
+            if pv >= 0 and (inner[nid] or m[nid]):
+                m[pv] = True
+        return ctx.is_elem & m
+
+
 class Has(Evaluator):
     def __init__(self, inner: Evaluator) -> None:
         self.inner = inner

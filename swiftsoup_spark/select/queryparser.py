@@ -273,7 +273,17 @@ def _parse_pseudo(tq: _TQ):
         return {"lt": E.IndexLessThan, "gt": E.IndexGreaterThan,
                 "eq": E.IndexEquals}[name](arg)
     if name == "has":
-        return E.Has(_parse_or(_TQ(tq.chomp_balanced("(", ")"))))
+        sub = _TQ(tq.chomp_balanced("(", ")"))
+        sub.consume_ws()
+        if sub.matches_any(">+~"):
+            comb = sub.consume()
+            inner = _parse_or(sub)
+            if comb == ">":
+                return E.HasChild(inner)
+            if comb == "+":
+                return E.HasImmediateFollowingSibling(inner)
+            return E.HasFollowingSibling(inner)
+        return E.Has(_parse_or(sub))
     if name == "not":
         return E.Not(_parse_or(_TQ(tq.chomp_balanced("(", ")"))))
     if name == "contains":

@@ -1,0 +1,138 @@
+"""Second selector-conformance batch, ported from the reference
+SelectorTest.swift:551-985 (descendant/child/sibling combinators, case
+insensitivity, pseudo combinations, context-root restriction)."""
+
+from swiftsoup_spark import parse
+
+
+def ids(els):
+    return [e.attr("id") for e in els]
+
+
+def test_descendant_and_root_restriction():
+    h = "<div class=head><p class=first>Hello</p><p>There</p></div><p>None</p>"
+    doc = parse(h)
+    root = doc.get_elements_by_class("HEAD")[0]
+    els = root.select(".head p")
+    assert [e.text() for e in els] == ["Hello", "There"]
+    assert [e.text() for e in root.select("p.first")] == ["Hello"]
+    assert root.select("p .first") == []
+    # ancestors above the context root are invisible
+    assert root.select("body div.head") == []
+
+
+def test_and_combinations():
+    h = "<div id=1 class='foo bar' title=bar name=qux><p class=foo title=bar>Hello</p></div"
+    doc = parse(h)
+    assert [e.tag_name for e in doc.select("div.foo")] == ["div"]
+    assert [e.tag_name for e in doc.select("div .foo")] == ["p"]
+    assert [e.tag_name for e in doc.select("div#1.foo.bar[title=bar][name=qux]")] == ["div"]
+    assert [e.tag_name for e in doc.select("div *.foo")] == ["p"]
+
+
+def test_deeper_descendant():
+    h = ("<div class=head><p><span class=first>Hello</div>"
+         "<div class=head><p class=first><span>Another</span><p>Again</div>")
+    doc = parse(h)
+    root = doc.get_elements_by_class("head")[0]
+    els = root.select("div p .first")
+    assert [e.text() for e in els] == ["Hello"]
+    assert els[0].tag_name == "span"
+    assert root.select("body p .first") == []
+
+
+def test_parent_child_element():
+    doc = parse("<div id=1><div id=2><div id = 3></div></div></div><div id=4></div>")
+    assert ids(doc.select("div > div")) == ["2", "3"]
+    assert ids(doc.select("div#1 > div")) == ["2"]
+
+
+def test_parent_with_class_child():
+    doc = parse("<h1 class=foo><a href=1 /></h1><h1 class=foo>"
+                "<a href=2 class=bar /></h1><h1><a href=3 /></h1>")
+    assert len(doc.select("h1 > a")) == 3
+    assert len(doc.select("h1.foo > a")) == 2
+    assert len(doc.select("h1.foo > a.bar")) == 1
+
+
+def test_parent_child_star():
+    doc = parse("<div id=1><p>Hello<p><b>there</b></p></div><div id=2><span>Hi</span></div>")
+    assert [e.tag_name for e in doc.select("div > *")] == ["p", "p", "span"]
+
+
+def test_multi_child_descent():
+    doc = parse("<div id=foo><h1 class=bar><a href=http://example.com/>One</a></h1></div>")
+    assert [e.tag_name for e in doc.select("div#foo > h1.bar > a[href*=example]")] == ["a"]
+
+
+def test_case_insensitive():
+    doc = parse("<dIv tItle=bAr><div>")
+    assert len(doc.select("div")) == 2
+    assert len(doc.select("div[title]")) == 1
+    assert len(doc.select("div[title=bar]")) == 1
+    assert len(doc.select("div[title=barbarella]")) == 0
+
+
+def test_adjacent_siblings():
+    doc = parse("<ol><li>One<li>Two<li>Three</ol>")
+    assert [e.text() for e in doc.select("li + li")] == ["Two", "Three"]
+    doc2 = parse("<ol><li id=1>One<li id=2>Two<li id=3>Three</ol>")
+    assert [e.text() for e in doc2.select("li#1 + li#2")] == ["Two"]
+    assert doc2.select("li#1 + li#3") == []
+
+
+def test_mix_combinator():
+    doc = parse("<div class=foo><ol><li>One<li>Two<li>Three</ol></div>")
+    assert [e.text() for e in doc.select("body > div.foo li + li")] == ["Two", "Three"]
+
+
+def test_mix_combinator_group():
+    doc = parse("<div class=foo><ol><li>One<li>Two<li>Three</ol></div>")
+    els = doc.select(".foo > ol, ol > li + li")
+    assert els[0].tag_name == "ol"
+    assert [e.text() for e in els[1:]] == ["Two", "Three"]
+
+
+def test_general_siblings():
+    doc = parse("<ol><li id=1>One<li id=2>Two<li id=3>Three</ol>")
+    assert [e.text() for e in doc.select("#1 ~ #3")] == ["Three"]
+
+
+def test_characters_in_id_and_class():
+    doc = parse("<div><p id='a1-foo_bar'>One</p><p class='b2-qux_bif'>Two</p></div>")
+    assert doc.get_element_by_id("a1-foo_bar").text() == "One"
+    assert doc.get_elements_by_class("b2-qux_bif")[0].text() == "Two"
+    assert doc.select("#a1-foo_bar")[0].text() == "One"
+    assert doc.select(".b2-qux_bif")[0].text() == "Two"
+
+
+def test_leading_combinator_not_nested():
+    doc = parse("<div><p><span>One</span><span>Two</span></p></div>")
+    p = doc.select("div > p")[0]
+    assert [e.text() for e in p.select("> span")] == ["One", "Two"]
+    doc2 = parse("<div id=1><div id=2><div id=3></div></div></div>")
+    assert doc2.select("div").select("> div")[0].attr("id") == "2"
+
+
+def test_pseudo_lt_gt_eq():
+    doc = parse("<div><p>One</p><p>Two</p><p>Three</p></div><div><p>Four</p>")
+    assert [e.text() for e in doc.select("div p:lt(2)")] == ["One", "Two", "Four"]
+    assert [e.text() for e in doc.select("div p:gt(0)")] == ["Two", "Three"]
+    assert [e.text() for e in doc.select("div p:eq(0)")] == ["One", "Four"]
+    assert [e.text() for e in doc.select("div:eq(0) p:eq(0)")] == ["One"]
+    assert [e.text() for e in doc.select("div p:gt(0):lt(2)")] == ["Two"]
+
+
+def test_pseudo_combined():
+    doc = parse("<div class='foo'><p>One</p><p>Two</p></div><div><p>Three</p><p>Four</p></div>")
+    assert [e.text() for e in doc.select("div.foo p:gt(0)")] == ["Two"]
+
+
+def test_pseudo_has():
+    doc = parse("<div id=0><p><span>Hello</span></p></div> "
+                "<div id=1><span class=foo>There</span></div> "
+                "<div id=2><p>Not</p></div>")
+    assert ids(doc.select("div:has(span)")) == ["0", "1"]
+    assert ids(doc.select("div:has(> span)")) == ["1"]
+    assert ids(doc.select("div:has(span.foo)")) == ["1"]
+    assert ids(doc.select("div:has(p):not(:has(span))")) == ["2"]
