@@ -53,7 +53,7 @@ def test_extraction_has_no_shuffle(spark, tmp_path_factory):
     ex = extract_pages(pages)
     plan = _plan(ex)
     assert "Exchange" not in plan, plan
-    assert "ArrowEvalPython" in plan or "EvalPython" in plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan
 
 
 def test_ann_broadcasts_query_side(spark):
