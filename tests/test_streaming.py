@@ -1,0 +1,38 @@
+"""Structured Streaming incremental extraction smoke test
+(availableNow trigger over a parquet directory)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from swiftsoup_spark.spark.session import get_spark
+    yield get_spark(master="local[4]", app="stream-test")
+
+
+def test_stream_extract_available_now(spark, tmp_path_factory):
+    from swiftsoup_spark.spark.pages import pages_df
+    from swiftsoup_spark.streaming.incremental import stream_extract
+
+    in_dir = str(tmp_path_factory.mktemp("in"))
+    out_dir = str(tmp_path_factory.mktemp("out"))
+    ck_dir = str(tmp_path_factory.mktemp("ck"))
+    pages = pages_df(spark, SF_DIR)
+    n = pages.count()
+    pages.write.mode("overwrite").parquet(in_dir)
+
+    stream_extract(spark, in_dir, out_dir, ck_dir)
+    got = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    assert got.count() == n
+    assert set(got.columns) >= {"url", "text", "epoch"}
+
+    # restart with same checkpoint: no new files -> no duplicates
+    stream_extract(spark, in_dir, out_dir, ck_dir)
+    assert spark.read.parquet(os.path.join(out_dir, "extracted")).count() == n
