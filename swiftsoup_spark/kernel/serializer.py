@@ -102,7 +102,11 @@ def _ser(arena: Arena, nid: int, depth: int, out: OutputSettings, buf: list[str]
         buf.append(name)
         _attrs_html(arena.attrs[nid], out, buf)
         children = arena.children[nid]
-        if not children and (tags.is_empty(tid) or nid in arena.selfclosing):
+        # ' />' only for void tags or UNKNOWN self-closed tags; known
+        # non-void tags always print an explicit end tag (reference
+        # HtmlParserTest testHandlesKnownEmptyBlocks)
+        if not children and (tags.is_empty(tid) or (
+                nid in arena.selfclosing and not tags.is_known(tid))):
             buf.append(" />")
             return
         buf.append(">")

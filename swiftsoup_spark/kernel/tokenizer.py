@@ -86,7 +86,7 @@ class Tokeniser:
                     return ("char", self._decode(s[start:n]))
                 return EOF_TOK
             nxt = s[lt + 1] if lt + 1 < n else ""
-            if nxt.isascii() and (nxt.isalpha() or nxt in "!/?"):
+            if nxt and nxt.isascii() and (nxt.isalpha() or nxt in "!/?"):
                 if lt > start:
                     self.pos = lt
                     return ("char", self._decode(s[start:lt]))

@@ -159,11 +159,13 @@ class HtmlTreeBuilder:
 
     def insert_from_token(self, name: str, attrs: dict | None, sc: bool) -> int:
         """reference HtmlTreeBuilder.insert(startTag): a self-closing start
-        tag inserts empty, pushes, and synthesizes its own end tag."""
+        tag inserts empty, pushes, and synthesizes its own end tag (queued
+        into the tokenizer, so callers' post-insert steps — e.g. pushing
+        onto the active formatting list — happen before the close)."""
         if sc:
             el = self.insert_empty(name, attrs, True)
             self.stack.append(el)
-            self.process(("end", name))
+            self.tok._pending.insert(0, ("end", name))
             return el
         return self.insert_elem(name, attrs)
 
@@ -544,12 +546,22 @@ class HtmlTreeBuilder:
                 self.insert_empty(name, t[2], t[3])
                 return True
             if name == "title":
+                if t[3]:
+                    self.insert_from_token(name, t[2], True)
+                    self.orig_mode = self.mode
+                    self.mode = TEXT_MODE
+                    return True
                 self.insert_elem(name, t[2])
                 self.tok.enter_raw("rcdata", name)
                 self.orig_mode = self.mode
                 self.mode = TEXT_MODE
                 return True
             if name in ("noframes", "style"):
+                if t[3]:
+                    self.insert_from_token(name, t[2], True)
+                    self.orig_mode = self.mode
+                    self.mode = TEXT_MODE
+                    return True
                 self.insert_elem(name, t[2])
                 self.tok.enter_raw("rawtext", name)
                 self.orig_mode = self.mode
@@ -560,6 +572,11 @@ class HtmlTreeBuilder:
                 self.mode = IN_HEAD_NOSCRIPT
                 return True
             if name == "script":
+                if t[3]:
+                    self.insert_from_token(name, t[2], True)
+                    self.orig_mode = self.mode
+                    self.mode = TEXT_MODE
+                    return True
                 self.insert_elem(name, t[2])
                 self.tok.enter_raw("script", name)
                 self.orig_mode = self.mode
@@ -721,19 +738,19 @@ class HtmlTreeBuilder:
         if name in IN_BODY_START_P_CLOSERS:
             if self.in_button_scope("p"):
                 self.process(("end", "p"))
-            self.insert_elem(name, attrs)
+            self.insert_from_token(name, attrs, sc)
             return True
         if name in HEADINGS:
             if self.in_button_scope("p"):
                 self.process(("end", "p"))
             if self.current_name() in HEADINGS:
                 self.pop()
-            self.insert_elem(name, attrs)
+            self.insert_from_token(name, attrs, sc)
             return True
         if name in ("pre", "listing"):
             if self.in_button_scope("p"):
                 self.process(("end", "p"))
-            self.insert_elem(name, attrs)
+            self.insert_from_token(name, attrs, sc)
             self.frameset_ok = False
             return True
         if name == "form":
@@ -741,7 +758,7 @@ class HtmlTreeBuilder:
                 return False
             if self.in_button_scope("p"):
                 self.process(("end", "p"))
-            self.form_el = self.insert_elem(name, attrs)
+            self.form_el = self.insert_from_token(name, attrs, sc)
             return True
         if name == "li":
             self.frameset_ok = False
@@ -754,7 +771,7 @@ class HtmlTreeBuilder:
                     break
             if self.in_button_scope("p"):
                 self.process(("end", "p"))
-            self.insert_elem(name, attrs)
+            self.insert_from_token(name, attrs, sc)
             return True
         if name in DD_DT:
             self.frameset_ok = False
@@ -767,7 +784,7 @@ class HtmlTreeBuilder:
                     break
             if self.in_button_scope("p"):
                 self.process(("end", "p"))
-            self.insert_elem(name, attrs)
+            self.insert_from_token(name, attrs, sc)
             return True
         if name == "plaintext":
             if self.in_button_scope("p"):
@@ -780,7 +797,7 @@ class HtmlTreeBuilder:
                 self.process(("end", "button"))
                 return self.process(t)
             self.reconstruct_fmt()
-            self.insert_elem(name, attrs)
+            self.insert_from_token(name, attrs, sc)
             self.frameset_ok = False
             return True
         if name == "a":
@@ -791,12 +808,12 @@ class HtmlTreeBuilder:
                     self.remove_fmt(rem)
                     self.remove_from_stack(rem)
             self.reconstruct_fmt()
-            el = self.insert_elem(name, attrs)
+            el = self.insert_from_token(name, attrs, sc)
             self.push_fmt(el)
             return True
         if name in FORMATTERS:
             self.reconstruct_fmt()
-            el = self.insert_elem(name, attrs)
+            el = self.insert_from_token(name, attrs, sc)
             self.push_fmt(el)
             return True
         if name == "nobr":
@@ -804,19 +821,19 @@ class HtmlTreeBuilder:
             if self.in_scope("nobr"):
                 self.process(("end", "nobr"))
                 self.reconstruct_fmt()
-            el = self.insert_elem(name, attrs)
+            el = self.insert_from_token(name, attrs, sc)
             self.push_fmt(el)
             return True
         if name in APPLETS:
             self.reconstruct_fmt()
-            self.insert_elem(name, attrs)
+            self.insert_from_token(name, attrs, sc)
             self.insert_marker()
             self.frameset_ok = False
             return True
         if name == "table":
             if self.arena.quirks != 1 and self.in_button_scope("p"):
                 self.process(("end", "p"))
-            self.insert_elem(name, attrs)
+            self.insert_from_token(name, attrs, sc)
             self.frameset_ok = False
             self.mode = IN_TABLE
             return True
@@ -844,6 +861,11 @@ class HtmlTreeBuilder:
             # most browsers: rewrite to img
             return self.process(("start", "img", attrs, sc))
         if name == "textarea":
+            if sc:
+                self.insert_from_token(name, attrs, True)
+                self.orig_mode = self.mode
+                self.mode = TEXT_MODE
+                return True
             self.insert_elem(name, attrs)
             self.tok.enter_raw("rcdata", name)
             self.frameset_ok = False
@@ -855,6 +877,21 @@ class HtmlTreeBuilder:
                 self.process(("end", "p"))
             self.reconstruct_fmt()
             self.frameset_ok = False
+            if sc:
+                self.insert_from_token(name, attrs, True)
+                self.orig_mode = self.mode
+                self.mode = TEXT_MODE
+                return True
+            if sc:
+                self.insert_from_token(name, attrs, True)
+                self.orig_mode = self.mode
+                self.mode = TEXT_MODE
+                return True
+            if sc:
+                self.insert_from_token(name, attrs, True)
+                self.orig_mode = self.mode
+                self.mode = TEXT_MODE
+                return True
             self.insert_elem(name, attrs)
             self.tok.enter_raw("rawtext", name)
             self.orig_mode = self.mode
@@ -862,12 +899,22 @@ class HtmlTreeBuilder:
             return True
         if name == "iframe":
             self.frameset_ok = False
+            if sc:
+                self.insert_from_token(name, attrs, True)
+                self.orig_mode = self.mode
+                self.mode = TEXT_MODE
+                return True
             self.insert_elem(name, attrs)
             self.tok.enter_raw("rawtext", name)
             self.orig_mode = self.mode
             self.mode = TEXT_MODE
             return True
         if name == "noembed":
+            if sc:
+                self.insert_from_token(name, attrs, True)
+                self.orig_mode = self.mode
+                self.mode = TEXT_MODE
+                return True
             self.insert_elem(name, attrs)
             self.tok.enter_raw("rawtext", name)
             self.orig_mode = self.mode
@@ -875,7 +922,7 @@ class HtmlTreeBuilder:
             return True
         if name == "select":
             self.reconstruct_fmt()
-            self.insert_elem(name, attrs)
+            self.insert_from_token(name, attrs, sc)
             self.frameset_ok = False
             if self.mode in (IN_TABLE, IN_CAPTION, IN_TABLE_BODY, IN_ROW, IN_CELL):
                 self.mode = IN_SELECT_IN_TABLE
@@ -886,12 +933,12 @@ class HtmlTreeBuilder:
             if self.current_name() == "option":
                 self.process(("end", "option"))
             self.reconstruct_fmt()
-            self.insert_elem(name, attrs)
+            self.insert_from_token(name, attrs, sc)
             return True
         if name in ("rp", "rt"):
             if self.in_scope("ruby"):
                 self.generate_implied_end_tags()
-                self.insert_elem(name, attrs)
+                self.insert_from_token(name, attrs, sc)
             return True
         if name in ("math", "svg"):
             # foreign content kept as plain elements (reference keeps them too)
