@@ -74,10 +74,10 @@ class _TQ:
         s = self.s
         while i < len(s):
             c = s[i]
+            if c == "\\" and i + 1 < len(s):
+                i += 2  # escaped char never affects balance
+                continue
             if in_q:
-                if c == "\\" and i + 1 < len(s):
-                    i += 2
-                    continue
                 if c == in_q:
                     in_q = None
             elif c in "\"'":
@@ -93,7 +93,12 @@ class _TQ:
                     break
             i += 1
         if end < 0:
-            raise QueryError(f"unbalanced {open_c}{close_c} in query")
+            if start < 0:
+                raise QueryError(f"unbalanced {open_c}{close_c} in query")
+            # tolerate missing close at EOF (reference TokenQueue behavior:
+            # 'div:has([class]' parses)
+            self.pos = len(s)
+            return s[start:]
         self.pos = end + 1
         return s[start:end]
 
@@ -218,6 +223,8 @@ def _parse_simple_group(tq: _TQ):
 
 def _parse_attribute(content: str):
     content = content.strip()
+    if not content:
+        raise QueryError("empty attribute selector")
     if content.startswith("^"):
         return E.AttributeStarting(content[1:].strip().lower())
     m = re.match(r"^\s*([^\s!=^$*~]+)\s*(=|!=|\^=|\$=|\*=|~=)\s*(.*)$", content)

@@ -136,3 +136,56 @@ def test_pseudo_has():
     assert ids(doc.select("div:has(> span)")) == ["1"]
     assert ids(doc.select("div:has(span.foo)")) == ["1"]
     assert ids(doc.select("div:has(p):not(:has(span))")) == ["2"]
+
+
+def test_has_variants():
+    doc = parse("<div id=0><p><span>Hello</span></p></div> "
+                "<div id=1><span class=foo>There</span></div> "
+                "<div id=2><p>Not</p></div>")
+    assert ids(doc.select("div:has([class]")) == ["1"]  # unclosed paren tolerated
+    assert ids(doc.select("div:has(span, p)")) == ["0", "1", "2"]
+    els = doc.body().select(":has(p)")
+    assert els[0].tag_name == "body"
+    assert ids(els[1:]) == ["0", "2"]
+
+
+def test_nested_has_with_text_pseudos():
+    doc = parse("<div><p><span>One</span></p></div> <div><p>Two</p></div>")
+    assert [e.text() for e in doc.select("div:has(p:has(span))")] == ["One"]
+    assert [e.text() for e in doc.select("div:has(p:matches((?i)two))")] == ["Two"]
+    assert [e.text() for e in doc.select("div:has(p:contains(two))")] == ["Two"]
+
+
+def test_pseudo_contains_details():
+    doc = parse("<div><p>The Rain.</p> <p class=light>The <i>rain</i>.</p> <p>Rain, the.</p></div>")
+    assert len(doc.select("p:contains(Rain)")) == 3
+    ps2 = doc.select("p:contains(the rain)")
+    assert [p.html() for p in ps2] == ["The Rain.", "The <i>rain</i>."]
+    ps3 = doc.select("p:contains(the Rain):has(i)")
+    assert [p.attr("class") for p in ps3] == ["light"]
+    assert len(doc.select(".light:contains(rain)")) == 1
+    # reference counts 8 because its Document root is itself an Element and
+    # matches; our arena document node is not an element -> 7
+    assert len(doc.select(":contains(rain)")) == 7
+
+
+def test_contains_with_parentheses():
+    doc = parse("<div><p id=1>This (is good)</p><p id=2>This is bad)</p>")
+    assert ids(doc.select("p:contains(this (is good))")) == ["1"]
+    assert ids(doc.select("p:contains(this is bad\\))")) == ["2"]
+
+
+def test_contains_own_details():
+    doc = parse("<p id=1>Hello <b>there</b> now</p>")
+    assert ids(doc.select("p:containsOwn(Hello now)")) == ["1"]
+    assert doc.select("p:containsOwn(there)") == []
+
+
+def test_contains_data_details():
+    doc = parse("<div><p>Some text</p><script>var foo = 'bar';</script>"
+                "<style>.red { color: red; }</style></div>")
+    scripts = doc.select("script:containsData(foo)")
+    assert [s.data() for s in scripts] == ["var foo = 'bar';"]
+    assert len(doc.select("script:containsData(FOO)")) == 1
+    assert len(doc.select("style:containsData(red)")) == 1
+    assert doc.select("p:containsData(text)") == []
