@@ -1,0 +1,1651 @@
+/* Fast-path streaming HTML -> text extractor (CPython extension).
+ *
+ * Single pass over the UTF-8 bytes of a document, mirroring the exact
+ * text() semantics of the pure-Python kernel (kernel/tokenizer.py,
+ * kernel/treebuilder.py, kernel/arena.py node_text) for the common
+ * subset of HTML: it maintains the open-element stack and the active
+ * formatting list exactly like the tree builder, and BAILS OUT
+ * (returns None -> caller falls back to the Python kernel) on any
+ * construct that can move text nodes out of source order or change
+ * preserve-whitespace ancestry in ways this pass does not model:
+ * tables (foster parenting), frameset, select, svg/math (foreign
+ * content), plaintext, real adoption-agency runs (formatting end tag
+ * with a special element above it on the stack), Noah's-ark
+ * evictions, NUL bytes, and pathological depth.
+ *
+ * The contract is byte-identity with Arena.node_text(0) +
+ * first-title capture of the Python kernel on every accepted
+ * document (enforced by tests/test_fastpath.py differential tests).
+ *
+ * Reference semantics mirrored (for parity spot-checks):
+ *   /root/reference/Sources/Tokeniser.swift:378-400 (Data fast loop)
+ *   /root/reference/Sources/HtmlTreeBuilderState.swift (InBody rules)
+ *   /root/reference/Sources/Element.swift:1705-1875 (text())
+ *   /root/reference/Sources/StringUtil.swift:465-580 (ws normalize)
+ */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <string.h>
+#include <stdint.h>
+
+/* ---- flag bits: MUST match kernel/fastpath.py ---- */
+#define F_BLOCK      (1u<<0)
+#define F_PRESERVE   (1u<<1)
+#define F_VOID       (1u<<2)
+#define F_SPECIAL    (1u<<3)
+#define F_BAIL       (1u<<4)
+#define F_PCLOSER    (1u<<5)
+#define F_HEADING    (1u<<6)
+#define F_DDDT       (1u<<7)
+#define F_FORMATTER  (1u<<8)
+#define F_APPLET     (1u<<9)
+#define F_EMPTYFMT   (1u<<10)
+#define F_MEDIA      (1u<<11)
+#define F_TOHEAD     (1u<<12)
+#define F_ENDCLOSER  (1u<<13)
+#define F_SCOPEBASE  (1u<<14)
+#define F_IMPLIED    (1u<<15)
+#define F_LIBREAK    (1u<<16)
+#define F_DROP       (1u<<17)
+#define F_LISTEXTRA  (1u<<18)
+#define F_AHTOHEAD   (1u<<19)  /* after-head re-enter-head set */
+
+#define MAXSTACK 256
+#define MAXFMT   64
+#define MAXUNK   64
+#define MAXTAGLEN 63
+#define UNK_BASE 4096
+
+/* ---- global registry (built once by init_tables) ---- */
+typedef struct { const char *name; int len; int id; } TagSlot;
+
+static TagSlot  g_tags[2048];          /* open addressing, pow2 */
+static char    *g_name_arena = NULL;
+static int      g_ready = 0;
+static uint32_t g_flags_by_id[UNK_BASE];
+static int      g_nknown = 0;
+
+/* entity tables */
+typedef struct { const char *name; int nlen; const char *val; int vlen; } EntSlot;
+static EntSlot g_semi[8192];           /* mask 8191 */
+static EntSlot g_nosemi[512];          /* mask 511 */
+static char   *g_ent_arena = NULL;
+static int     g_max_ent_name = 32;
+
+/* well-known tag ids, resolved at init */
+static int T_p, T_li, T_br, T_a, T_form, T_head, T_body, T_html, T_title,
+    T_textarea, T_script, T_style, T_noscript, T_noframes, T_pre, T_listing,
+    T_xmp, T_iframe, T_noembed, T_button, T_option, T_optgroup, T_ruby,
+    T_rp, T_rt, T_nobr, T_img, T_image, T_input, T_hr, T_dd, T_dt,
+    T_base, T_basefont, T_bgsound, T_command, T_link, T_meta, T_ol, T_ul;
+
+static uint32_t fnv1a(const uint8_t *s, Py_ssize_t len) {
+    uint32_t h = 2166136261u;
+    for (Py_ssize_t i = 0; i < len; i++) { h ^= s[i]; h *= 16777619u; }
+    return h;
+}
+
+static int tag_lookup(const uint8_t *name, int len) {
+    uint32_t h = fnv1a(name, len) & 2047;
+    while (g_tags[h].name) {
+        if (g_tags[h].len == len && memcmp(g_tags[h].name, name, len) == 0)
+            return g_tags[h].id;
+        h = (h + 1) & 2047;
+    }
+    return -1;
+}
+
+static uint32_t tflags(int id) {
+    return (id >= 0 && id < UNK_BASE) ? g_flags_by_id[id] : 0;
+}
+
+static const char *ent_lookup(EntSlot *tab, int mask, const uint8_t *n,
+                              int len, int *vlen) {
+    uint32_t h = fnv1a(n, len) & mask;
+    while (tab[h].name) {
+        if (tab[h].nlen == len && memcmp(tab[h].name, n, len) == 0) {
+            *vlen = tab[h].vlen;
+            return tab[h].val;
+        }
+        h = (h + 1) & mask;
+    }
+    return NULL;
+}
+
+/* ---- per-document parse state ---- */
+typedef struct {
+    const uint8_t *s; Py_ssize_t n, pos;
+    uint8_t *out; Py_ssize_t olen;
+    int32_t st_tag[MAXSTACK]; uint32_t st_ser[MAXSTACK];
+    int32_t st_ptag[MAXSTACK];   /* tag of TREE parent at insert */
+    int sp;
+    int32_t f_tag[MAXFMT]; uint32_t f_ser[MAXFMT]; uint8_t f_mark[MAXFMT];
+    uint8_t f_attr[MAXFMT];
+    int fp;
+    uint32_t serial;
+    int mode;
+    int have_html, have_form, head_present;
+    uint32_t head_ser, form_ser;
+    Py_ssize_t title_a, title_b; int title_set; /* raw rcdata span */
+    int bail;
+    int pending_end;   /* queued synthetic end tag (-1 none) */
+    char unk_names[MAXUNK][MAXTAGLEN + 1];      /* doc-local interning */
+    int unk_len[MAXUNK]; int n_unk;
+} P;
+
+enum { M_PRE, M_HEAD, M_HEADNS, M_AFTERHEAD, M_BODY };
+
+#define BAIL(p) do { (p)->bail = 1; return; } while (0)
+#define BAILV(p, v) do { (p)->bail = 1; return (v); } while (0)
+
+static int intern_tag(P *p, const uint8_t *name, int len) {
+    int id = tag_lookup(name, len);
+    if (id >= 0) return id;
+    for (int i = 0; i < p->n_unk; i++)
+        if (p->unk_len[i] == len && memcmp(p->unk_names[i], name, len) == 0)
+            return UNK_BASE + i;
+    if (p->n_unk >= MAXUNK || len > MAXTAGLEN) { p->bail = 1; return -1; }
+    memcpy(p->unk_names[p->n_unk], name, len);
+    p->unk_len[p->n_unk] = len;
+    return UNK_BASE + p->n_unk++;
+}
+
+/* ---- output helpers ---- */
+static inline int out_nonempty(P *p) { return p->olen > 0; }
+static inline int out_lastspace(P *p) {
+    return p->olen > 0 && p->out[p->olen - 1] == ' ';
+}
+static inline void putb(P *p, uint8_t c) { p->out[p->olen++] = c; }
+
+/* entity decode: s[i] is the char after '&'. Writes decoded UTF-8 to
+ * dst (cap 16), sets *adv = source chars consumed after the '&'.
+ * Returns decoded length, or 0 if not a reference.
+ * Mirrors entities.py _match_ref with in_attribute=False. */
+static int decode_entity(const uint8_t *s, Py_ssize_t i, Py_ssize_t n,
+                         uint8_t dst[16], Py_ssize_t *adv) {
+    if (i >= n) return 0;
+    if (s[i] == '#') {
+        Py_ssize_t j = i + 1;
+        long cp = 0; int any = 0;
+        if (j < n && (s[j] == 'x' || s[j] == 'X')) {
+            j++;
+            while (j < n) {
+                uint8_t c = s[j]; int d;
+                if (c >= '0' && c <= '9') d = c - '0';
+                else if (c >= 'a' && c <= 'f') d = c - 'a' + 10;
+                else if (c >= 'A' && c <= 'F') d = c - 'A' + 10;
+                else break;
+                if (cp < 0x200000) cp = cp * 16 + d;
+                any = 1; j++;
+            }
+            if (!any) return 0;   /* '&#x' with no digits: not a ref */
+        } else {
+            while (j < n && s[j] >= '0' && s[j] <= '9') {
+                if (cp < 0x200000) cp = cp * 10 + (s[j] - '0');
+                any = 1; j++;
+            }
+            if (!any) return 0;
+        }
+        if (j < n && s[j] == ';') j++;
+        *adv = j - i;
+        static const int w1252[32] = {
+            0x20AC,0x81,0x201A,0x0192,0x201E,0x2026,0x2020,0x2021,
+            0x02C6,0x2030,0x0160,0x2039,0x0152,0x8D,0x017D,0x8F,
+            0x90,0x2018,0x2019,0x201C,0x201D,0x2022,0x2013,0x2014,
+            0x02DC,0x2122,0x0161,0x203A,0x0153,0x9D,0x017E,0x0178};
+        if (cp >= 0x80 && cp <= 0x9F) cp = w1252[cp - 0x80];
+        if (cp == 0 || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF))
+            cp = 0xFFFD;
+        int k = 0;
+        if (cp < 0x80) dst[k++] = (uint8_t)cp;
+        else if (cp < 0x800) {
+            dst[k++] = 0xC0 | (cp >> 6); dst[k++] = 0x80 | (cp & 0x3F);
+        } else if (cp < 0x10000) {
+            dst[k++] = 0xE0 | (cp >> 12); dst[k++] = 0x80 | ((cp >> 6) & 0x3F);
+            dst[k++] = 0x80 | (cp & 0x3F);
+        } else {
+            dst[k++] = 0xF0 | (cp >> 18); dst[k++] = 0x80 | ((cp >> 12) & 0x3F);
+            dst[k++] = 0x80 | ((cp >> 6) & 0x3F); dst[k++] = 0x80 | (cp & 0x3F);
+        }
+        return k;
+    }
+    uint8_t c = s[i];
+    if (!((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))) return 0;
+    int len = 1;
+    while (i + len < n && len < g_max_ent_name) {
+        c = s[i + len];
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+            (c >= '0' && c <= '9')) len++;
+        else break;
+    }
+    for (int ln = len; ln >= 2; ln--) {
+        int vlen; const char *v;
+        if (i + ln < n && s[i + ln] == ';') {
+            v = ent_lookup(g_semi, 8191, s + i, ln, &vlen);
+            if (v) { memcpy(dst, v, vlen); *adv = ln + 1; return vlen; }
+        }
+        v = ent_lookup(g_nosemi, 511, s + i, ln, &vlen);
+        if (v) { memcpy(dst, v, vlen); *adv = ln; return vlen; }
+    }
+    return 0;
+}
+
+/* byte classes for the normalizing emitter */
+#define BC_PLAIN 0
+#define BC_WS    1   /* \t \n \f \r ' '  (and \xa0 via C2-pair) */
+#define BC_AMP   2
+#define BC_C2    3
+static uint8_t g_bclass[256];
+
+/* flush a pending collapsed space per arena.node_text: a space is kept
+ * unless it is leading in the run AND (output empty or ends in ' ') */
+static inline void flush_pend(P *p, int *pend, int sawnon) {
+    if (*pend) {
+        if (sawnon || (out_nonempty(p) && !out_lastspace(p)))
+            putb(p, ' ');
+        *pend = 0;
+    }
+}
+
+/* Emit a normalized text run s[a,b): collapse [\t\n\f\r \xa0]+ to ' ',
+ * suppress one leading space when output empty/ends-in-space.
+ * decode: handle '&' references. */
+static void emit_norm(P *p, Py_ssize_t a, Py_ssize_t b, int decode) {
+    const uint8_t *s = p->s;
+    int pend = 0, sawnon = 0;
+    uint8_t dbuf[16];
+    while (a < b) {
+        uint8_t bc = g_bclass[s[a]];
+        if (bc == BC_PLAIN ||
+            (bc == BC_AMP && !decode) ||
+            (bc == BC_C2 && !(a + 1 < b && s[a + 1] == 0xA0))) {
+            Py_ssize_t q = a + 1;
+            while (q < b) {
+                uint8_t qc = g_bclass[s[q]];
+                if (qc == BC_PLAIN) { q++; continue; }
+                if (qc == BC_AMP && !decode) { q++; continue; }
+                if (qc == BC_C2 && !(q + 1 < b && s[q + 1] == 0xA0)) {
+                    q++; continue;
+                }
+                break;
+            }
+            flush_pend(p, &pend, sawnon);
+            memcpy(p->out + p->olen, s + a, q - a);
+            p->olen += q - a;
+            sawnon = 1;
+            a = q;
+        } else if (bc == BC_WS) {
+            pend = 1; a++;
+        } else if (bc == BC_C2) {       /* C2 A0 pair == nbsp */
+            pend = 1; a += 2;
+        } else {                        /* BC_AMP, decode on */
+            Py_ssize_t adv = 0;
+            int dl = decode_entity(s, a + 1, p->n, dbuf, &adv);
+            if (dl <= 0) {
+                flush_pend(p, &pend, sawnon);
+                putb(p, '&'); sawnon = 1; a++;
+            } else {
+                for (int k = 0; k < dl; ) {
+                    uint8_t dc = dbuf[k];
+                    uint8_t cls = g_bclass[dc];
+                    if (cls == BC_WS) { pend = 1; k++; }
+                    else if (cls == BC_C2 && k + 1 < dl && dbuf[k+1] == 0xA0) {
+                        pend = 1; k += 2;
+                    } else {
+                        flush_pend(p, &pend, sawnon);
+                        putb(p, dc); sawnon = 1; k++;
+                    }
+                }
+                a += 1 + adv;
+            }
+        }
+    }
+    flush_pend(p, &pend, sawnon);
+}
+
+/* Emit a preserved run (pre/title/textarea ancestry): raw bytes, with
+ * entity decode only (no whitespace collapsing). */
+static void emit_preserve(P *p, Py_ssize_t a, Py_ssize_t b, int decode) {
+    const uint8_t *s = p->s;
+    uint8_t dbuf[16];
+    while (a < b) {
+        if (decode) {
+            const uint8_t *amp = memchr(s + a, '&', b - a);
+            Py_ssize_t stop = amp ? (amp - s) : b;
+            if (stop > a) {
+                memcpy(p->out + p->olen, s + a, stop - a);
+                p->olen += stop - a;
+                a = stop;
+            }
+            if (a >= b) break;
+            Py_ssize_t adv = 0;
+            int dl = decode_entity(s, a + 1, p->n, dbuf, &adv);
+            if (dl <= 0) { putb(p, '&'); a++; }
+            else {
+                memcpy(p->out + p->olen, dbuf, dl);
+                p->olen += dl;
+                a += 1 + adv;
+            }
+        } else {
+            memcpy(p->out + p->olen, s + a, b - a);
+            p->olen += b - a;
+            a = b;
+        }
+    }
+}
+
+/* ---- open-element stack + active formatting list -------------------- */
+
+static void push_el(P *p, int tag) {
+    if (p->sp >= MAXSTACK) { p->bail = 1; return; }
+    /* the tree parent is the insertion point (stack top before push);
+       it stays valid even after mid-stack removals (form end, a-in-a)
+       because no modeled construct reparents nodes */
+    p->st_ptag[p->sp] = p->sp > 0 ? p->st_tag[p->sp - 1] : -1;
+    p->st_tag[p->sp] = tag;
+    p->st_ser[p->sp] = ++p->serial;
+    p->sp++;
+}
+
+/* entering an element in document order: block/br single-space rule */
+static inline void maybe_space(P *p, int tag) {
+    if ((tflags(tag) & F_BLOCK) || tag == T_br) {
+        if (out_nonempty(p) && !out_lastspace(p)) putb(p, ' ');
+    }
+}
+
+/* insert an element node (maybe_space + push); returns its serial */
+static uint32_t insert_el(P *p, int tag) {
+    maybe_space(p, tag);
+    push_el(p, tag);
+    return p->serial;
+}
+
+static void insert_empty_el(P *p, int tag) { maybe_space(p, tag); }
+
+static void pop_el(P *p) {
+    if (p->sp <= 0) { p->bail = 1; return; }
+    p->sp--;
+}
+
+static int top_tag(P *p) { return p->sp > 0 ? p->st_tag[p->sp - 1] : -1; }
+
+/* treebuilder.pop_to_close(name): pop until name popped (or empty) */
+static void pop_to_close(P *p, int tag) {
+    while (p->sp > 0) {
+        int t = p->st_tag[--p->sp];
+        if (t == tag) return;
+    }
+}
+
+static void pop_to_close_headings(P *p) {
+    while (p->sp > 0) {
+        int t = p->st_tag[--p->sp];
+        if (tflags(t) & F_HEADING) return;
+    }
+}
+
+/* generate_implied_end_tags(exclude); exclude == -1 means the reference
+ * nil-exclude quirk: NO-OP (treebuilder.py generate_implied_end_tags) */
+static void gen_implied(P *p, int exclude) {
+    if (exclude < 0) return;
+    while (p->sp > 0) {
+        int t = p->st_tag[p->sp - 1];
+        if (t == exclude || !(tflags(t) & F_IMPLIED)) return;
+        p->sp--;
+    }
+}
+
+static void remove_stack_serial(P *p, uint32_t ser) {
+    for (int i = p->sp - 1; i >= 0; i--) {
+        if (p->st_ser[i] == ser) {
+            memmove(p->st_tag + i, p->st_tag + i + 1,
+                    (p->sp - i - 1) * sizeof(int32_t));
+            memmove(p->st_ser + i, p->st_ser + i + 1,
+                    (p->sp - i - 1) * sizeof(uint32_t));
+            memmove(p->st_ptag + i, p->st_ptag + i + 1,
+                    (p->sp - i - 1) * sizeof(int32_t));
+            p->sp--;
+            return;
+        }
+    }
+}
+
+static int on_stack_ser(P *p, uint32_t ser) {
+    for (int i = p->sp - 1; i >= 0; i--)
+        if (p->st_ser[i] == ser) return i;
+    return -1;
+}
+
+/* treebuilder._in_scope: walk top-down (max 100), target vs barriers.
+ * extra: 0 none, 1 button, 2 list (ol/ul) */
+static int in_scope_x(P *p, int tag, int extra) {
+    int lo = p->sp - 100; if (lo < 0) lo = 0;
+    for (int i = p->sp - 1; i >= lo; i--) {
+        int t = p->st_tag[i];
+        if (t == tag) return 1;
+        uint32_t f = tflags(t);
+        if (f & F_SCOPEBASE) return 0;
+        if (extra == 1 && t == T_button) return 0;
+        if (extra == 2 && (f & F_LISTEXTRA)) return 0;
+    }
+    return 0;
+}
+
+static int in_scope(P *p, int tag) { return in_scope_x(p, tag, 0); }
+static int in_button_scope(P *p, int tag) { return in_scope_x(p, tag, 1); }
+static int in_list_scope(P *p, int tag) { return in_scope_x(p, tag, 2); }
+
+/* any heading in (plain) scope */
+static int headings_in_scope(P *p) {
+    int lo = p->sp - 100; if (lo < 0) lo = 0;
+    for (int i = p->sp - 1; i >= lo; i--) {
+        uint32_t f = tflags(p->st_tag[i]);
+        if (f & F_HEADING) return 1;
+        if (f & F_SCOPEBASE) return 0;
+    }
+    return 0;
+}
+
+/* ---- active formatting list (treebuilder fmt ops) ------------------- */
+
+static void push_marker(P *p) {
+    if (p->fp >= MAXFMT) { p->bail = 1; return; }
+    p->f_mark[p->fp] = 1;
+    p->f_tag[p->fp] = -1;
+    p->f_ser[p->fp] = 0;
+    p->fp++;
+}
+
+static void remove_fmt_at(P *p, int idx) {
+    memmove(p->f_tag + idx, p->f_tag + idx + 1,
+            (p->fp - idx - 1) * sizeof(int32_t));
+    memmove(p->f_ser + idx, p->f_ser + idx + 1,
+            (p->fp - idx - 1) * sizeof(uint32_t));
+    memmove(p->f_mark + idx, p->f_mark + idx + 1,
+            (p->fp - idx - 1) * sizeof(uint8_t));
+    memmove(p->f_attr + idx, p->f_attr + idx + 1,
+            (p->fp - idx - 1) * sizeof(uint8_t));
+    p->fp--;
+}
+
+/* push_fmt with Noah's-ark (treebuilder.push_fmt): Python evicts the
+ * entry at which it sees the 3rd same-name-AND-same-attrs match
+ * (scanning back to the last marker). We track only a has-attrs bit:
+ * two no-attr elements are exactly equal; comparisons involving
+ * attr-bearing elements are undecidable here -> bail only when they
+ * could flip the outcome. */
+static void push_fmt(P *p, int tag, uint32_t ser, int has_attrs) {
+    if (p->fp >= MAXFMT) { p->bail = 1; return; }
+    if (!has_attrs) {
+        int seen = 0;
+        for (int i = p->fp - 1; i >= 0; i--) {
+            if (p->f_mark[i]) break;
+            if (p->f_tag[i] == tag && !p->f_attr[i]) {
+                if (++seen == 3) { remove_fmt_at(p, i); break; }
+            }
+        }
+    } else {
+        int withattr = 0;
+        for (int i = p->fp - 1; i >= 0; i--) {
+            if (p->f_mark[i]) break;
+            if (p->f_tag[i] == tag && p->f_attr[i]) {
+                if (++withattr >= 3) { p->bail = 1; return; }
+            }
+        }
+    }
+    p->f_tag[p->fp] = tag;
+    p->f_ser[p->fp] = ser;
+    p->f_mark[p->fp] = 0;
+    p->f_attr[p->fp] = (uint8_t)has_attrs;
+    p->fp++;
+}
+
+/* get_active_fmt: last entry before a marker with this tag; index or -1 */
+static int get_active_fmt(P *p, int tag) {
+    for (int i = p->fp - 1; i >= 0; i--) {
+        if (p->f_mark[i]) return -1;
+        if (p->f_tag[i] == tag) return i;
+    }
+    return -1;
+}
+
+/* (remove_fmt_at moved above push_fmt) */
+
+static void clear_fmt_to_marker(P *p) {
+    while (p->fp > 0) {
+        p->fp--;
+        if (p->f_mark[p->fp]) return;
+    }
+}
+
+/* treebuilder.reconstruct_fmt: re-open formatting elements whose
+ * entries are not on the stack. Clones are pushed as normal open
+ * elements (they affect preserve-ws ancestry), entries repointed. */
+static void reconstruct_fmt(P *p) {
+    if (p->fp == 0) return;
+    int last = p->fp - 1;
+    if (p->f_mark[last] || on_stack_ser(p, p->f_ser[last]) >= 0) return;
+    int pos = last, skip = 0;
+    while (1) {
+        if (pos == 0) { skip = 1; break; }
+        pos--;
+        if (p->f_mark[pos] || on_stack_ser(p, p->f_ser[pos]) >= 0) break;
+    }
+    while (1) {
+        if (!skip) pos++;
+        skip = 0;
+        /* insert_elem(name): maybe_space + push (formatters are never
+         * block, but mirror the generic insert for exactness) */
+        uint32_t ser = insert_el(p, p->f_tag[pos]);
+        if (p->bail) return;
+        p->f_ser[pos] = ser;
+        if (pos == last) break;
+    }
+}
+
+/* ---- raw-content scanning (tokenizer _read_raw mirrors) ------------- */
+
+static inline int is_close_delim(uint8_t c) {
+    return c == '\t' || c == '\n' || c == '\f' || c == '\r' || c == ' ' ||
+           c == '/' || c == '>';
+}
+
+/* tokenizer._find_close: case-insensitive "</tag" followed by delim/EOF */
+static void find_close(P *p, Py_ssize_t i, const uint8_t *tag, int nlen,
+                       Py_ssize_t *content_end, Py_ssize_t *close) {
+    const uint8_t *s = p->s; Py_ssize_t n = p->n;
+    Py_ssize_t pos = i;
+    while (1) {
+        const uint8_t *lt = memchr(s + pos, '<', n - pos);
+        if (!lt) { *content_end = n; *close = -1; return; }
+        Py_ssize_t k = lt - s;
+        if (k + 1 < n && s[k + 1] == '/' && k + 2 + nlen <= n &&
+            strncasecmp((const char *)s + k + 2, (const char *)tag, nlen) == 0) {
+            Py_ssize_t after = k + 2 + nlen;
+            if (after >= n || is_close_delim(s[after])) {
+                *content_end = k; *close = k; return;
+            }
+        }
+        pos = k + 1;
+    }
+}
+
+/* tokenizer._find_breakout: '<' + ascii alpha */
+static Py_ssize_t find_breakout(P *p, Py_ssize_t i) {
+    const uint8_t *s = p->s; Py_ssize_t n = p->n;
+    Py_ssize_t j = i;
+    while (1) {
+        const uint8_t *lt = memchr(s + j, '<', n - j);
+        if (!lt) return -1;
+        Py_ssize_t k = lt - s;
+        if (k + 1 >= n) return -1;
+        uint8_t c = s[k + 1];
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) return k;
+        j = k + 1;
+    }
+}
+
+/* tokenizer._script_end: ScriptData escaped/double-escaped scanner */
+static void script_end(P *p, Py_ssize_t i, Py_ssize_t *content_end,
+                       Py_ssize_t *close) {
+    const uint8_t *s = p->s; Py_ssize_t n = p->n;
+    int state = 0; /* 0 plain, 1 escaped, 2 double-escaped */
+    Py_ssize_t j = i;
+    while (j < n) {
+        uint8_t c = s[j];
+        if (c == '<') {
+            if (j + 3 < n && s[j+1] == '!' && s[j+2] == '-' && s[j+3] == '-') {
+                if (state == 0) state = 1;
+                j += 4; continue;
+            }
+            if (j + 1 < n && s[j+1] == '/' && j + 8 <= n &&
+                strncasecmp((const char *)s + j + 2, "script", 6) == 0 &&
+                (j + 8 >= n || is_close_delim(s[j + 8]) || s[j + 8] == '\0')) {
+                /* lookahead delim or EOF (regex (?=[..]|$)) */
+                if (j + 8 == n || is_close_delim(s[j + 8])) {
+                    if (state == 0 || state == 1) {
+                        *content_end = j; *close = j; return;
+                    }
+                    state = 1; j += 8; continue;
+                }
+            }
+            if (j + 7 <= n &&
+                strncasecmp((const char *)s + j + 1, "script", 6) == 0 &&
+                (j + 7 == n || is_close_delim(s[j + 7]))) {
+                if (state == 1) state = 2;
+                j += 7; continue;
+            }
+            j++; continue;
+        }
+        if (c == '-') {
+            if (j + 2 < n && s[j+1] == '-' && s[j+2] == '>') {
+                if (state == 1 || state == 2) state = 0;
+                j += 3; continue;
+            }
+            j++; continue;
+        }
+        /* skip to next '<' or '-' */
+        {
+            const uint8_t *lt = memchr(s + j, '<', n - j);
+            const uint8_t *da = memchr(s + j, '-', n - j);
+            if (!lt && !da) break;
+            const uint8_t *m = (!lt) ? da : (!da) ? lt : (lt < da ? lt : da);
+            j = m - s;
+        }
+    }
+    *content_end = n; *close = -1;
+}
+
+/* skip the attribute section of a tag; mirrors tokenizer._attrs scan.
+ * On entry j is just past the tag name. Returns next pos (past '>'),
+ * sets *sc and *eof. */
+static Py_ssize_t skip_attrs(P *p, Py_ssize_t j, int *sc, int *eof,
+                             int *has_attrs) {
+    const uint8_t *s = p->s; Py_ssize_t n = p->n;
+    *sc = 0; *eof = 0;
+    if (has_attrs) *has_attrs = 0;
+    while (1) {
+        while (j < n && (s[j]=='\t'||s[j]=='\n'||s[j]=='\f'||s[j]=='\r'||s[j]==' '))
+            j++;
+        if (j >= n) { *eof = 1; return n; }
+        uint8_t c = s[j];
+        if (c == '>') return j + 1;
+        if (c == '/') {
+            if (j + 1 < n && s[j + 1] == '>') { *sc = 1; return j + 2; }
+            j++; continue;
+        }
+        /* attribute name ([^\t\n\f\r />=]+, '=' may lead and join) */
+        if (has_attrs) *has_attrs = 1;
+        if (c == '=') j++;
+        while (j < n) {
+            c = s[j];
+            if (c=='\t'||c=='\n'||c=='\f'||c=='\r'||c==' '||c=='/'||c=='>'||c=='=')
+                break;
+            j++;
+        }
+        while (j < n && (s[j]=='\t'||s[j]=='\n'||s[j]=='\f'||s[j]=='\r'||s[j]==' '))
+            j++;
+        if (j < n && s[j] == '=') {
+            j++;
+            while (j < n && (s[j]=='\t'||s[j]=='\n'||s[j]=='\f'||s[j]=='\r'||s[j]==' '))
+                j++;
+            if (j >= n) { *eof = 1; return n; }
+            uint8_t q = s[j];
+            if (q == '"' || q == '\'') {
+                const uint8_t *k = memchr(s + j + 1, q, n - j - 1);
+                if (!k) { *eof = 1; return n; }
+                j = (k - s) + 1;
+            } else {
+                while (j < n) {
+                    c = s[j];
+                    if (c=='\t'||c=='\n'||c=='\f'||c=='\r'||c==' '||c=='>')
+                        break;
+                    j++;
+                }
+            }
+        }
+    }
+}
+
+/* consume the `</tag ...>` end tag at `close` (rcdata/rawtext close) */
+static void consume_end_tag(P *p, Py_ssize_t close) {
+    const uint8_t *s = p->s; Py_ssize_t n = p->n;
+    Py_ssize_t j = close + 2;
+    /* _TAGNAME_RE: [a-zA-Z][^\t\n\f\r />]* */
+    if (j < n && ((s[j]>='a'&&s[j]<='z')||(s[j]>='A'&&s[j]<='Z'))) {
+        j++;
+        while (j < n) {
+            uint8_t c = s[j];
+            if (c=='\t'||c=='\n'||c=='\f'||c=='\r'||c==' '||c=='/'||c=='>')
+                break;
+            j++;
+        }
+    }
+    int sc, eof;
+    Py_ssize_t nx = skip_attrs(p, j, &sc, &eof, NULL);
+    p->pos = eof ? n : nx;
+}
+
+/* ---- in-body token handlers (treebuilder _in_body mirrors) ---------- */
+
+static void dispatch_start(P *p, int tag, int sc, int has_attrs,
+                           const uint8_t *name, int nlen);
+static void dispatch_end(P *p, int tag);
+static void handle_end_body(P *p, int tag);
+
+/* treebuilder._any_other_end_tag */
+static void any_other_end(P *p, int tag) {
+    for (int i = p->sp - 1; i >= 0; i--) {
+        int t = p->st_tag[i];
+        if (t == tag) {
+            gen_implied(p, tag);
+            pop_to_close(p, tag);
+            return;
+        }
+        if (tflags(t) & F_SPECIAL) return;
+    }
+}
+
+/* treebuilder._adoption_agency, restricted: handles the no-furthest-
+ * block cases exactly; BAILS on a real adoption run (special element
+ * above the formatting element) because that moves nodes. */
+static void aaa(P *p, int tag) {
+    int fi = get_active_fmt(p, tag);
+    if (fi < 0) { any_other_end(p, tag); return; }
+    uint32_t fser = p->f_ser[fi];
+    int ftag = p->f_tag[fi];
+    if (on_stack_ser(p, fser) < 0) {
+        remove_fmt_at(p, fi);
+        any_other_end(p, tag);
+        return;
+    }
+    if (!in_scope(p, ftag)) return;
+    int size = p->sp < 64 ? p->sp : 64;
+    int seen = 0, furthest = -1;
+    for (int si = 0; si < size; si++) {
+        if (p->st_ser[si] == fser) seen = 1;
+        else if (seen && (tflags(p->st_tag[si]) & F_SPECIAL)) {
+            furthest = si; break;
+        }
+    }
+    if (furthest >= 0) { p->bail = 1; return; }
+    pop_to_close(p, ftag);
+    remove_fmt_at(p, fi);
+}
+
+static void close_p_if_open(P *p) {
+    if (in_button_scope(p, T_p)) {
+        gen_implied(p, T_p);
+        pop_to_close(p, T_p);
+    }
+}
+
+/* insert_from_token: sc queues a synthetic end tag (processed by the
+ * dispatch wrapper AFTER the caller's post-insert steps, mirroring the
+ * tokenizer pending queue). Returns the element serial. */
+static uint32_t insert_from_token(P *p, int tag, int sc) {
+    uint32_t ser = insert_el(p, tag);
+    if (sc) p->pending_end = tag;
+    return ser;
+}
+
+static void handle_end_body(P *p, int tag) {
+    uint32_t f = tflags(tag);
+    if (f & F_FORMATTER) { aaa(p, tag); return; }
+    if (tag == T_body || tag == T_html) return;  /* mode-only effects */
+    if (f & F_ENDCLOSER) {
+        if (!in_scope(p, tag)) return;
+        gen_implied(p, -1);           /* nil-exclude: no-op */
+        pop_to_close(p, tag);
+        return;
+    }
+    if (tag == T_form) {
+        int had = p->have_form;
+        uint32_t fs = p->form_ser;
+        p->have_form = 0; p->form_ser = 0;
+        if (!had || !in_scope(p, T_form)) return;
+        gen_implied(p, -1);
+        remove_stack_serial(p, fs);
+        return;
+    }
+    if (tag == T_p) {
+        if (!in_button_scope(p, T_p)) {
+            /* synth <p> then close it: net effect is the block space */
+            maybe_space(p, T_p);
+            return;
+        }
+        gen_implied(p, T_p);
+        pop_to_close(p, T_p);
+        return;
+    }
+    if (tag == T_li) {
+        if (!in_list_scope(p, T_li)) return;
+        gen_implied(p, T_li);
+        pop_to_close(p, T_li);
+        return;
+    }
+    if (f & F_DDDT) {
+        if (!in_scope(p, tag)) return;
+        gen_implied(p, tag);
+        pop_to_close(p, tag);
+        return;
+    }
+    if (f & F_HEADING) {
+        if (!headings_in_scope(p)) return;
+        gen_implied(p, tag);
+        pop_to_close_headings(p);
+        return;
+    }
+    if (f & F_APPLET) {
+        if (!in_scope(p, tag)) return;
+        gen_implied(p, -1);
+        pop_to_close(p, tag);
+        clear_fmt_to_marker(p);
+        return;
+    }
+    if (tag == T_br) return;          /* </br> ignored */
+    any_other_end(p, tag);
+}
+
+/* rcdata element (title/textarea): content is a preserved text node */
+static void start_rcdata(P *p, int tag, int sc,
+                         const uint8_t *name, int nlen) {
+    if (sc) {
+        insert_el(p, tag);
+        if (tag == T_title && !p->title_set) {
+            p->title_set = 1; p->title_a = p->title_b = 0;
+        }
+        pop_el(p);
+        return;
+    }
+    insert_el(p, tag);
+    Py_ssize_t i = p->pos, content_end, close;
+    find_close(p, i, name, nlen, &content_end, &close);
+    if (close < 0) {
+        Py_ssize_t bj = find_breakout(p, i);
+        if (bj >= 0) {      /* rcdata breakout deviation */
+            if (tag == T_title && !p->title_set) {
+                p->title_set = 1; p->title_a = i; p->title_b = bj;
+            }
+            emit_preserve(p, i, bj, 1);
+            p->pos = bj;
+            pop_el(p);
+            return;
+        }
+        content_end = p->n;
+        if (tag == T_title && !p->title_set) {
+            p->title_set = 1; p->title_a = i; p->title_b = content_end;
+        }
+        emit_preserve(p, i, content_end, 1);
+        p->pos = p->n;
+        pop_el(p);          /* EOF in Text mode pops */
+        return;
+    }
+    if (tag == T_title && !p->title_set) {
+        p->title_set = 1; p->title_a = i; p->title_b = content_end;
+    }
+    emit_preserve(p, i, content_end, 1);
+    consume_end_tag(p, close);
+    pop_el(p);
+}
+
+/* rawtext/script element: content is a DataNode (excluded from text) */
+static void start_rawtext(P *p, int tag, int sc,
+                          const uint8_t *name, int nlen, int is_script) {
+    if (sc) { insert_el(p, tag); pop_el(p); return; }
+    insert_el(p, tag);
+    Py_ssize_t i = p->pos, content_end, close;
+    if (is_script) script_end(p, i, &content_end, &close);
+    else find_close(p, i, name, nlen, &content_end, &close);
+    if (close >= 0) consume_end_tag(p, close);
+    else p->pos = p->n;
+    pop_el(p);
+}
+
+static void handle_start_body(P *p, int tag, int sc, int has_attrs,
+                              const uint8_t *name, int nlen);
+
+/* the _in_head handling shared by M_HEAD / after-head re-entry /
+ * in-body TO_HEAD starts. Returns 1 if handled. */
+static int to_head_start(P *p, int tag, int sc,
+                         const uint8_t *name, int nlen) {
+    if (tag == T_base || tag == T_basefont || tag == T_bgsound ||
+        tag == T_command || tag == T_link || tag == T_meta) {
+        insert_empty_el(p, tag);
+        return 1;
+    }
+    if (tag == T_title) { start_rcdata(p, tag, sc, name, nlen); return 1; }
+    if (tag == T_noframes || tag == T_style) {
+        start_rawtext(p, tag, sc, name, nlen, 0);
+        return 1;
+    }
+    if (tag == T_script) { start_rawtext(p, tag, sc, name, nlen, 1); return 1; }
+    if (tag == T_head) return 1;      /* error, ignore */
+    return 0;
+}
+
+static void handle_start_body(P *p, int tag, int sc, int has_attrs,
+                              const uint8_t *name, int nlen) {
+    uint32_t f = tflags(tag);
+    if (f & F_BAIL) { p->bail = 1; return; }
+    if (tag == T_html) return;                    /* attr merge only */
+    if (f & F_TOHEAD) {                           /* incl noscript? no */
+        to_head_start(p, tag, sc, name, nlen);
+        return;
+    }
+    if (tag == T_body) return;                    /* attr merge only */
+    if (f & F_PCLOSER) {
+        close_p_if_open(p);
+        insert_from_token(p, tag, sc);
+        return;
+    }
+    if (f & F_HEADING) {
+        close_p_if_open(p);
+        if (p->sp > 0 && (tflags(top_tag(p)) & F_HEADING)) pop_el(p);
+        insert_from_token(p, tag, sc);
+        return;
+    }
+    if (tag == T_pre || tag == T_listing) {
+        close_p_if_open(p);
+        insert_from_token(p, tag, sc);
+        return;
+    }
+    if (tag == T_form) {
+        if (p->have_form) return;                 /* nested form dropped */
+        close_p_if_open(p);
+        p->form_ser = insert_from_token(p, tag, sc);
+        p->have_form = 1;
+        return;
+    }
+    if (tag == T_li) {
+        for (int i = p->sp - 1; i >= 0; i--) {
+            int t = p->st_tag[i];
+            if (t == T_li) { handle_end_body(p, T_li); break; }
+            uint32_t tf = tflags(t);
+            if ((tf & F_SPECIAL) && !(tf & F_LIBREAK)) break;
+        }
+        close_p_if_open(p);
+        insert_from_token(p, tag, sc);
+        return;
+    }
+    if (f & F_DDDT) {
+        for (int i = p->sp - 1; i >= 0; i--) {
+            int t = p->st_tag[i];
+            if (tflags(t) & F_DDDT) { handle_end_body(p, t); break; }
+            uint32_t tf = tflags(t);
+            if ((tf & F_SPECIAL) && !(tf & F_LIBREAK)) break;
+        }
+        close_p_if_open(p);
+        insert_from_token(p, tag, sc);
+        return;
+    }
+    /* plaintext / table / select / frameset / svg / math are F_BAIL */
+    if (tag == T_button) {
+        if (in_button_scope(p, T_button)) {
+            handle_end_body(p, T_button);
+            if (p->bail) return;
+            handle_start_body(p, tag, sc, has_attrs, name, nlen);
+            return;
+        }
+        reconstruct_fmt(p);
+        insert_from_token(p, tag, sc);
+        return;
+    }
+    if (tag == T_a) {
+        if (get_active_fmt(p, T_a) >= 0) {
+            handle_end_body(p, T_a);              /* AAA path */
+            if (p->bail) return;
+            int rem = get_active_fmt(p, T_a);
+            if (rem >= 0) {
+                uint32_t rs = p->f_ser[rem];
+                remove_fmt_at(p, rem);
+                remove_stack_serial(p, rs);
+            }
+        }
+        reconstruct_fmt(p);
+        {
+            uint32_t ser = insert_from_token(p, tag, sc);
+            push_fmt(p, tag, ser, has_attrs);
+        }
+        return;
+    }
+    if (f & F_FORMATTER) {   /* b big code em font i nobr s small strike strong tt u */
+        reconstruct_fmt(p);
+        {
+            uint32_t ser = insert_from_token(p, tag, sc);
+            push_fmt(p, tag, ser, has_attrs);
+        }
+        return;
+    }
+    if (f & F_APPLET) {
+        reconstruct_fmt(p);
+        insert_from_token(p, tag, sc);
+        push_marker(p);
+        return;
+    }
+    if (f & F_EMPTYFMT) {    /* area br embed img keygen wbr */
+        reconstruct_fmt(p);
+        insert_empty_el(p, tag);
+        return;
+    }
+    if (tag == T_input) {
+        reconstruct_fmt(p);
+        insert_empty_el(p, tag);
+        return;
+    }
+    if (f & F_MEDIA) {       /* param source track */
+        insert_empty_el(p, tag);
+        return;
+    }
+    if (tag == T_hr) {
+        close_p_if_open(p);
+        insert_empty_el(p, tag);
+        return;
+    }
+    if (tag == T_image) {    /* rewrite to img */
+        handle_start_body(p, T_img, sc, has_attrs, (const uint8_t *)"img", 3);
+        return;
+    }
+    if (tag == T_textarea) {
+        start_rcdata(p, tag, sc, name, nlen);
+        return;
+    }
+    if (tag == T_xmp) {
+        close_p_if_open(p);
+        reconstruct_fmt(p);
+        start_rawtext(p, tag, sc, name, nlen, 0);
+        return;
+    }
+    if (tag == T_iframe || tag == T_noembed) {
+        start_rawtext(p, tag, sc, name, nlen, 0);
+        return;
+    }
+    if (tag == T_optgroup || tag == T_option) {
+        if (top_tag(p) == T_option) handle_end_body(p, T_option);
+        reconstruct_fmt(p);
+        insert_from_token(p, tag, sc);
+        return;
+    }
+    if (tag == T_rp || tag == T_rt) {
+        if (in_scope(p, T_ruby)) {
+            gen_implied(p, -1);       /* no-arg: no-op */
+            insert_from_token(p, tag, sc);
+        }
+        return;
+    }
+    if (f & F_DROP) return;           /* caption col head tbody td ... */
+    reconstruct_fmt(p);
+    insert_from_token(p, tag, sc);
+}
+
+/* ---- mode dispatch (Initial..AfterHead synthesis + InBody) ---------- */
+
+static void ensure_html(P *p) {
+    if (!p->have_html) { push_el(p, T_html); p->have_html = 1; }
+}
+
+/* stack.append(head_el) — re-push an existing element: no node insert,
+ * no block-space (after-head TO_HEAD re-entry) */
+static void push_existing(P *p, int tag, uint32_t ser) {
+    if (p->sp >= MAXSTACK) { p->bail = 1; return; }
+    p->st_ptag[p->sp] = T_html;   /* only used to re-enter <head> */
+    p->st_tag[p->sp] = tag;
+    p->st_ser[p->sp] = ser;
+    p->sp++;
+}
+
+static void enter_head(P *p) {
+    ensure_html(p);
+    p->head_ser = insert_el(p, T_head);
+    p->head_present = 1;
+    p->mode = M_HEAD;
+}
+
+static void enter_body(P *p) {
+    insert_el(p, T_body);
+    p->mode = M_BODY;
+}
+
+static void dispatch_start(P *p, int tag, int sc, int has_attrs,
+                           const uint8_t *name, int nlen) {
+    if (p->bail) return;
+    switch (p->mode) {
+    case M_PRE:
+        if (tag == T_html) { ensure_html(p); return; }
+        if (tag == T_head) { enter_head(p); return; }
+        enter_head(p);
+        dispatch_start(p, tag, sc, has_attrs, name, nlen);
+        break;
+    case M_HEAD:
+        if (tag == T_html) return;
+        if (tag == T_noscript) {
+            insert_el(p, tag);
+            p->mode = M_HEADNS;
+            return;
+        }
+        if (to_head_start(p, tag, sc, name, nlen)) return;
+        pop_el(p);                    /* pop head */
+        p->mode = M_AFTERHEAD;
+        dispatch_start(p, tag, sc, has_attrs, name, nlen);
+        break;
+    case M_HEADNS:
+        if (tag == T_html || tag == T_head || tag == T_noscript) return;
+        if (tag == T_basefont || tag == T_bgsound || tag == T_link ||
+            tag == T_meta) {
+            insert_empty_el(p, tag);
+            return;
+        }
+        if (tag == T_noframes || tag == T_style) {
+            start_rawtext(p, tag, sc, name, nlen, 0);
+            return;
+        }
+        pop_el(p);                    /* pop noscript */
+        p->mode = M_HEAD;
+        dispatch_start(p, tag, sc, has_attrs, name, nlen);
+        break;
+    case M_AFTERHEAD:
+        if (tag == T_html || tag == T_head) return;
+        if (tag == T_body) { enter_body(p); return; }
+        if (tflags(tag) & F_BAIL) { p->bail = 1; return; }
+        if (tflags(tag) & F_AHTOHEAD) {
+            /* error path: re-enter head for the insert */
+            if (p->head_present) {
+                push_existing(p, T_head, p->head_ser);
+                to_head_start(p, tag, sc, name, nlen);
+                if (!p->bail) pop_el(p);   /* remove_from_stack(head) */
+            } else {
+                to_head_start(p, tag, sc, name, nlen);
+            }
+            return;
+        }
+        enter_body(p);
+        dispatch_start(p, tag, sc, has_attrs, name, nlen);
+        break;
+    default:                          /* M_BODY */
+        handle_start_body(p, tag, sc, has_attrs, name, nlen);
+        if (p->pending_end >= 0 && !p->bail) {
+            int t = p->pending_end;
+            p->pending_end = -1;
+            handle_end_body(p, t);
+        }
+        break;
+    }
+}
+
+static void dispatch_end(P *p, int tag) {
+    if (p->bail) return;
+    switch (p->mode) {
+    case M_PRE:
+        if (tag == T_head || tag == T_body || tag == T_html || tag == T_br) {
+            enter_head(p);
+            dispatch_end(p, tag);
+        }
+        break;                        /* other end tags ignored */
+    case M_HEAD:
+        if (tag == T_head) { pop_el(p); p->mode = M_AFTERHEAD; return; }
+        if (tag == T_body || tag == T_html || tag == T_br) {
+            pop_el(p);
+            p->mode = M_AFTERHEAD;
+            dispatch_end(p, tag);
+            return;
+        }
+        break;                        /* error, ignore */
+    case M_HEADNS:
+        if (tag == T_noscript) { pop_el(p); p->mode = M_HEAD; return; }
+        pop_el(p);
+        p->mode = M_HEAD;
+        dispatch_end(p, tag);
+        break;
+    case M_AFTERHEAD:
+        if (tag == T_body || tag == T_html) {
+            enter_body(p);
+            dispatch_end(p, tag);
+        }
+        break;                        /* others ignored */
+    default:
+        handle_end_body(p, tag);
+        break;
+    }
+}
+
+/* is the (decoded) run whitespace-only per WS = "\t\n\f\r " ? */
+static int run_all_ws(P *p, Py_ssize_t a, Py_ssize_t b, int decode) {
+    const uint8_t *s = p->s;
+    uint8_t dbuf[16];
+    while (a < b) {
+        uint8_t c = s[a];
+        if (c=='\t'||c=='\n'||c=='\f'||c=='\r'||c==' ') { a++; continue; }
+        if (c == '&' && decode) {
+            Py_ssize_t adv = 0;
+            int dl = decode_entity(s, a + 1, p->n, dbuf, &adv);
+            if (dl <= 0) return 0;    /* literal '&' */
+            for (int k = 0; k < dl; k++) {
+                uint8_t d = dbuf[k];
+                if (!(d=='\t'||d=='\n'||d=='\f'||d=='\r'||d==' ')) return 0;
+            }
+            a += 1 + adv;
+            continue;
+        }
+        return 0;
+    }
+    return 1;
+}
+
+/* emit a text node at the current insertion point (head/afterhead:
+ * normalized; body: preserve-ws by parent/grandparent) */
+static void body_text(P *p, Py_ssize_t a, Py_ssize_t b, int decode) {
+    reconstruct_fmt(p);
+    if (p->bail) return;
+    int parent = p->sp > 0 ? p->st_tag[p->sp - 1] : -1;
+    int gp = p->sp > 0 ? p->st_ptag[p->sp - 1] : -1;
+    if ((tflags(parent) & F_PRESERVE) || (tflags(gp) & F_PRESERVE))
+        emit_preserve(p, a, b, decode);
+    else
+        emit_norm(p, a, b, decode);
+}
+
+static void dispatch_text(P *p, Py_ssize_t a, Py_ssize_t b, int decode) {
+    if (p->bail || a >= b) return;
+    switch (p->mode) {
+    case M_PRE:
+        if (run_all_ws(p, a, b, decode)) return;   /* dropped */
+        ensure_html(p);
+        push_el(p, T_head);           /* synth head, inserted+popped */
+        p->head_ser = p->serial;
+        p->head_present = 1;
+        pop_el(p);
+        enter_body(p);
+        body_text(p, a, b, decode);
+        break;
+    case M_HEAD:
+        if (run_all_ws(p, a, b, decode)) {
+            emit_norm(p, a, b, decode);            /* text node in head */
+            return;
+        }
+        pop_el(p);                    /* pop head */
+        enter_body(p);
+        body_text(p, a, b, decode);
+        break;
+    case M_HEADNS:
+        emit_norm(p, a, b, decode);   /* text node inside noscript */
+        break;
+    case M_AFTERHEAD:
+        if (run_all_ws(p, a, b, decode)) {
+            emit_norm(p, a, b, decode);            /* text node under html */
+            return;
+        }
+        enter_body(p);
+        body_text(p, a, b, decode);
+        break;
+    default:
+        body_text(p, a, b, decode);
+        break;
+    }
+}
+
+/* ---- markup-declaration / bogus-comment position skipping ----------- */
+
+static Py_ssize_t find3(const uint8_t *s, Py_ssize_t n, Py_ssize_t i,
+                        const char *pat, int plen) {
+    while (i + plen <= n) {
+        const uint8_t *hit = memchr(s + i, pat[0], n - i - plen + 1);
+        if (!hit) return -1;
+        Py_ssize_t k = hit - s;
+        if (memcmp(s + k, pat, plen) == 0) return k;
+        i = k + 1;
+    }
+    return -1;
+}
+
+/* tokenizer._comment: i is just past "<!--" */
+static void skip_comment(P *p, Py_ssize_t i) {
+    const uint8_t *s = p->s; Py_ssize_t n = p->n;
+    if (i < n && s[i] == '>') { p->pos = i + 1; return; }
+    if (i + 1 < n && s[i] == '-' && s[i + 1] == '>') { p->pos = i + 2; return; }
+    Py_ssize_t p1 = find3(s, n, i, "-->", 3);
+    Py_ssize_t p2 = find3(s, n, i, "--!>", 4);
+    if (p2 >= 0 && (p1 < 0 || p2 < p1)) p->pos = p2 + 4;
+    else if (p1 >= 0) p->pos = p1 + 3;
+    else p->pos = n;
+}
+
+static void skip_bogus_comment(P *p, Py_ssize_t i) {
+    const uint8_t *hit = memchr(p->s + i, '>', p->n - i);
+    p->pos = hit ? (hit - p->s) + 1 : p->n;
+}
+
+static Py_ssize_t skip_ws_bytes(const uint8_t *s, Py_ssize_t n, Py_ssize_t j) {
+    while (j < n && (s[j]=='\t'||s[j]=='\n'||s[j]=='\f'||s[j]=='\r'||s[j]==' '))
+        j++;
+    return j;
+}
+
+/* tokenizer._doctype quoted-string skip: returns next pos */
+static Py_ssize_t doctype_quoted(const uint8_t *s, Py_ssize_t n, Py_ssize_t j) {
+    j = skip_ws_bytes(s, n, j);
+    if (j < n && (s[j] == '"' || s[j] == '\'')) {
+        const uint8_t *k = memchr(s + j + 1, s[j], n - j - 1);
+        return k ? (k - s) + 1 : n;
+    }
+    return j;
+}
+
+/* tokenizer._doctype: i is just past "<!doctype" (7 chars after "<!") */
+static void skip_doctype(P *p, Py_ssize_t i) {
+    const uint8_t *s = p->s; Py_ssize_t n = p->n;
+    Py_ssize_t j = skip_ws_bytes(s, n, i);
+    if (j >= n) { p->pos = n; return; }
+    if (s[j] == '>') { p->pos = j + 1; return; }
+    while (j < n) {                       /* doctype name [^\t\n\f\r >]+ */
+        uint8_t c = s[j];
+        if (c=='\t'||c=='\n'||c=='\f'||c=='\r'||c==' '||c=='>') break;
+        j++;
+    }
+    j = skip_ws_bytes(s, n, j);
+    if (j < n && s[j] != '>') {
+        if (j + 6 <= n && strncasecmp((const char *)s + j, "public", 6) == 0) {
+            Py_ssize_t j2 = doctype_quoted(s, n, j + 6);
+            j = doctype_quoted(s, n, j2);
+        } else if (j + 6 <= n &&
+                   strncasecmp((const char *)s + j, "system", 6) == 0) {
+            j = doctype_quoted(s, n, j + 6);
+        }
+        /* else: force-quirks, position just continues */
+    }
+    const uint8_t *gt = memchr(s + j, '>', n - j);
+    p->pos = gt ? (gt - s) + 1 : n;
+}
+
+/* ---- the tag-open scanner (tokenizer._tag_open / _end_tag) ---------- */
+
+/* on entry p->pos is at '<' and the next char is tagish */
+static void handle_tag(P *p) {
+    const uint8_t *s = p->s; Py_ssize_t n = p->n;
+    Py_ssize_t i = p->pos + 1;
+    uint8_t c = s[i];
+    uint8_t nbuf[MAXTAGLEN + 1];
+    if (c == '!') {
+        i++;
+        if (i + 1 < n && s[i] == '-' && s[i + 1] == '-') {
+            skip_comment(p, i + 2);
+            return;
+        }
+        if (i + 7 <= n && strncasecmp((const char *)s + i, "doctype", 7) == 0) {
+            skip_doctype(p, i + 7);
+            return;  /* doctype token: ignored in every fast-path mode */
+        }
+        if (i + 7 <= n && memcmp(s + i, "[CDATA[", 7) == 0) {
+            Py_ssize_t k = find3(s, n, i + 7, "]]>", 3);
+            Py_ssize_t a = i + 7, b = k < 0 ? n : k;
+            p->pos = k < 0 ? n : k + 3;
+            dispatch_text(p, a, b, 0);   /* cdata -> char, no decode */
+            return;
+        }
+        skip_bogus_comment(p, i);
+        return;
+    }
+    if (c == '?') { skip_bogus_comment(p, i); return; }
+    if (c == '/') {
+        i++;
+        if (i >= n) {
+            /* tokenizer._end_tag: EOF right after "</" -> literal text */
+            p->pos = n;
+            dispatch_text(p, n - 2, n, 0);
+            return;
+        }
+        c = s[i];
+        if (c == '>') { p->pos = i + 1; return; }    /* '</>' ignored */
+        if (!((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))) {
+            skip_bogus_comment(p, i);
+            return;
+        }
+        int len = 0;
+        while (i < n) {
+            c = s[i];
+            if (c=='\t'||c=='\n'||c=='\f'||c=='\r'||c==' '||c=='/'||c=='>')
+                break;
+            if (c >= 0x80 || len >= MAXTAGLEN) { p->bail = 1; return; }
+            nbuf[len++] = (c >= 'A' && c <= 'Z') ? c + 32 : c;
+            i++;
+        }
+        int sc, eof;
+        Py_ssize_t nx = skip_attrs(p, i, &sc, &eof, NULL);
+        if (eof) { p->pos = n; return; }             /* token dropped */
+        p->pos = nx;
+        {
+            int tag = intern_tag(p, nbuf, len);
+            if (p->bail) return;
+            dispatch_end(p, tag);
+        }
+        return;
+    }
+    /* start tag */
+    {
+        int len = 0;
+        while (i < n) {
+            c = s[i];
+            if (c=='\t'||c=='\n'||c=='\f'||c=='\r'||c==' '||c=='/'||c=='>')
+                break;
+            if (c >= 0x80 || len >= MAXTAGLEN) { p->bail = 1; return; }
+            nbuf[len++] = (c >= 'A' && c <= 'Z') ? c + 32 : c;
+            i++;
+        }
+        int sc, eof, has_attrs;
+        Py_ssize_t nx = skip_attrs(p, i, &sc, &eof, &has_attrs);
+        if (eof) { p->pos = n; return; }             /* token dropped */
+        p->pos = nx;
+        {
+            int tag = intern_tag(p, nbuf, len);
+            if (p->bail) return;
+            dispatch_start(p, tag, sc, has_attrs, nbuf, len);
+        }
+    }
+}
+
+/* ---- main loop (tokenizer._data) ------------------------------------ */
+
+static void run_parse(P *p) {
+    const uint8_t *s = p->s; Py_ssize_t n = p->n;
+    Py_ssize_t start = p->pos, scan = p->pos;
+    while (!p->bail) {
+        if (scan >= n) {
+            if (start < n) dispatch_text(p, start, n, 1);
+            p->pos = n;
+            return;
+        }
+        const uint8_t *lt = memchr(s + scan, '<', n - scan);
+        if (!lt) {
+            dispatch_text(p, start, n, 1);
+            p->pos = n;
+            return;
+        }
+        Py_ssize_t k = lt - s;
+        uint8_t c = (k + 1 < n) ? s[k + 1] : 0;
+        if (((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) ||
+            c == '!' || c == '/' || c == '?') {
+            if (k > start) dispatch_text(p, start, k, 1);
+            if (p->bail) return;
+            p->pos = k;
+            handle_tag(p);
+            if (p->bail) return;
+            start = scan = p->pos;
+        } else {
+            scan = k + 1;    /* literal '<' stays in the text run */
+        }
+    }
+}
+
+/* ---- Python entry points -------------------------------------------- */
+
+/* decode an rcdata span (title) with entities, return bytes object */
+static PyObject *decode_span(const uint8_t *s, Py_ssize_t a, Py_ssize_t b,
+                             Py_ssize_t n) {
+    Py_ssize_t cap = 2 * (b - a) + 16;
+    uint8_t *buf = PyMem_Malloc(cap);
+    if (!buf) return PyErr_NoMemory();
+    Py_ssize_t o = 0;
+    uint8_t dbuf[16];
+    while (a < b) {
+        const uint8_t *amp = memchr(s + a, '&', b - a);
+        Py_ssize_t stop = amp ? (amp - s) : b;
+        if (stop > a) { memcpy(buf + o, s + a, stop - a); o += stop - a; a = stop; }
+        if (a >= b) break;
+        Py_ssize_t adv = 0;
+        int dl = decode_entity(s, a + 1, n, dbuf, &adv);
+        if (dl <= 0) { buf[o++] = '&'; a++; }
+        else { memcpy(buf + o, dbuf, dl); o += dl; a += 1 + adv; }
+    }
+    PyObject *r = PyUnicode_DecodeUTF8((const char *)buf, o, "replace");
+    PyMem_Free(buf);
+    return r;
+}
+
+static PyObject *py_doc_text(PyObject *self, PyObject *args) {
+    PyObject *in;
+    if (!PyArg_ParseTuple(args, "U", &in)) return NULL;
+    if (!g_ready) {
+        PyErr_SetString(PyExc_RuntimeError, "init_tables not called");
+        return NULL;
+    }
+    Py_ssize_t n;
+    const char *u8 = PyUnicode_AsUTF8AndSize(in, &n);
+    if (!u8) return NULL;
+    if (memchr(u8, 0, n)) Py_RETURN_NONE;       /* NUL -> python kernel */
+
+    P *p = PyMem_Calloc(1, sizeof(P));
+    if (!p) return PyErr_NoMemory();
+    p->s = (const uint8_t *)u8;
+    p->n = n;
+    p->out = PyMem_Malloc(2 * n + 64);
+    if (!p->out) { PyMem_Free(p); return PyErr_NoMemory(); }
+    p->mode = M_PRE;
+    p->pending_end = -1;
+
+    run_parse(p);
+
+    PyObject *result = NULL;
+    if (p->bail) {
+        result = Py_None;
+        Py_INCREF(result);
+    } else {
+        /* final strip of " \t\n\f\r" (arena.node_text _ASCII_WS) */
+        Py_ssize_t a = 0, b = p->olen;
+        while (a < b) {
+            uint8_t c = p->out[a];
+            if (c=='\t'||c=='\n'||c=='\f'||c=='\r'||c==' ') a++;
+            else break;
+        }
+        while (b > a) {
+            uint8_t c = p->out[b - 1];
+            if (c=='\t'||c=='\n'||c=='\f'||c=='\r'||c==' ') b--;
+            else break;
+        }
+        PyObject *text = PyUnicode_DecodeUTF8((const char *)p->out + a,
+                                              b - a, "replace");
+        PyObject *title;
+        if (p->title_set)
+            title = decode_span(p->s, p->title_a, p->title_b, p->n);
+        else {
+            title = Py_None;
+            Py_INCREF(title);
+        }
+        if (text && title) result = PyTuple_Pack(2, text, title);
+        Py_XDECREF(text);
+        Py_XDECREF(title);
+    }
+    PyMem_Free(p->out);
+    PyMem_Free(p);
+    return result;
+}
+
+/* init_tables(tags: list[(bytes, int)], semi: list[(bytes, bytes)],
+ *             nosemi: list[(bytes, bytes)], max_ent_name: int) */
+static PyObject *py_init_tables(PyObject *self, PyObject *args) {
+    PyObject *tags, *semi, *nosemi;
+    int max_name;
+    if (!PyArg_ParseTuple(args, "OOOi", &tags, &semi, &nosemi, &max_name))
+        return NULL;
+    if (g_ready) Py_RETURN_NONE;
+    g_max_ent_name = max_name;
+
+    Py_ssize_t ntags = PyList_Size(tags);
+    Py_ssize_t nsemi = PyList_Size(semi);
+    Py_ssize_t nnosemi = PyList_Size(nosemi);
+
+    /* name arena sizing */
+    Py_ssize_t arena_sz = 0, ent_sz = 0;
+    for (Py_ssize_t i = 0; i < ntags; i++)
+        arena_sz += PyBytes_Size(PyTuple_GetItem(PyList_GetItem(tags, i), 0)) + 1;
+    for (Py_ssize_t i = 0; i < nsemi; i++) {
+        PyObject *t = PyList_GetItem(semi, i);
+        ent_sz += PyBytes_Size(PyTuple_GetItem(t, 0)) +
+                  PyBytes_Size(PyTuple_GetItem(t, 1)) + 2;
+    }
+    for (Py_ssize_t i = 0; i < nnosemi; i++) {
+        PyObject *t = PyList_GetItem(nosemi, i);
+        ent_sz += PyBytes_Size(PyTuple_GetItem(t, 0)) +
+                  PyBytes_Size(PyTuple_GetItem(t, 1)) + 2;
+    }
+    g_name_arena = malloc(arena_sz);
+    g_ent_arena = malloc(ent_sz);
+    if (!g_name_arena || !g_ent_arena) return PyErr_NoMemory();
+    char *np = g_name_arena, *ep = g_ent_arena;
+
+    memset(g_tags, 0, sizeof(g_tags));
+    memset(g_semi, 0, sizeof(g_semi));
+    memset(g_nosemi, 0, sizeof(g_nosemi));
+    memset(g_flags_by_id, 0, sizeof(g_flags_by_id));
+
+    for (Py_ssize_t i = 0; i < ntags; i++) {
+        PyObject *t = PyList_GetItem(tags, i);
+        char *nm; Py_ssize_t nl;
+        PyBytes_AsStringAndSize(PyTuple_GetItem(t, 0), &nm, &nl);
+        long fl = PyLong_AsLong(PyTuple_GetItem(t, 1));
+        memcpy(np, nm, nl);
+        uint32_t h = fnv1a((const uint8_t *)np, nl) & 2047;
+        while (g_tags[h].name) h = (h + 1) & 2047;
+        g_tags[h].name = np; g_tags[h].len = (int)nl; g_tags[h].id = (int)i;
+        g_flags_by_id[i] = (uint32_t)fl;
+        np += nl; *np++ = 0;
+    }
+    g_nknown = (int)ntags;
+
+    for (Py_ssize_t i = 0; i < nsemi + nnosemi; i++) {
+        PyObject *t = (i < nsemi) ? PyList_GetItem(semi, i)
+                                  : PyList_GetItem(nosemi, i - nsemi);
+        EntSlot *tab = (i < nsemi) ? g_semi : g_nosemi;
+        int mask = (i < nsemi) ? 8191 : 511;
+        char *nm, *vv; Py_ssize_t nl, vl;
+        PyBytes_AsStringAndSize(PyTuple_GetItem(t, 0), &nm, &nl);
+        PyBytes_AsStringAndSize(PyTuple_GetItem(t, 1), &vv, &vl);
+        char *kn = ep; memcpy(ep, nm, nl); ep += nl; *ep++ = 0;
+        char *kv = ep; memcpy(ep, vv, vl); ep += vl; *ep++ = 0;
+        uint32_t h = fnv1a((const uint8_t *)kn, nl) & mask;
+        while (tab[h].name) h = (h + 1) & mask;
+        tab[h].name = kn; tab[h].nlen = (int)nl;
+        tab[h].val = kv; tab[h].vlen = (int)vl;
+    }
+
+    /* resolve well-known ids */
+#define R(var, nm) var = tag_lookup((const uint8_t *)nm, (int)strlen(nm))
+    R(T_p,"p"); R(T_li,"li"); R(T_br,"br"); R(T_a,"a"); R(T_form,"form");
+    R(T_head,"head"); R(T_body,"body"); R(T_html,"html"); R(T_title,"title");
+    R(T_textarea,"textarea"); R(T_script,"script"); R(T_style,"style");
+    R(T_noscript,"noscript"); R(T_noframes,"noframes"); R(T_pre,"pre");
+    R(T_listing,"listing"); R(T_xmp,"xmp"); R(T_iframe,"iframe");
+    R(T_noembed,"noembed"); R(T_button,"button"); R(T_option,"option");
+    R(T_optgroup,"optgroup"); R(T_ruby,"ruby"); R(T_rp,"rp"); R(T_rt,"rt");
+    R(T_nobr,"nobr"); R(T_img,"img"); R(T_image,"image"); R(T_input,"input");
+    R(T_hr,"hr"); R(T_dd,"dd"); R(T_dt,"dt"); R(T_base,"base");
+    R(T_basefont,"basefont"); R(T_bgsound,"bgsound"); R(T_command,"command");
+    R(T_link,"link"); R(T_meta,"meta"); R(T_ol,"ol"); R(T_ul,"ul");
+#undef R
+
+    /* byte classes */
+    memset(g_bclass, BC_PLAIN, 256);
+    g_bclass['\t'] = g_bclass['\n'] = g_bclass['\f'] = g_bclass['\r'] =
+        g_bclass[' '] = BC_WS;
+    g_bclass['&'] = BC_AMP;
+    g_bclass[0xC2] = BC_C2;
+
+    g_ready = 1;
+    Py_RETURN_NONE;
+}
+
+static PyMethodDef methods[] = {
+    {"init_tables", py_init_tables, METH_VARARGS,
+     "init tag/entity tables (once per process)"},
+    {"doc_text", py_doc_text, METH_VARARGS,
+     "doc_text(html) -> (text, title|None) or None on bail-out"},
+    {NULL, NULL, 0, NULL}
+};
+
+static struct PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_fastpath",
+    "streaming HTML->text fast path", -1, methods
+};
+
+PyMODINIT_FUNC PyInit__fastpath(void) {
+    return PyModule_Create(&moduledef);
+}

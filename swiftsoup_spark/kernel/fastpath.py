@@ -1,0 +1,224 @@
+"""Compiled fast path for whole-document text extraction.
+
+``doc_text(html) -> (text, title) | None`` runs the C streaming
+extractor (``_fastpath.c``) and returns ``None`` whenever the document
+uses a construct the fast path does not model (tables, frameset,
+select, svg/math, plaintext, real adoption-agency repairs, NUL bytes,
+pathological nesting) — callers then fall back to the full Python
+kernel. On accepted documents the output is byte-identical to
+``Arena.node_text(0)`` / ``Document.title()`` (differential-tested in
+tests/test_fastpath.py).
+
+The C source is compiled once per machine with the system gcc into the
+package directory (or ``~/.cache`` if read-only); compilation results
+are process-cached. Everything degrades gracefully to the pure-Python
+kernel when no compiler is available, so the package stays dependency-
+free. On a multi-node cluster, ship the prebuilt wheel (the .so rides
+along) or let each executor compile on first import — both work
+because the build is hermetic (stdlib headers only).
+
+Tag dispatch sets are exported from the *treebuilder's own constants*
+so the C kernel can never drift from the Python kernel's tag tables.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import re
+import subprocess
+import sysconfig
+import tempfile
+
+_WS_RUN = re.compile(r"[ \t\n\f\r\xa0]+")
+_ASCII_WS = " \t\n\f\r"
+
+# ---- flag bits: MUST match _fastpath.c -----------------------------------
+F_BLOCK = 1 << 0
+F_PRESERVE = 1 << 1
+F_VOID = 1 << 2
+F_SPECIAL = 1 << 3
+F_BAIL = 1 << 4
+F_PCLOSER = 1 << 5
+F_HEADING = 1 << 6
+F_DDDT = 1 << 7
+F_FORMATTER = 1 << 8
+F_APPLET = 1 << 9
+F_EMPTYFMT = 1 << 10
+F_MEDIA = 1 << 11
+F_TOHEAD = 1 << 12
+F_ENDCLOSER = 1 << 13
+F_SCOPEBASE = 1 << 14
+F_IMPLIED = 1 << 15
+F_LIBREAK = 1 << 16
+F_DROP = 1 << 17
+F_LISTEXTRA = 1 << 18
+F_AHTOHEAD = 1 << 19
+
+# constructs the streaming pass cannot mirror -> per-document fallback
+BAIL_TAGS = frozenset("table frameset select svg math plaintext".split())
+
+# after-head head-re-entry set (treebuilder._after_head error branch)
+AFTERHEAD_TOHEAD = frozenset(
+    "base basefont bgsound link meta noframes script style title".split())
+
+
+def _tag_table() -> list[tuple[bytes, int]]:
+    from swiftsoup_spark.kernel import tags as TG
+    from swiftsoup_spark.kernel import treebuilder as TB
+
+    names: set[str] = set(TG.TAG_NAMES)
+    names |= TB.SPECIAL | TB.IN_BODY_START_P_CLOSERS | TB.HEADINGS
+    names |= TB.DD_DT | TB.FORMATTERS | TB.APPLETS | TB.EMPTY_FORMATTERS
+    names |= TB.MEDIA | TB.IN_BODY_START_TO_HEAD | TB.IN_BODY_END_CLOSERS
+    names |= TB.IMPLIED_END_TAGS | TB.IN_BODY_START_DROP
+    names |= set(TB.SCOPE_BASE) | BAIL_TAGS | AFTERHEAD_TOHEAD
+    names |= {"image", "ruby", "ol", "ul", "nobr", "noscript"}
+
+    block = set(TG.BLOCK_TAGS)
+    out = []
+    for name in sorted(names):
+        f = 0
+        if name in block:
+            f |= F_BLOCK
+        if name in TG.PRESERVE_WS_TAGS:
+            f |= F_PRESERVE
+        if name in TG.EMPTY_TAGS:
+            f |= F_VOID
+        if name in TB.SPECIAL:
+            f |= F_SPECIAL
+        if name in BAIL_TAGS:
+            f |= F_BAIL
+        if name in TB.IN_BODY_START_P_CLOSERS:
+            f |= F_PCLOSER
+        if name in TB.HEADINGS:
+            f |= F_HEADING
+        if name in TB.DD_DT:
+            f |= F_DDDT
+        if name in TB.FORMATTERS:
+            f |= F_FORMATTER
+        if name in TB.APPLETS:
+            f |= F_APPLET
+        if name in TB.EMPTY_FORMATTERS:
+            f |= F_EMPTYFMT
+        if name in TB.MEDIA:
+            f |= F_MEDIA
+        if name in TB.IN_BODY_START_TO_HEAD:
+            f |= F_TOHEAD
+        if name in TB.IN_BODY_END_CLOSERS:
+            f |= F_ENDCLOSER
+        if name in TB.SCOPE_BASE:
+            f |= F_SCOPEBASE
+        if name in TB.IMPLIED_END_TAGS:
+            f |= F_IMPLIED
+        if name in TB.IN_BODY_START_LI_BREAKERS:
+            f |= F_LIBREAK
+        if name in TB.IN_BODY_START_DROP:
+            f |= F_DROP
+        if name in ("ol", "ul"):
+            f |= F_LISTEXTRA
+        if name in AFTERHEAD_TOHEAD:
+            f |= F_AHTOHEAD
+        out.append((name.encode(), f))
+    return out
+
+
+def _compile(src: str, so_path: str) -> bool:
+    """gcc-compile the extension; atomic rename so concurrent Spark
+    workers race benignly."""
+    include = sysconfig.get_paths()["include"]
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=os.path.dirname(so_path))
+    os.close(fd)
+    try:
+        r = subprocess.run(
+            ["gcc", "-O2", "-shared", "-fPIC", f"-I{include}", src, "-o", tmp],
+            capture_output=True, timeout=120)
+        if r.returncode != 0:
+            return False
+        os.replace(tmp, so_path)
+        return True
+    except Exception:
+        return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+
+def _load_native():
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "_fastpath.c")
+    if not os.path.exists(src):
+        return None
+    suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
+    candidates = [os.path.join(here, "_fastpath" + suffix)]
+    cache = os.path.join(os.path.expanduser("~"), ".cache",
+                         "swiftsoup_spark_native")
+    candidates.append(os.path.join(cache, "_fastpath" + suffix))
+    src_mtime = os.path.getmtime(src)
+    for so in candidates:
+        if os.path.exists(so) and os.path.getmtime(so) >= src_mtime:
+            break
+    else:
+        so = None
+        for cand in candidates:
+            d = os.path.dirname(cand)
+            try:
+                os.makedirs(d, exist_ok=True)
+                if _compile(src, cand):
+                    so = cand
+                    break
+            except OSError:
+                continue
+        if so is None:
+            return None
+    # module name must match the PyInit__fastpath export
+    spec = importlib.util.spec_from_file_location("_fastpath", so)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_mod = None
+_tried = False
+
+
+def get_module():
+    """The loaded+initialized C module, or None (pure-Python fallback)."""
+    global _mod, _tried
+    if _tried:
+        return _mod
+    _tried = True
+    try:
+        m = _load_native()
+        if m is None:
+            return None
+        from swiftsoup_spark.kernel.entities import (
+            ENT_NOSEMI, ENT_SEMI, _MAX_NAME)
+        semi = [(k.encode(), v.encode("utf-8")) for k, v in ENT_SEMI.items()]
+        nosemi = [(k.encode(), v.encode("utf-8"))
+                  for k, v in ENT_NOSEMI.items()]
+        m.init_tables(_tag_table(), semi, nosemi, _MAX_NAME)
+        _mod = m
+    except Exception:
+        _mod = None
+    return _mod
+
+
+def doc_text(html: str) -> tuple[str, str] | None:
+    """(document_text, title) via the C fast path, or None -> use the
+    Python kernel. Byte-identical to node_text(0)/Document.title()."""
+    m = get_module()
+    if m is None:
+        return None
+    r = m.doc_text(html)
+    if r is None:
+        return None
+    text, raw_title = r
+    if raw_title is None:
+        title = ""
+    else:
+        title = _WS_RUN.sub(" ", raw_title).strip(_ASCII_WS)
+    return text, title

@@ -151,52 +151,75 @@ def make_clean_udf(whitelist: str = "basic"):
     return clean_html
 
 
-def extract_pages(pages_df, css_scope: str | None = None, keep_cols: tuple = ()):
-    """pages(url, html, ...) -> (url, *keep_cols, text, title, n_nodes,
-    parse_errors).
+def extract_pages(pages_df, css_scope: str | None = None, keep_cols: tuple = (),
+                  metrics: bool = False):
+    """pages(url, html, ...) -> (url, *keep_cols, text, title[, n_nodes,
+    parse_errors]).
 
     Hot path: ``mapInArrow`` — the kernel reads/writes pyarrow arrays
     directly (measured ~2× the throughput of the pandas_udf path; pandas
     Series materialization of megabyte string columns is pure overhead).
     One fused stage pipelined with the scan, no shuffle; Catalyst prunes
     the scan to (url, html, *keep_cols).
+
+    When ``css_scope`` is None and ``metrics`` is False, each document
+    first tries the compiled C streaming extractor
+    (kernel/fastpath.doc_text, ~30× the Python kernel) and falls back to
+    the full Python parse per-document on bail-out — output is
+    byte-identical either way (tests/test_fastpath.py). ``metrics=True``
+    adds exact (n_nodes, parse_errors) columns, which require the full
+    DOM build, so every document takes the Python kernel (used by the
+    resumable pipeline for lineage manifests).
     """
     import pyarrow as pa
     from pyspark.sql import types as T
 
     src = pages_df.select("url", *keep_cols, "html")
     keep_fields = [f for f in src.schema.fields if f.name != "html"]
-    out_schema = T.StructType(
-        keep_fields
-        + [T.StructField("text", T.StringType()),
-           T.StructField("title", T.StringType()),
-           T.StructField("n_nodes", T.IntegerType()),
-           T.StructField("parse_errors", T.IntegerType())])
+    out_fields = keep_fields + [
+        T.StructField("text", T.StringType()),
+        T.StructField("title", T.StringType())]
+    if metrics:
+        out_fields += [T.StructField("n_nodes", T.IntegerType()),
+                       T.StructField("parse_errors", T.IntegerType())]
+    out_schema = T.StructType(out_fields)
     keep_names = [f.name for f in keep_fields]
+    out_names = [f.name for f in out_fields]
 
     def batches(it):
         from swiftsoup_spark.kernel.treebuilder import HtmlTreeBuilder
         from swiftsoup_spark.kernel.arena import Document
         from swiftsoup_spark.select.engine import select as sel
+        from swiftsoup_spark.kernel.fastpath import doc_text as fast_text
 
+        use_fast = css_scope is None and not metrics
         tb = HtmlTreeBuilder(track_spans=False)
         for batch in it:
             htmls = batch.column("html")
             texts, titles, nodes, errs = [], [], [], []
             for raw in htmls:
-                arena = tb.parse(_to_str(raw.as_py()))
+                s = _to_str(raw.as_py())
+                if use_fast:
+                    r = fast_text(s)
+                    if r is not None:
+                        texts.append(r[0])
+                        titles.append(r[1])
+                        continue
+                arena = tb.parse(s)
                 if css_scope:
                     m = sel(arena, 0, css_scope)
                     texts.append(arena.node_text(m[0]) if m else "")
                 else:
                     texts.append(arena.node_text(0))
                 titles.append(Document(arena, 0).title())
-                nodes.append(len(arena.parent) - 1)
-                errs.append(arena.errors)
+                if metrics:
+                    nodes.append(len(arena.parent) - 1)
+                    errs.append(arena.errors)
             arrays = [batch.column(n) for n in keep_names] + [
-                pa.array(texts, pa.string()), pa.array(titles, pa.string()),
-                pa.array(nodes, pa.int32()), pa.array(errs, pa.int32())]
-            yield pa.RecordBatch.from_arrays(
-                arrays, keep_names + ["text", "title", "n_nodes", "parse_errors"])
+                pa.array(texts, pa.string()), pa.array(titles, pa.string())]
+            if metrics:
+                arrays += [pa.array(nodes, pa.int32()),
+                           pa.array(errs, pa.int32())]
+            yield pa.RecordBatch.from_arrays(arrays, out_names)
 
     return src.mapInArrow(batches, out_schema)

@@ -63,7 +63,10 @@ def run_extraction(spark, pages_df, out_dir: str, n_buckets: int = 32,
     if salt > 1:
         todo = todo.repartition(n_buckets * salt, "bucket",
                                 F.pmod(F.xxhash64("url", F.lit(1)), F.lit(salt)))
-    extracted = extract_pages(todo, css_scope, keep_cols=("bucket",))
+    # metrics=True: the lineage manifest wants exact (n_nodes,
+    # parse_errors), which need the full DOM build
+    extracted = extract_pages(todo, css_scope, keep_cols=("bucket",),
+                              metrics=True)
     out = extracted.select("bucket", "url", "text", "n_nodes", "parse_errors")
     out.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(out_dir, "extracted"))

@@ -1,0 +1,330 @@
+"""Differential tests: C fast path vs the pure-Python kernel.
+
+Contract: for EVERY input, ``fastpath.doc_text(html)`` is either None
+(bail-out -> caller uses the Python kernel) or byte-identical to
+``(Document.text(), Document.title())`` from the full parse. A bail is
+always safe; a mismatch is a bug.
+
+Also pins ACCEPTANCE of the benchmark/oracle page shapes, so a
+regression that silently sends the hot corpus down the slow path fails
+loudly here instead of only in BENCH numbers.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from swiftsoup_spark.api import parse
+from swiftsoup_spark.kernel.fastpath import doc_text, get_module
+
+pytestmark = pytest.mark.skipif(
+    get_module() is None, reason="no C toolchain available")
+
+
+def slow(html: str) -> tuple[str, str]:
+    d = parse(html)
+    return d.text(), d.title()
+
+
+def check(html: str) -> bool:
+    """True if fast path accepted the doc (and matched)."""
+    fast = doc_text(html)
+    if fast is None:
+        return False
+    expected = slow(html)
+    assert fast == expected, (
+        f"fastpath mismatch on {html!r}\n fast={fast!r}\n slow={expected!r}")
+    return True
+
+
+CURATED = [
+    # skeleton synthesis
+    "",
+    "   \n\t  ",
+    "hello",
+    "hello <b>world</b>",
+    "<p>one</p><p>two</p>",
+    "<html><body><p>x</p></body></html>",
+    "<!DOCTYPE html><html><head></head><body>x</body></html>",
+    "<!doctype html><p>y</p>",
+    "<head><title>t</title></head><body>b</body>",
+    "<body>just body</body>",
+    "x<html><body>y",
+    # head / after-head
+    "<title>T</title>after title",
+    "<html><head><title>A</title> </head> <body>B</body></html>",
+    "<head></head> \n <body>x</body>",
+    "<head><meta charset=utf-8><link rel=x href=y></head><body>z</body>",
+    "<head></head><title>late title</title><body>b</body>",
+    "<head></head><style>h1{color:red}</style><body>b</body>",
+    "<head></head><script>var x=1;</script><body>b</body>",
+    "<head><noscript><meta name=a></noscript></head><body>x</body>",
+    "<head><noscript>text in ns</noscript></head><body>x</body>",
+    "<head><noscript><p>breaks out</p></noscript></head><body>x</body>",
+    "<noscript><img src=x></noscript>mid body",
+    # rcdata / rawtext / script
+    "<title>T &amp; &lt;b&gt;</title><p>x</p>",
+    "<title>unclosed title <p>breakout</p>",
+    "<title>unclosed to eof",
+    "<textarea>one  two\nthree</textarea>after",
+    "<textarea>a &lt; b</textarea>",
+    "<textarea>unclosed <b>breakout",
+    "<style>p { content: '</div>' }</style>x",
+    "<style>unclosed to eof",
+    "<script>if (a<b) { x() }</script>tail",
+    "<script><!-- document.write('</script>') --></script>tail",
+    "<script><!-- <script> nested </script> --></script>tail",
+    "<script>unclosed",
+    "<iframe>ignored <p>content</p></iframe>after",
+    "<noembed><b>raw</b></noembed>after",
+    "<xmp><p>raw pre-like</p></xmp>after",
+    "<p>a<xmp>raw</xmp>b",
+    # pre / whitespace preservation
+    "<pre>  keep   this\n  layout</pre>",
+    "<pre>a<span>  inner  </span>b</pre>",
+    "<pre>a<span><b>  deep  </b></span>b</pre>",
+    "<p>  collapse   these  </p>",
+    "a\xa0b",
+    "a &nbsp; b",
+    "&#160;lead nbsp",
+    "word&nbsp;&nbsp;joined",
+    "<pre>nbsp\xa0kept</pre>",
+    "<pre>\nleading newline</pre>",
+    # entities
+    "&amp; &lt; &gt; &quot; &apos;",
+    "&notit; &notin; &not x",
+    "&ampx &amp;x &ampere",
+    "&#65;&#x42;&#X43;",
+    "&#0; &#xD800; &#x110000; &#2013266066;",
+    "&#151; &#x96;",
+    "&fake; &fakefake; &;& &",
+    "&CounterClockwiseContourIntegral;done",
+    "&ngE; &nGt; &acE;",
+    "&gt",
+    "text &",
+    "tail&",
+    # blocks, br, inline
+    "a<br>b",
+    "a<br/>b",
+    "a <br> b",
+    "a<div>b</div>c",
+    "a<span>b</span>c",
+    "a<meta>b",
+    "<div>x</div> <div>y</div>",
+    "one<hr>two",
+    "a<img src=x>b",
+    "a<wbr>b",
+    "<ins>in</ins><del>out</del>",
+    # implied ends / nesting
+    "<ul><li>one<li>two<li>three</ul>",
+    "<ol><li>a<ul><li>b</ul><li>c</ol>",
+    "<dl><dt>t<dd>d<dt>t2<dd>d2</dl>",
+    "<p>one<p>two<div>three</div>",
+    "<h1>a<h2>b</h2>",
+    "<h1>one<p>two",
+    "<li>stray li",
+    "<p>a<blockquote>b</blockquote>c",
+    "<button>x<button>y</button>",
+    "<option>a<option>b<optgroup><option>c",
+    "<ruby>r<rt>t</rt></ruby>",
+    "<rt>outside ruby</rt>x",
+    # formatting elements (no real AAA)
+    "<b>bold</b> plain",
+    "<b>a<i>b</i>c</b>",
+    "<b>unclosed",
+    "<p><b>one</p><p>still bold</p>",
+    "<p><b>one</p>two<p>three",
+    "<a href=x>link</a> after",
+    "<a>one<a>two</a>",
+    "<em>a<p>b</p>c</em>",
+    "<nobr>a</nobr>b",
+    "<b><b>double</b></b>",
+    "<small><big>sizes</big></small>",
+    "<applet>x</applet>y",
+    "<marquee><b>m</b></marquee>n",
+    "<object>o</object>p",
+    "<b>a<marquee>b</marquee>c</b>",
+    # stray / mismatched end tags
+    "</p>lead stray p",
+    "x</p>y",
+    "x</div>y",
+    "x</span>y",
+    "</br>ignored",
+    "</html>after html end",
+    "</body>after body end",
+    "a</body>b</html>c",
+    "<div>a</body> <p>b</p>",
+    "</sarcasm>text",
+    "<div><span>x</div>y</span>",
+    # form
+    "<form><input name=a>text</form>after",
+    "<form>a<form>nested ignored</form>b",
+    "<form><div>x</form>y</div>",
+    "</form>stray",
+    # comments / doctype / cdata / bogus
+    "<!-- c -->x",
+    "x<!-- multi\nline --><p>y</p>",
+    "<!-->x",
+    "<!--->y",
+    "<!-- unterminated",
+    "<!-- a --!>b",
+    "<?php echo 'x' ?>y",
+    "</ bogus>z",
+    "<![CDATA[raw <b> text]]>tail",
+    "<![CDATA[unterminated",
+    "<!doctype html public \"-//W3C//DTD HTML 4.01//EN\" \"http://x\">y",
+    "<!doctype bogus junk>z",
+    # literal '<'
+    "a < b",
+    "a <3 b",
+    "5<6 and 7<8",
+    "x<",
+    "x</",
+    "tag <-not ->a tag",
+    # unknown tags
+    "<foo>custom</foo>x",
+    "<foo-bar a=b>y</foo-bar>",
+    "<template><p>inside</p></template>after",
+    "<menuitem>odd void-ish</menuitem>",
+    "<isindex>idx</isindex>",
+    # self-closing
+    "<div/>after",
+    "<p/>x",
+    "<b/>y",
+    "<span/>z",
+    "<title/>t",
+    "<script/>s",
+    "<applet/>a",
+    "<li/>l",
+    "<foo/>u",
+    # attribute scanning edge cases
+    "<div class='a b' id=\"c\">x</div>",
+    "<div a = b c>x</div>",
+    "<div =leading>x</div>",
+    "<div a='un>closed quote'>x</div>",
+    "<div a=\">\">x</div>",
+    "<div a='>'>x</div>",
+    "<div a=b/>x",
+    "<div / a>x</div>",
+    "<div a>unterminated",
+    "<div a='unterminated",
+    "<a href=a&amp;b>x</a>",
+    # after-head re-entry
+    "<head></head><meta charset=x><body>y</body>",
+    "<head></head><base href=x><p>z</p>",
+    # deep-ish nesting
+    "<div>" * 50 + "deep" + "</div>" * 50,
+    "<b>" * 2 + "two bolds" + "</b>" * 2,
+]
+
+BAIL_EXPECTED = [
+    "<table><tr><td>cell</td></tr></table>",
+    "x<table><td>y</td></table>z",
+    "<select><option>a</option></select>",
+    "<frameset><frame></frameset>",
+    "<svg><circle/></svg>",
+    "<math><mi>x</mi></math>",
+    "<plaintext>everything raw",
+    "a\x00b",
+    "<b><div>real adoption</b></div>",
+    "<b>" * 4 + "ark",          # Noah's-ark risk -> bail
+]
+
+
+def test_curated_corpus():
+    accepted = 0
+    for html in CURATED:
+        if check(html):
+            accepted += 1
+    # the fast path must actually cover the curated common cases
+    assert accepted >= len(CURATED) * 0.9, (
+        f"only {accepted}/{len(CURATED)} accepted")
+
+
+def test_bail_cases_safe():
+    for html in BAIL_EXPECTED:
+        # bails are fine; what's not fine is accepting AND mismatching
+        check(html)
+
+
+def test_bench_template_accepted():
+    """The oracle/bench page shapes MUST stay on the fast path."""
+    html = ('<html><head><meta charset="utf-8"><title>Doc 7 &amp; friends'
+            '</title></head><body><div id="main" class="content article">'
+            '<h1>Doc 7</h1><p>some words here</p><p>some words here</p>'
+            '</div><div class="nav footer"><a href="/l/7" class="next">'
+            'next &gt;</a></div></body></html>')
+    assert check(html), "bench/oracle template fell off the fast path"
+    bench = ('<html><head><meta charset="utf-8"><title>Doc 9</title></head>'
+             '<body><div id="main" class="content"><h1>Doc 9</h1>'
+             '<p class="filler">words</p><p class="core">words &amp; more</p>'
+             '</div><div class="footer"><a href="/l/9">next</a></div>'
+             '</body></html>')
+    assert check(bench), "bench corpus template fell off the fast path"
+
+
+# ---- randomized differential fuzzing -------------------------------------
+
+TAGS = ["div", "p", "span", "b", "i", "em", "a", "ul", "li", "h1", "h2",
+        "pre", "br", "img", "title", "style", "script", "textarea", "foo",
+        "section", "blockquote", "dl", "dt", "dd", "button", "form",
+        "input", "hr", "noscript", "small", "u", "s", "code", "option"]
+WORDS = ["one", "two", "three", "x", "&amp;", "&lt;", "a&b", " ", "\n",
+         "\t", "\xa0", "word", "&nbsp;", "&#65;", "&fake;", "<", "& "]
+
+
+def rand_doc(rng: random.Random) -> str:
+    parts = []
+    for _ in range(rng.randint(1, 40)):
+        r = rng.random()
+        if r < 0.35:
+            parts.append(rng.choice(WORDS))
+        elif r < 0.6:
+            t = rng.choice(TAGS)
+            attrs = ""
+            if rng.random() < 0.3:
+                attrs = ' class="c d" id=e'
+            sc = "/" if rng.random() < 0.05 else ""
+            parts.append(f"<{t}{attrs}{sc}>")
+        elif r < 0.8:
+            parts.append(f"</{rng.choice(TAGS)}>")
+        elif r < 0.85:
+            parts.append("<!-- c -->")
+        elif r < 0.9:
+            parts.append(rng.choice(["</>", "<!>", "<?x>", "<![CDATA[z]]>"]))
+        else:
+            parts.append(rng.choice(WORDS).upper())
+    return "".join(parts)
+
+
+def test_random_differential():
+    rng = random.Random(20260816)
+    accepted = bailed = 0
+    for _ in range(2500):
+        html = rand_doc(rng)
+        if check(html):
+            accepted += 1
+        else:
+            bailed += 1
+    # tag-soup docs should still mostly stay on the fast path
+    assert accepted > bailed, (accepted, bailed)
+
+
+def test_random_wellformed_differential():
+    """Nested well-formed docs (the realistic shape) must all accept."""
+    rng = random.Random(99)
+
+    def nest(depth: int) -> str:
+        if depth == 0:
+            return rng.choice(["text", "a b", "&amp;", "x\xa0y", ""])
+        t = rng.choice(["div", "p", "span", "b", "ul", "section", "em"])
+        inner = "".join(nest(depth - 1) for _ in range(rng.randint(1, 3)))
+        return f"<{t}>{inner}</{t}>"
+
+    for _ in range(300):
+        html = ("<html><head><title>T</title></head><body>"
+                + nest(4) + "</body></html>")
+        assert doc_text(html) is not None
+        check(html)
