@@ -66,39 +66,35 @@ def q_extract_title(spark, sf_dir):
 def q_select_count(spark, sf_dir):
     """select('div#main > p').size() — child combinator + id selector."""
     pages = pages_df(spark, sf_dir)
-    udf = X.make_select_count_udf("div#main > p")
-    return pages.select("url", udf(F.col("html")).alias("n_p"))
+    return X.select_count_over(pages, "div#main > p", out_col="n_p")
 
 
 def q_select_attr(spark, sf_dir):
     """select('div.footer a.next').attr('href') — class/descendant + attrs."""
     pages = pages_df(spark, sf_dir)
-    udf = X.make_select_udf("div.footer a.next", mode="attr:href")
-    return pages.select(
-        "url", F.element_at(udf(F.col("html")), 1).alias("href"))
+    out = X.select_over(pages, "div.footer a.next", mode="attr:href")
+    return out.select("url", F.element_at("vals", 1).alias("href"))
 
 
 def q_own_text(spark, sf_dir):
     """Element.ownText() of h1."""
     pages = pages_df(spark, sf_dir)
-    udf = X.make_select_udf("h1", mode="own_text")
-    return pages.select(
-        "url", F.element_at(udf(F.col("html")), 1).alias("own_text"))
+    out = X.select_over(pages, "h1", mode="own_text")
+    return out.select("url", F.element_at("vals", 1).alias("own_text"))
 
 
 def q_outer_html(spark, sf_dir):
     """Element.outerHtml() round-trip (serializer + entity escape)."""
     pages = pages_df(spark, sf_dir)
-    udf = X.make_select_udf("div.footer > a", mode="outer_html")
-    return pages.select(
-        "url", F.element_at(udf(F.col("html")), 1).alias("a_html"))
+    out = X.select_over(pages, "div.footer > a", mode="outer_html")
+    return out.select("url", F.element_at("vals", 1).alias("a_html"))
 
 
 def q_selector_spans(spark, sf_dir):
     """Selector source-span columns: char offsets of 'div#main > p' tags."""
     pages = pages_df(spark, sf_dir)
-    udf = X.make_spans_udf("div#main > p")
-    out = pages.select("url", F.posexplode(udf(F.col("html"))).alias("k", "sp"))
+    out = X.spans_over(pages, "div#main > p")
+    out = out.select("url", F.posexplode("spans").alias("k", "sp"))
     return out.select(
         "url", "k",
         F.col("sp.start").alias("start"), F.col("sp.end").alias("end"))
@@ -107,15 +103,14 @@ def q_selector_spans(spark, sf_dir):
 def q_select_has(spark, sf_dir):
     """:has structural pseudo — semi-join shape (§2.4)."""
     pages = pages_df(spark, sf_dir)
-    udf = X.make_select_count_udf("div:has(a.next)")
-    return pages.select("url", udf(F.col("html")).alias("n_has"))
+    return X.select_count_over(pages, "div:has(a.next)", out_col="n_has")
 
 
 def q_select_nth(spark, sf_dir):
     """:nth-child(an+b) positional pseudo."""
     pages = pages_df(spark, sf_dir)
-    udf = X.make_select_count_udf("div#main > p:nth-child(even)")
-    return pages.select("url", udf(F.col("html")).alias("n_even"))
+    return X.select_count_over(pages, "div#main > p:nth-child(even)",
+                               out_col="n_even")
 
 
 def q_clean_basic(spark, sf_dir):
@@ -123,28 +118,22 @@ def q_clean_basic(spark, sf_dir):
     base is dropped) + enforced rel=nofollow."""
     load_documents(spark, sf_dir)
     body = spark.sql(f"SELECT {URL_SQL} AS url, {_BODY_SQL} AS body FROM documents")
-    udf = X.make_clean_udf("basic")
-    return body.select("url", udf(F.col("body")).alias("clean_html"))
+    return X.clean_over(body, "basic")
 
 
 def q_clean_simpletext(spark, sf_dir):
     """Cleaner with simpleText whitelist over the page body fragment."""
     load_documents(spark, sf_dir)
     body = spark.sql(f"SELECT {URL_SQL} AS url, {_BODY_SQL} AS body FROM documents")
-    udf = X.make_clean_udf("simpleText")
-    return body.select("url", udf(F.col("body")).alias("clean_html"))
+    return X.clean_over(body, "simpleText")
 
 
 def q_parse_metrics(spark, sf_dir):
     """Per-doc parse metrics: node count, parse errors, html byte size."""
-    pages = pages_df(spark, sf_dir)
-    udf = X.make_extract_udf()
-    return pages.select(
-        "url",
-        udf(F.col("html")).alias("ex"),
-        F.length("html").alias("n_chars_html"),
-    ).select("url", F.col("ex.n_nodes").alias("n_nodes"),
-             F.col("ex.parse_errors").alias("parse_errors"), "n_chars_html")
+    pages = pages_df(spark, sf_dir).withColumn(
+        "n_chars_html", F.length("html"))
+    out = X.metrics_over(pages, keep_cols=("url", "n_chars_html"))
+    return out.select("url", "n_nodes", "parse_errors", "n_chars_html")
 
 
 def q_corpus_metrics(spark, sf_dir):

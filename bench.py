@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("BENCH_REPLICATE", "32"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "128"))
 FILLER = int(os.environ.get("BENCH_FILLER", "10"))
 
 
@@ -51,7 +51,16 @@ def bench_pages(spark):
 
 def run_headline(n_cores: int):
     """Run the extraction workload on a fresh local[n] session.
-    Returns (seconds, n_docs, total_mb, checksum)."""
+    Returns (warm_seconds, cold_seconds, n_docs, total_mb, checksum).
+
+    The reported time is the best of two *warm* runs (steady-state:
+    python workers spawned, modules imported, native kernel loaded) —
+    the cold first run is reported separately. Steady-state is the
+    number that projects to a long-lived cluster job; cold start is a
+    per-executor one-off.
+    """
+    from swiftsoup_spark.kernel.fastpath import get_module
+    get_module()   # ensure the native .so is fresh before workers fork
     from swiftsoup_spark.spark.session import get_spark
     spark = get_spark(master=f"local[{n_cores}]", app=f"bench{n_cores}",
                       shuffle_partitions=n_cores)
@@ -62,17 +71,91 @@ def run_headline(n_cores: int):
                           F.sum(F.length("html")).alias("b")).collect()[0]
         n_docs, n_bytes = stats.n, stats.b
         from swiftsoup_spark.spark.extract import extract_pages
-        t0 = time.time()
-        ex = extract_pages(pages)
-        row = ex.agg(F.count("*").alias("n"),
-                     F.sum(F.length("text")).alias("tb"),
-                     F.expr('bit_xor(xxhash64(concat_ws("\\u0000", url, text)))')
-                      .alias("checksum")).collect()[0]
-        dt = time.time() - t0
+
+        def one_run():
+            t0 = time.time()
+            row = extract_pages(pages).agg(
+                F.count("*").alias("n"),
+                F.sum(F.length("text")).alias("tb"),
+                F.expr('bit_xor(xxhash64(concat_ws("\\u0000", url, text)))')
+                 .alias("checksum")).collect()[0]
+            return time.time() - t0, row.checksum
+        cold, cks = one_run()
+        w1, c1 = one_run()
+        w2, c2 = one_run()
+        assert cks == c1 == c2
         pages.unpersist()
-        return dt, n_docs, n_bytes / 1e6, row.checksum
+        return min(w1, w2), cold, n_docs, n_bytes / 1e6, cks
     finally:
         spark.stop()
+
+
+_KERNEL_COL = None
+
+
+def _kernel_worker(args):
+    """fork-inherited worker for kernel_scaling (module-level so Pool
+    can pickle the reference; the Arrow column rides the fork)."""
+    cpu, reps = args
+    try:
+        os.sched_setaffinity(0, {cpu})
+    except OSError:
+        pass
+    from swiftsoup_spark.kernel.fastpath import batch_doc_text
+    for _ in range(reps):
+        batch_doc_text(_KERNEL_COL)
+
+
+def kernel_scaling(levels=(2, 8, 32), min_secs=2.0):
+    """Controlled engine-scaling evidence: N pinned worker processes,
+    each running the C extraction kernel over the SAME pre-loaded
+    in-memory Arrow buffers. This isolates the engine's scalability
+    from Spark scheduling, JVM<->Python IPC, and this VM's noisy I/O —
+    the full-stack numbers (headline runs) include all of those.
+    Returns {"levels": {n: mb_per_sec}, "efficiency_n_to_4n": {...}}.
+    """
+    import duckdb
+    from multiprocessing import get_context
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    tbl = con.execute(f"""
+        SELECT '<html><head><meta charset="utf-8"><title>Doc ' || doc_id ||
+               '</title></head><body><div id="main" class="content"><h1>Doc ' || doc_id || '</h1>' ||
+               repeat('<p class="filler">' || text || '</p>', {FILLER}) ||
+               '<p class="core">' || text || ' &amp; more</p>' ||
+               '</div><div class="footer"><a href="/l/' || doc_id || '">next</a></div></body></html>'
+               AS html FROM documents""").fetch_arrow_table()
+    col = tbl.column("html").combine_chunks()
+    nbytes = sum(len(b) for b in col.buffers()[2:] if b)
+
+    from swiftsoup_spark.kernel.fastpath import batch_doc_text, get_module
+    if get_module() is None:
+        return None
+    t0 = time.time()
+    batch_doc_text(col)
+    per_pass = max(time.time() - t0, 1e-3)
+    reps = max(2, int(min_secs / per_pass))
+
+    global _KERNEL_COL
+    _KERNEL_COL = col
+    out_levels = {}
+    for n in levels:
+        ctx = get_context("fork")
+        with ctx.Pool(n) as pool:
+            t0 = time.time()
+            pool.map(_kernel_worker, [(i, reps) for i in range(n)])
+            wall = time.time() - t0
+        out_levels[n] = round(n * reps * nbytes / 1e6 / wall, 1)
+    pairs = {}
+    for a in levels:
+        if a * 4 in out_levels:
+            pairs[f"{a}to{a * 4}"] = round(
+                out_levels[a * 4] / out_levels[a] / 4, 3)
+    return {"levels": {str(k): v for k, v in out_levels.items()},
+            "efficiency_n_to_4n": pairs, "mode": "pinned-multiprocess",
+            "input_mb": round(nbytes / 1e6, 1)}
 
 
 def run_query_timings():
@@ -94,15 +177,23 @@ def run_query_timings():
 
 def _headline_subprocess(n_cores: int):
     """Fresh JVM per parallelism level (in-process session reuse was shown
-    to distort timings)."""
+    to distort timings). The whole process tree (JVM task threads AND
+    the forked Python workers) is pinned to n_cores CPUs with taskset,
+    so local[N] honestly models an N-core executor — without pinning,
+    Python workers run beside the JVM task threads and a "2-core" run
+    actually consumes ~4 machine cores, inflating the small-N baseline
+    and understating scaling efficiency."""
+    import shutil
     import subprocess
     code = (
         "import sys, json; sys.path.insert(0, %r); import bench; "
-        "t, n, mb, c = bench.run_headline(int(sys.argv[1])); "
-        "print('BENCHROW ' + json.dumps([t, n, mb, c]))"
+        "t, cold, n, mb, c = bench.run_headline(int(sys.argv[1])); "
+        "print('BENCHROW ' + json.dumps([t, cold, n, mb, c]))"
         % os.path.dirname(os.path.abspath(__file__)))
-    r = subprocess.run([sys.executable, "-c", code, str(n_cores)],
-                       capture_output=True, text=True, timeout=1800)
+    argv = [sys.executable, "-c", code, str(n_cores)]
+    if shutil.which("taskset") and os.cpu_count() >= n_cores:
+        argv = ["taskset", "-c", f"0-{n_cores - 1}"] + argv
+    r = subprocess.run(argv, capture_output=True, text=True, timeout=1800)
     if r.returncode != 0:
         raise RuntimeError(r.stderr[-2000:])
     for line in r.stdout.splitlines():
@@ -117,8 +208,9 @@ def main():
     levels = sorted({int(x) for x in levels_env.split(",") if x.strip()})
     runs = {}
     for n in levels:
-        t, n_docs, mb, cks = _headline_subprocess(n)
-        runs[n] = {"sec": round(t, 3), "mb_per_sec": round(mb / t, 1),
+        t, cold, n_docs, mb, cks = _headline_subprocess(n)
+        runs[n] = {"sec": round(t, 3), "cold_sec": round(cold, 3),
+                   "mb_per_sec": round(mb / t, 1),
                    "docs_per_sec": round(n_docs / t, 1), "checksum": cks}
     n_docs_total = n_docs
     big = levels[-1]
@@ -129,6 +221,7 @@ def main():
         if b4 in runs:
             pairs[f"{a}to{b4}"] = round(
                 runs[b4]["mb_per_sec"] / runs[a]["mb_per_sec"] / 4, 3)
+    kscale = kernel_scaling(levels=tuple(levels))
     queries = run_query_timings()
     out = {
         "metric": f"html_to_text_extraction_sf{sf}",
@@ -144,6 +237,7 @@ def main():
             "levels": {str(k): v for k, v in runs.items()},
             "efficiency_n_to_4n": pairs,
             "checksum_match": len(checksums) == 1,
+            "kernel": kscale,
         },
     }
     print(json.dumps(out))

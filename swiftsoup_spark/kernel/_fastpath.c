@@ -25,6 +25,7 @@
  */
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
+#include <stddef.h>
 #include <string.h>
 #include <stdint.h>
 
@@ -1456,6 +1457,44 @@ static void run_parse(P *p) {
     }
 }
 
+/* Document.title() normalization: entity-decode the rcdata span, then
+ * collapse [\t\n\f\r \xa0]+ runs to one space and strip both ends.
+ * Writes into dst, returns length. dst cap must be >= 2*(b-a)+16. */
+static Py_ssize_t normalize_title(const uint8_t *s, Py_ssize_t a, Py_ssize_t b,
+                                  Py_ssize_t n, uint8_t *dst) {
+    Py_ssize_t o = 0;
+    int pend = 0, started = 0;
+    uint8_t dbuf[16];
+    while (a < b) {
+        uint8_t c = s[a];
+        uint8_t dl8[16]; int dl; Py_ssize_t adv;
+        const uint8_t *chunk; int chunklen;
+        if (c == '&') {
+            adv = 0;
+            dl = decode_entity(s, a + 1, n, dl8, &adv);
+            if (dl <= 0) { dl8[0] = '&'; dl = 1; a++; }
+            else a += 1 + adv;
+            chunk = dl8; chunklen = dl;
+        } else {
+            dbuf[0] = c; chunk = dbuf; chunklen = 1; a++;
+        }
+        for (int k = 0; k < chunklen; k++) {
+            uint8_t d = chunk[k];
+            if (d=='\t'||d=='\n'||d=='\f'||d=='\r'||d==' ') { pend = 1; continue; }
+            if (d == 0xC2) {
+                /* peek: nbsp pair inside chunk or source */
+                if (k + 1 < chunklen && chunk[k+1] == 0xA0) { pend = 1; k++; continue; }
+                if (chunk == dbuf && a < b && s[a] == 0xA0) { pend = 1; a++; continue; }
+            }
+            if (pend && started) dst[o++] = ' ';
+            pend = 0;
+            dst[o++] = d;
+            started = 1;
+        }
+    }
+    return o;
+}
+
 /* ---- Python entry points -------------------------------------------- */
 
 /* decode an rcdata span (title) with entities, return bytes object */
@@ -1524,8 +1563,15 @@ static PyObject *py_doc_text(PyObject *self, PyObject *args) {
         PyObject *text = PyUnicode_DecodeUTF8((const char *)p->out + a,
                                               b - a, "replace");
         PyObject *title;
-        if (p->title_set)
-            title = decode_span(p->s, p->title_a, p->title_b, p->n);
+        if (p->title_set) {
+            Py_ssize_t cap = 2 * (p->title_b - p->title_a) + 16;
+            uint8_t *tb = PyMem_Malloc(cap);
+            if (!tb) { PyMem_Free(p->out); PyMem_Free(p); return PyErr_NoMemory(); }
+            Py_ssize_t tl = normalize_title(p->s, p->title_a, p->title_b,
+                                            p->n, tb);
+            title = PyUnicode_DecodeUTF8((const char *)tb, tl, "replace");
+            PyMem_Free(tb);
+        }
         else {
             title = Py_None;
             Py_INCREF(title);
@@ -1537,6 +1583,117 @@ static PyObject *py_doc_text(PyObject *self, PyObject *args) {
     PyMem_Free(p->out);
     PyMem_Free(p);
     return result;
+}
+
+/* batch_extract(data, offsets, n, arr_offset, large) ->
+ *   (text_data: bytes, text_offsets: bytes[int32 (n+1)],
+ *    title_data: bytes, title_offsets: bytes[int32 (n+1)],
+ *    bail_mask: bytes[n], n_bails: int)
+ *
+ * Zero-copy batch interface over an Arrow StringArray's raw buffers:
+ * no per-row Python objects on input, and the outputs are ready-made
+ * Arrow utf8 buffers (pa.StringArray.from_buffers on the Python side).
+ * Rows that bail get empty outputs and a set mask bit; the caller
+ * re-runs only those through the Python kernel. */
+static PyObject *py_batch_extract(PyObject *self, PyObject *args) {
+    Py_buffer data, offs;
+    Py_ssize_t n, arr_offset;
+    int large;
+    if (!PyArg_ParseTuple(args, "y*y*nnp", &data, &offs, &n, &arr_offset,
+                          &large))
+        return NULL;
+    if (!g_ready) {
+        PyBuffer_Release(&data); PyBuffer_Release(&offs);
+        PyErr_SetString(PyExc_RuntimeError, "init_tables not called");
+        return NULL;
+    }
+    const uint8_t *base = (const uint8_t *)data.buf;
+    const int32_t *o32 = (const int32_t *)offs.buf;
+    const int64_t *o64 = (const int64_t *)offs.buf;
+
+    Py_ssize_t total_in = 0;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        Py_ssize_t s0 = large ? o64[arr_offset + i] : o32[arr_offset + i];
+        Py_ssize_t s1 = large ? o64[arr_offset + i + 1] : o32[arr_offset + i + 1];
+        total_in += s1 - s0;
+    }
+
+    if (2 * total_in + 64 * (n + 1) > 2000000000L) {
+        /* int32 Arrow offsets would overflow; caller falls back */
+        PyBuffer_Release(&data); PyBuffer_Release(&offs);
+        PyErr_SetString(PyExc_OverflowError, "batch too large");
+        return NULL;
+    }
+    Py_ssize_t tcap = 2 * total_in + 64 * (n + 1);
+    uint8_t *text_data = PyMem_Malloc(tcap);
+    int32_t *text_off = PyMem_Malloc((n + 1) * sizeof(int32_t));
+    uint8_t *title_data = PyMem_Malloc(tcap);
+    int32_t *title_off = PyMem_Malloc((n + 1) * sizeof(int32_t));
+    uint8_t *mask = PyMem_Malloc(n > 0 ? n : 1);
+    P *p = PyMem_Malloc(sizeof(P));
+    if (!text_data || !text_off || !title_data || !title_off || !mask || !p) {
+        PyBuffer_Release(&data); PyBuffer_Release(&offs);
+        PyMem_Free(text_data); PyMem_Free(text_off); PyMem_Free(title_data);
+        PyMem_Free(title_off); PyMem_Free(mask); PyMem_Free(p);
+        return PyErr_NoMemory();
+    }
+    Py_ssize_t tpos = 0, dpos = 0;
+    long n_bails = 0;
+    text_off[0] = 0; title_off[0] = 0;
+
+    for (Py_ssize_t i = 0; i < n; i++) {
+        Py_ssize_t s0 = large ? o64[arr_offset + i] : o32[arr_offset + i];
+        Py_ssize_t s1 = large ? o64[arr_offset + i + 1] : o32[arr_offset + i + 1];
+        const uint8_t *doc = base + s0;
+        Py_ssize_t dlen = s1 - s0;
+        int bailed = 1;
+        if (!memchr(doc, 0, dlen)) {
+            memset(p, 0, offsetof(P, unk_names));
+            p->n_unk = 0;
+            p->s = doc; p->n = dlen;
+            p->out = text_data + tpos;
+            p->mode = M_PRE;
+            p->pending_end = -1;
+            run_parse(p);
+            if (!p->bail) {
+                bailed = 0;
+                /* final strip (arena.node_text) */
+                Py_ssize_t a = 0, b = p->olen;
+                while (a < b) {
+                    uint8_t c = p->out[a];
+                    if (c=='\t'||c=='\n'||c=='\f'||c=='\r'||c==' ') a++;
+                    else break;
+                }
+                while (b > a) {
+                    uint8_t c = p->out[b - 1];
+                    if (c=='\t'||c=='\n'||c=='\f'||c=='\r'||c==' ') b--;
+                    else break;
+                }
+                if (a > 0) memmove(p->out, p->out + a, b - a);
+                tpos += b - a;
+                if (p->title_set)
+                    dpos += normalize_title(doc, p->title_a, p->title_b,
+                                            dlen, title_data + dpos);
+            }
+        }
+        mask[i] = (uint8_t)bailed;
+        if (bailed) n_bails++;
+        text_off[i + 1] = (int32_t)tpos;
+        title_off[i + 1] = (int32_t)dpos;
+    }
+    PyBuffer_Release(&data); PyBuffer_Release(&offs);
+
+    PyObject *r = Py_BuildValue(
+        "y#y#y#y#y#l",
+        (const char *)text_data, tpos,
+        (const char *)text_off, (Py_ssize_t)((n + 1) * sizeof(int32_t)),
+        (const char *)title_data, dpos,
+        (const char *)title_off, (Py_ssize_t)((n + 1) * sizeof(int32_t)),
+        (const char *)mask, n,
+        n_bails);
+    PyMem_Free(text_data); PyMem_Free(text_off); PyMem_Free(title_data);
+    PyMem_Free(title_off); PyMem_Free(mask); PyMem_Free(p);
+    return r;
 }
 
 /* init_tables(tags: list[(bytes, int)], semi: list[(bytes, bytes)],
@@ -1638,6 +1795,8 @@ static PyMethodDef methods[] = {
      "init tag/entity tables (once per process)"},
     {"doc_text", py_doc_text, METH_VARARGS,
      "doc_text(html) -> (text, title|None) or None on bail-out"},
+    {"batch_extract", py_batch_extract, METH_VARARGS,
+     "batch over raw Arrow utf8 buffers; returns arrow-ready buffers"},
     {NULL, NULL, 0, NULL}
 };
 

@@ -216,9 +216,50 @@ def doc_text(html: str) -> tuple[str, str] | None:
     r = m.doc_text(html)
     if r is None:
         return None
-    text, raw_title = r
-    if raw_title is None:
-        title = ""
+    text, title = r
+    return text, title if title is not None else ""
+
+
+def batch_doc_text(col):
+    """Batch fast path over a ``pyarrow`` string array.
+
+    Returns ``(text_array, title_array, bail_indices)`` where the arrays
+    are Arrow string arrays built directly from C-produced buffers (no
+    per-row Python objects), or ``None`` if the native module is
+    unavailable / the batch shape is unsupported — callers then use the
+    per-row path. Rows listed in ``bail_indices`` hold empty strings and
+    must be recomputed with the Python kernel.
+    """
+    import pyarrow as pa
+
+    m = get_module()
+    if m is None:
+        return None
+    typ = col.type
+    if typ == pa.string():
+        large = False
+    elif typ == pa.large_string():
+        large = True
     else:
-        title = _WS_RUN.sub(" ", raw_title).strip(_ASCII_WS)
-    return text, title
+        return None
+    if col.null_count:
+        return None
+    bufs = col.buffers()          # [validity, offsets, data]
+    if len(bufs) != 3 or bufs[1] is None:
+        return None
+    data = bufs[2] if bufs[2] is not None else b""
+    try:
+        tdat, toff, ddat, doff, mask, n_bails = m.batch_extract(
+            data, bufs[1], len(col), col.offset, large)
+    except OverflowError:
+        return None
+    n = len(col)
+    text_arr = pa.Array.from_buffers(
+        pa.string(), n, [None, pa.py_buffer(toff), pa.py_buffer(tdat)])
+    title_arr = pa.Array.from_buffers(
+        pa.string(), n, [None, pa.py_buffer(doff), pa.py_buffer(ddat)])
+    if n_bails:
+        bail_idx = [i for i, b in enumerate(mask) if b]
+    else:
+        bail_idx = []
+    return text_arr, title_arr, bail_idx

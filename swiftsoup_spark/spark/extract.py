@@ -1,27 +1,19 @@
-"""Arrow-batched extraction kernel: the Spark-facing physical operator.
+"""Arrow-batched extraction kernels: the Spark-facing physical operators.
 
-Each pandas UDF here receives an Arrow record batch of documents and runs
-the per-document kernel (tokenize → tree-build → extract) inside the batch
-— the "vectorized pandas/Arrow UDF, never per-row Python" contract of the
-north star. The per-document state machine is inherently sequential
-(reference TokeniserState), but execution is parallel across documents via
-Spark tasks and batched across the JVM↔Python boundary via Arrow.
+Every operator here is a ``mapInArrow`` stage: the per-document kernel
+(tokenize -> tree-build -> select/extract/clean) runs inside Arrow
+record batches — the "vectorized pandas/Arrow UDF, never per-row
+Python" contract of the north star, minus even the pandas Series
+materialization (measured ~2x overhead on megabyte string columns, so
+all paths use raw Arrow batches; commit 7be95ce's finding applied
+everywhere).
 
-Selector compilation happens ONCE per executor (driver-side string →
-broadcast by closure → compiled lazily and cached per worker process by
+Selector compilation happens ONCE per worker process (driver-side
+string -> broadcast by closure -> compiled lazily and cached by
 ``parse_query``'s LRU), mirroring the reference's QueryParser cache.
 """
 
-import pandas as pd
-
 from pyspark.sql import functions as F, types as T
-
-EXTRACT_SCHEMA = T.StructType([
-    T.StructField("text", T.StringType()),
-    T.StructField("title", T.StringType()),
-    T.StructField("n_nodes", T.IntegerType()),
-    T.StructField("parse_errors", T.IntegerType()),
-])
 
 SPAN_SCHEMA = T.ArrayType(T.StructType([
     T.StructField("node", T.IntegerType()),
@@ -39,116 +31,123 @@ def _to_str(v) -> str:
     return v
 
 
-def make_extract_udf(css_scope: str | None = None):
-    """html -> struct(text, title, n_nodes, parse_errors).
+def apply_kernel(df, row_fn, out_fields, in_col="html", keep_cols=("url",),
+                 track_spans=False):
+    """Generic Arrow-batched kernel stage.
 
-    ``css_scope``: optional selector; text is extracted from the first
-    match (reference Element.text()) instead of the whole document.
+    ``row_fn(tree_builder, html_str) -> tuple`` runs per document inside
+    ``mapInArrow``; its results become the ``out_fields`` columns
+    appended to ``keep_cols``. One fused stage pipelined with the scan
+    (no shuffle, no pandas); Catalyst prunes the scan to
+    (keep_cols, in_col).
     """
-    @F.pandas_udf(EXTRACT_SCHEMA)
-    def extract(html: pd.Series) -> pd.DataFrame:
+    import pyarrow as pa
+
+    src = df.select(*keep_cols, in_col)
+    keep_fields = [f for f in src.schema.fields if f.name != in_col]
+    out_schema = T.StructType(keep_fields + list(out_fields))
+    keep_names = [f.name for f in keep_fields]
+    out_names = [f.name for f in out_schema.fields]
+
+    def batches(it):
+        from pyspark.sql.pandas.types import to_arrow_type
         from swiftsoup_spark.kernel.treebuilder import HtmlTreeBuilder
-        from swiftsoup_spark.kernel.arena import Document
-        from swiftsoup_spark.select.engine import select as sel
 
-        texts, titles, nodes, errs = [], [], [], []
-        tb = HtmlTreeBuilder(track_spans=False)
-        for raw in html:
-            arena = tb.parse(_to_str(raw))
-            doc = Document(arena, 0)
-            if css_scope:
-                m = sel(arena, 0, css_scope)
-                texts.append(arena.node_text(m[0]) if m else "")
-            else:
-                texts.append(arena.node_text(0))
-            titles.append(doc.title())
-            nodes.append(len(arena.parent) - 1)
-            errs.append(arena.errors)
-        return pd.DataFrame(
-            {"text": texts, "title": titles, "n_nodes": nodes, "parse_errors": errs})
+        tb = HtmlTreeBuilder(track_spans=track_spans)
+        out_types = [to_arrow_type(f.dataType) for f in out_fields]
+        for batch in it:
+            cols = [[] for _ in out_fields]
+            for raw in batch.column(in_col):
+                vals = row_fn(tb, _to_str(raw.as_py()))
+                for c, v in zip(cols, vals):
+                    c.append(v)
+            arrays = [batch.column(nm) for nm in keep_names] + [
+                pa.array(c, t) for c, t in zip(cols, out_types)]
+            yield pa.RecordBatch.from_arrays(arrays, out_names)
 
-    return extract
+    return src.mapInArrow(batches, out_schema)
 
 
-def make_select_udf(css: str, mode: str = "text"):
-    """html -> array<string> of per-match values, in document order.
+def select_over(df, css: str, mode: str = "text", out_col: str = "vals",
+                in_col: str = "html", keep_cols=("url",)):
+    """-> (keep_cols..., out_col: array<string>) of per-match values in
+    document order. mode: 'text' | 'own_text' | 'outer_html' | 'tag' |
+    'attr:<key>'."""
+    attr_key = mode[5:] if mode.startswith("attr:") else None
 
-    mode: 'text' | 'own_text' | 'outer_html' | 'tag' | 'attr:<key>'
-    """
-    attr_key = css_mode = None
-    if mode.startswith("attr:"):
-        attr_key = mode[5:]
-
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def select_vals(html: pd.Series) -> pd.Series:
-        from swiftsoup_spark.kernel.treebuilder import HtmlTreeBuilder
+    def row(tb, s):
         from swiftsoup_spark.kernel.serializer import serialize
         from swiftsoup_spark.select.engine import select as sel
 
-        out = []
-        tb = HtmlTreeBuilder(track_spans=False)
-        for raw in html:
-            arena = tb.parse(_to_str(raw))
-            ids = sel(arena, 0, css)
-            if attr_key is not None:
-                vals = [(arena.attrs[i] or {}).get(attr_key) or "" for i in ids]
-            elif mode == "text":
-                vals = [arena.node_text(i) for i in ids]
-            elif mode == "own_text":
-                vals = [arena.own_text(i) for i in ids]
-            elif mode == "outer_html":
-                vals = [serialize(arena, i) for i in ids]
-            elif mode == "tag":
-                vals = [arena.tag_name(i) for i in ids]
-            else:
-                raise ValueError(mode)
-            out.append(vals)
-        return pd.Series(out)
+        arena = tb.parse(s)
+        ids = sel(arena, 0, css)
+        if attr_key is not None:
+            return ([(arena.attrs[i] or {}).get(attr_key) or "" for i in ids],)
+        if mode == "text":
+            return ([arena.node_text(i) for i in ids],)
+        if mode == "own_text":
+            return ([arena.own_text(i) for i in ids],)
+        if mode == "outer_html":
+            return ([serialize(arena, i) for i in ids],)
+        if mode == "tag":
+            return ([arena.tag_name(i) for i in ids],)
+        raise ValueError(mode)
 
-    return select_vals
+    return apply_kernel(
+        df, row, [T.StructField(out_col, T.ArrayType(T.StringType()))],
+        in_col=in_col, keep_cols=keep_cols)
 
 
-def make_select_count_udf(css: str):
-    @F.pandas_udf(T.IntegerType())
-    def select_count(html: pd.Series) -> pd.Series:
-        from swiftsoup_spark.kernel.treebuilder import HtmlTreeBuilder
+def select_count_over(df, css: str, out_col: str = "n",
+                      in_col: str = "html", keep_cols=("url",)):
+    """-> (keep_cols..., out_col: int) matches per document."""
+    def row(tb, s):
         from swiftsoup_spark.select.engine import select as sel
+        return (len(sel(tb.parse(s), 0, css)),)
 
-        tb = HtmlTreeBuilder(track_spans=False)
-        return pd.Series([len(sel(tb.parse(_to_str(raw)), 0, css)) for raw in html])
-
-    return select_count
+    return apply_kernel(df, row, [T.StructField(out_col, T.IntegerType())],
+                        in_col=in_col, keep_cols=keep_cols)
 
 
-def make_spans_udf(css: str):
-    """html -> array<struct<node,start,end>> source spans of matches."""
-    @F.pandas_udf(SPAN_SCHEMA)
-    def spans(html: pd.Series) -> pd.Series:
-        from swiftsoup_spark.kernel.treebuilder import HtmlTreeBuilder
+def spans_over(df, css: str, out_col: str = "spans",
+               in_col: str = "html", keep_cols=("url",)):
+    """-> (keep_cols..., out_col: array<struct<node,start,end>>) source
+    spans of selector matches (char offsets into the input)."""
+    def row(tb, s):
         from swiftsoup_spark.select.engine import select as sel
+        arena = tb.parse(s)
+        ids = sel(arena, 0, css)
+        return ([{"node": i, "start": arena.src_start[i],
+                  "end": arena.src_end[i]} for i in ids],)
 
-        out = []
-        tb = HtmlTreeBuilder(track_spans=True)
-        for raw in html:
-            arena = tb.parse(_to_str(raw))
-            ids = sel(arena, 0, css)
-            out.append([
-                {"node": i, "start": arena.src_start[i], "end": arena.src_end[i]}
-                for i in ids])
-        return pd.Series(out)
-
-    return spans
+    return apply_kernel(df, row, [T.StructField(out_col, SPAN_SCHEMA)],
+                        in_col=in_col, keep_cols=keep_cols, track_spans=True)
 
 
-def make_clean_udf(whitelist: str = "basic"):
-    """body html -> sanitized body html (reference SwiftSoup.clean)."""
-    @F.pandas_udf(T.StringType())
-    def clean_html(html: pd.Series) -> pd.Series:
+def clean_over(df, whitelist: str = "basic", out_col: str = "clean_html",
+               in_col: str = "body", keep_cols=("url",)):
+    """-> (keep_cols..., out_col) sanitized body html
+    (reference SwiftSoup.clean)."""
+    def row(tb, s):
         from swiftsoup_spark.clean.cleaner import clean_html as _clean
+        return (_clean(s, whitelist),)
 
-        return pd.Series([_clean(_to_str(raw), whitelist) for raw in html])
+    return apply_kernel(df, row, [T.StructField(out_col, T.StringType())],
+                        in_col=in_col, keep_cols=keep_cols)
 
-    return clean_html
+
+def metrics_over(df, in_col: str = "html", keep_cols=("url",)):
+    """-> (keep_cols..., n_nodes, parse_errors) exact parse metrics
+    (full DOM build; no fast path by construction)."""
+    def row(tb, s):
+        arena = tb.parse(s)
+        return (len(arena.parent) - 1, arena.errors)
+
+    return apply_kernel(
+        df, row,
+        [T.StructField("n_nodes", T.IntegerType()),
+         T.StructField("parse_errors", T.IntegerType())],
+        in_col=in_col, keep_cols=keep_cols)
 
 
 def extract_pages(pages_df, css_scope: str | None = None, keep_cols: tuple = (),
@@ -190,17 +189,36 @@ def extract_pages(pages_df, css_scope: str | None = None, keep_cols: tuple = (),
         from swiftsoup_spark.kernel.treebuilder import HtmlTreeBuilder
         from swiftsoup_spark.kernel.arena import Document
         from swiftsoup_spark.select.engine import select as sel
-        from swiftsoup_spark.kernel.fastpath import doc_text as fast_text
+        from swiftsoup_spark.kernel.fastpath import batch_doc_text, doc_text
 
         use_fast = css_scope is None and not metrics
         tb = HtmlTreeBuilder(track_spans=False)
         for batch in it:
             htmls = batch.column("html")
+            if use_fast:
+                # zero-copy batch over the Arrow utf8 buffers: no per-row
+                # Python strings on input, C-built Arrow buffers on output
+                br = batch_doc_text(htmls)
+                if br is not None:
+                    text_arr, title_arr, bail_idx = br
+                    if bail_idx:
+                        texts = text_arr.to_pylist()
+                        titles = title_arr.to_pylist()
+                        for i in bail_idx:
+                            arena = tb.parse(_to_str(htmls[i].as_py()))
+                            texts[i] = arena.node_text(0)
+                            titles[i] = Document(arena, 0).title()
+                        text_arr = pa.array(texts, pa.string())
+                        title_arr = pa.array(titles, pa.string())
+                    arrays = [batch.column(nm) for nm in keep_names] + [
+                        text_arr, title_arr]
+                    yield pa.RecordBatch.from_arrays(arrays, out_names)
+                    continue
             texts, titles, nodes, errs = [], [], [], []
             for raw in htmls:
                 s = _to_str(raw.as_py())
                 if use_fast:
-                    r = fast_text(s)
+                    r = doc_text(s)
                     if r is not None:
                         texts.append(r[0])
                         titles.append(r[1])
