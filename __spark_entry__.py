@@ -63,6 +63,29 @@ def q_extract_title(spark, sf_dir):
     return X.extract_pages(pages).select("url", "title")
 
 
+def _q_variant_text(name):
+    def q(spark, sf_dir):
+        from swiftsoup_spark.spark.pages import variant_pages_df
+        pages = variant_pages_df(spark, sf_dir, name)
+        return X.extract_pages(pages).select("url", "text")
+    q.__doc__ = f"extracted text over the '{name}' oracle-corpus variant"
+    return q
+
+
+q_extract_text_tables = _q_variant_text("tables")
+q_extract_text_misnested = _q_variant_text("misnested")
+q_extract_text_pre = _q_variant_text("pre")
+q_extract_text_entities = _q_variant_text("entities")
+
+
+def q_select_attr_entities(spark, sf_dir):
+    """attribute entity decode: href with &amp; through the selector."""
+    from swiftsoup_spark.spark.pages import variant_pages_df
+    pages = variant_pages_df(spark, sf_dir, "entities")
+    out = X.select_over(pages, "a[href]", mode="attr:href")
+    return out.select("url", F.element_at("vals", 1).alias("href"))
+
+
 def q_select_count(spark, sf_dir):
     """select('div#main > p').size() — child combinator + id selector."""
     pages = pages_df(spark, sf_dir)
@@ -246,6 +269,11 @@ _SPAN_PREFIX_SQL = "(132 + 2 * length('' || doc_id))"
 _SPAN_STRIDE_SQL = "(7 + length(text))"
 
 
+def _variant_oracle(name: str) -> str:
+    from swiftsoup_spark.spark.pages import variant_oracle_sql
+    return variant_oracle_sql(name)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: HTML→text extraction over the synthesized pages table."""
     return q_extract_text(spark, "/root/testdata/sf0.001")
@@ -267,6 +295,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_simpletext": q_clean_simpletext,
         "parse_metrics": q_parse_metrics,
         "corpus_metrics": q_corpus_metrics,
+        "extract_text_tables": q_extract_text_tables,
+        "extract_text_misnested": q_extract_text_misnested,
+        "extract_text_pre": q_extract_text_pre,
+        "extract_text_entities": q_extract_text_entities,
+        "select_attr_entities": q_select_attr_entities,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -435,13 +468,28 @@ FROM documents
             f"SELECT lang, source, count(*) AS n_docs, "
             f"CAST(sum(length({HTML_SQL})) AS BIGINT) AS total_chars "
             f"FROM documents GROUP BY lang, source"),
+        "extract_text_tables": _variant_oracle("tables"),
+        "extract_text_misnested": _variant_oracle("misnested"),
+        "extract_text_pre": _variant_oracle("pre"),
+        "extract_text_entities": _variant_oracle("entities"),
+        "select_attr_entities": (
+            f"SELECT {URL_SQL} AS url, '/x?a=1&b=2' AS href FROM documents"),
         "dedup_exact": (
             "SELECT md5(text) AS fp, min(doc_id) AS rep_doc_id, "
             "count(*) AS n_dupes FROM documents GROUP BY md5(text)"),
         "minhash_signatures": minhash,
         "minhash_lsh_pairs": lsh_pairs,
         "ngram_jaccard": jac,
-        # simhash: bit-accumulation isn't SQL-expressible → rows-only check
+        "simhash": """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 16) AS UBIGINT) AS hv FROM w),
+bits AS (SELECT doc_id, b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+         FROM h, (SELECT unnest(range(64)) AS b) GROUP BY doc_id, b),
+v AS (SELECT doc_id, SUM(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS uv
+      FROM bits GROUP BY doc_id)
+SELECT doc_id, CAST(CASE WHEN uv >= 9223372036854775808 THEN uv - 18446744073709551616
+                         ELSE uv END AS BIGINT) AS simhash FROM v
+""",
         "token_count": (
             "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_m, "
             "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens "

@@ -13,8 +13,6 @@ MinHash here uses portable md5-based hash family (min over md5(word||i)),
 so a DuckDB oracle can replay signatures exactly.
 """
 
-import pandas as pd
-
 from pyspark.sql import functions as F
 
 K_MINHASH = 8
@@ -45,17 +43,39 @@ def minhash_signatures(df, text_col: str = "text", k: int = K_MINHASH):
 
 
 def minhash_lsh_pairs(df, text_col: str = "text", threshold: float = 0.5,
-                      limit_ids: int | None = None):
+                      limit_ids: int | None = None, max_group: int = 1000):
     """Near-dup candidate pairs via LSH banding, verified with exact
-    word-set Jaccard. Returns (i, j, jaccard)."""
+    word-set Jaccard. Returns (i, j, jaccard).
+
+    Skew guard (the 100 TB hole): exact-duplicate texts share every
+    band, so a duplicate-heavy corpus would put whole groups into one
+    band bucket and the bucket join would emit O(g^2) rows inside one
+    task. Instead, documents are first collapsed to one REPRESENTATIVE
+    per exact text fingerprint; banding, the bucket join and the
+    Jaccard verify all run on representatives only (bucket sizes are
+    bounded by *distinct* near-dup density, not duplication). Pairs
+    are then re-expanded through the fingerprint groups: cross-group
+    pairs inherit the representatives' Jaccard (identical texts have
+    identical word sets), within-group pairs are exact duplicates
+    (Jaccard 1.0). Groups larger than ``max_group`` are reported via
+    their representative only — a viral page duplicated 10^6 times
+    yields its cross-group pairs but not the 5*10^11 intra-group pairs
+    (those are the ``exact_dedup`` operator's job)."""
     if limit_ids is not None:
         df = df.filter(F.col("doc_id") < limit_ids)
-    sigs = minhash_signatures(df, text_col)
+    fps = df.select("doc_id", F.md5(F.col(text_col)).alias("fp"))
+    groups = fps.groupBy("fp").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("gsz"))
+    members = fps.join(groups, "fp")                  # doc_id, fp, rep, gsz
+    reps = df.join(members.filter(F.col("doc_id") == F.col("rep"))
+                   .select("doc_id"), "doc_id")
+
+    sigs = minhash_signatures(reps, text_col)
     bands = sigs.select(
         "doc_id",
         *[F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))).alias(f"band{b}")
           for b in range(N_BANDS)])
-    # bucket-join per band, union, distinct candidate pairs
+    # bucket-join per band, union, distinct candidate (rep, rep) pairs
     cand = None
     for b in range(N_BANDS):
         a = bands.select(F.col("doc_id").alias("i"), F.col(f"band{b}").alias("bk"))
@@ -63,8 +83,22 @@ def minhash_lsh_pairs(df, text_col: str = "text", threshold: float = 0.5,
         p = a.join(c, "bk").filter(F.col("i") < F.col("j")).select("i", "j")
         cand = p if cand is None else cand.unionByName(p)
     cand = cand.distinct()
-    jac = jaccard_pairs_for(df, cand, text_col)
-    return jac.filter(F.col("jaccard") >= threshold)
+    rep_jac = (jaccard_pairs_for(reps, cand, text_col)
+               .filter(F.col("jaccard") >= threshold))
+
+    small = members.filter(F.col("gsz") <= max_group)
+    mi = small.select(F.col("rep").alias("i"), F.col("doc_id").alias("di"))
+    mj = small.select(F.col("rep").alias("j"), F.col("doc_id").alias("dj"))
+    cross = (rep_jac.join(mi, "i").join(mj, "j")
+             .select(F.least("di", "dj").alias("i"),
+                     F.greatest("di", "dj").alias("j"), "jaccard"))
+    within = (small.select("fp", F.col("doc_id").alias("i"))
+              .join(small.select("fp", F.col("doc_id").alias("j")), "fp")
+              .filter(F.col("i") < F.col("j"))
+              .select("i", "j", F.lit(1.0).alias("jaccard")))
+    if threshold > 1.0:
+        within = within.filter(F.lit(False))
+    return cross.unionByName(within)
 
 
 def jaccard_pairs_for(df, pairs, text_col: str = "text"):
@@ -111,31 +145,59 @@ def ngram_jaccard_pairs(df, text_col: str = "text", threshold: float = 0.5,
         .select("i", "j", "jaccard"))
 
 
-def simhash(df, text_col: str = "text", bits: int = 64):
-    """64-bit SimHash over the word multiset (Pandas-UDF path: bit-level
-    accumulation isn't relational). Arrow-batched, hash = md5-derived."""
+def simhash(df, text_col: str = "text"):
+    """64-bit SimHash over the word multiset, vectorized with numpy
+    inside ``mapInArrow``: per batch, words are deduplicated
+    (``np.unique``), each unique word hashed ONCE (md5[:8] big-endian),
+    the digests unpacked into a (unique_words x 64) ±1 matrix
+    (``np.unpackbits``), and per-document bit sums computed with a
+    single ``np.add.reduceat`` — no per-row/per-bit Python loops.
+
+    hash = md5-derived so the DuckDB oracle can replay it bit-exactly
+    (simhash bit b is set iff sum over words of ±1 on bit b of
+    ``int(md5(word)[:8] hex, 16)`` is positive).
+    """
+    import pyarrow as pa
     from pyspark.sql import types as T
 
-    @F.pandas_udf(T.LongType())
-    def _simhash(texts: pd.Series) -> pd.Series:
+    out_schema = T.StructType([
+        T.StructField("doc_id", df.schema["doc_id"].dataType),
+        T.StructField("simhash", T.LongType())])
+    src = df.select("doc_id", text_col)
+
+    def batches(it):
         import hashlib
 
-        out = []
-        for t in texts:
-            acc = [0] * bits
-            for w in (t or "").split(" "):
-                h = int.from_bytes(
-                    hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
-                for b in range(bits):
-                    acc[b] += 1 if (h >> b) & 1 else -1
-            v = 0
-            for b in range(bits):
-                if acc[b] > 0:
-                    v |= 1 << b
-            # to signed 64-bit
-            if v >= 1 << 63:
-                v -= 1 << 64
-            out.append(v)
-        return pd.Series(out)
+        import numpy as np
 
-    return df.select("doc_id", _simhash(F.col(text_col)).alias("simhash"))
+        for batch in it:
+            texts = batch.column(text_col).to_pylist()
+            docs = [(t or "").split(" ") for t in texts]
+            counts = np.fromiter((len(d) for d in docs), dtype=np.int64,
+                                 count=len(docs))
+            allw = np.array([w for d in docs for w in d], dtype=object)
+            if len(allw):
+                uniq, inv = np.unique(allw, return_inverse=True)
+                hv = np.empty(len(uniq), dtype=np.uint64)
+                md5 = hashlib.md5
+                for i, w in enumerate(uniq):
+                    hv[i] = int.from_bytes(md5(w.encode("utf-8")).digest()[:8],
+                                           "big")
+                # column j of the unpacked matrix is value bit (63 - j)
+                bytes_be = hv.byteswap().view(np.uint8).reshape(-1, 8)
+                pm = np.unpackbits(bytes_be, axis=1).astype(np.int32) * 2 - 1
+                word_pm = pm[inv]
+                starts = np.zeros(len(docs), dtype=np.int64)
+                np.cumsum(counts[:-1], out=starts[1:])
+                acc = np.add.reduceat(word_pm, starts, axis=0)
+                vbits = (acc > 0).astype(np.uint8)
+                packed = np.packbits(vbits, axis=1)          # big-endian bytes
+                sv = np.frombuffer(packed.tobytes(), dtype=">u8").astype(
+                    np.uint64).view(np.int64)
+            else:
+                sv = np.zeros(0, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pa.array(sv, pa.int64())],
+                ["doc_id", "simhash"])
+
+    return src.mapInArrow(batches, out_schema)

@@ -83,3 +83,55 @@ def pages_df(spark, sf_dir: str, html_as: str = "string"):
     """The synthesized pages DataFrame (deterministic, distributed)."""
     load_documents(spark, sf_dir)
     return spark.sql(pages_select("documents", html_as=html_as))
+
+
+# --- oracle-corpus variant templates ---------------------------------------
+# Each variant exercises a parser subsystem that the primary template does
+# not, with a CLOSED-FORM expected-text SQL both Spark SQL and DuckDB
+# evaluate identically — turning pytest-only parity (tables/foster
+# parenting, adoption agency, pre/br/nbsp, entity-heavy attrs) into hard
+# driver CORRECTNESS rows. (reference parity: HtmlParserTest.swift:609,
+# 632, 661; ElementTest.swift:56-114)
+VARIANT_TEMPLATES = {
+    # text inside <table> is foster-parented BEFORE the table; cells join
+    # with block spaces (also exercises the C fast path's table bail-out →
+    # per-doc Python-kernel fallback inside the same Arrow batch)
+    "tables": (
+        "'<html><head><title>T ' || doc_id || '</title></head><body>"
+        "<table>FOST' || doc_id || '<tr><td>A ' || text || '</td>"
+        "<td>B' || doc_id || '</td></tr></table><p>after</p></body></html>'",
+        "'T ' || doc_id || ' FOST' || doc_id || ' A ' || text || ' B' ||"
+        " doc_id || ' after'"),
+    # misnested <b><i></b></i> triggers the adoption-agency repair;
+    # extracted text stays in source order
+    "misnested": (
+        "'<html><body><p><b>Bold ' || doc_id || ' <i>both</b> italic ' ||"
+        " text || '</i></p><p>plain</p></body></html>'",
+        "'Bold ' || doc_id || ' both italic ' || text || ' plain'"),
+    # <pre> preserves interior whitespace/newlines (leading run trimmed by
+    # the final text() trim); <br> and &nbsp; normalize to single spaces
+    "pre": (
+        "'<html><body><pre>  line1' || chr(10) || '  line2 ' || doc_id ||"
+        " '</pre><p>a<br>b&nbsp;' || text || '</p></body></html>'",
+        "'line1' || chr(10) || '  line2 ' || doc_id || ' a b ' || text"),
+    # entity decoding in text AND attribute values (&amp; &lt; &gt; &quot;
+    # &nbsp;)
+    "entities": (
+        "'<html><body><a href=\"/x?a=1&amp;b=2\" title=\"T&quot;q\">L&lt;' ||"
+        " doc_id || '&gt; &amp;&nbsp;' || text || '</a></body></html>'",
+        "'L<' || doc_id || '> & ' || text"),
+}
+
+
+def variant_pages_df(spark, sf_dir: str, name: str):
+    """(url, html) pages for one oracle-corpus variant template."""
+    load_documents(spark, sf_dir)
+    html_sql, _ = VARIANT_TEMPLATES[name]
+    return spark.sql(
+        f"SELECT {URL_SQL} AS url, {html_sql} AS html FROM documents")
+
+
+def variant_oracle_sql(name: str) -> str:
+    """DuckDB oracle for the variant's extracted text."""
+    _, exp_sql = VARIANT_TEMPLATES[name]
+    return f"SELECT {URL_SQL} AS url, {exp_sql} AS text FROM documents"
