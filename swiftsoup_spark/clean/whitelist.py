@@ -201,13 +201,32 @@ def _sanitize_style(style: str, allowed: set[str]) -> str | None:
             continue
         if name in _ALWAYS_UNSAFE_CSS:
             continue
-        norm = re.sub(r"\s+", "", _CSS_COMMENT.sub("", value).lower())
+        # decode CSS backslash escapes (hex and identity) BEFORE the
+        # pattern checks, else values like 'background:\75rl(javascript:x)'
+        # or 'color:expression\28...' slip past the substring filters
+        norm = re.sub(
+            r"\s+", "", _CSS_COMMENT.sub("", _css_unescape(value)).lower())
         if "expression(" in norm or "@import" in norm or "url(" in norm:
             continue
         out.append(f"{name}:{value}")
     if not out:
         return None
     return "; ".join(out)
+
+
+def _css_unescape(s: str) -> str:
+    """Decode CSS backslash escapes: \HH..H (1-6 hex digits, optional
+    trailing whitespace) -> codepoint; \<char> -> char."""
+    def repl(m):
+        h = m.group(1)
+        if h:
+            try:
+                cp = int(h, 16)
+                return chr(cp) if cp <= 0x10FFFF else "\ufffd"
+            except ValueError:
+                return ""
+        return m.group(2)
+    return re.sub(r"\\([0-9a-fA-F]{1,6})[ \t\n]?|\\(.)", repl, s)
 
 
 def _split_declarations(s: str) -> list[str]:

@@ -882,16 +882,6 @@ class HtmlTreeBuilder:
                 self.orig_mode = self.mode
                 self.mode = TEXT_MODE
                 return True
-            if sc:
-                self.insert_from_token(name, attrs, True)
-                self.orig_mode = self.mode
-                self.mode = TEXT_MODE
-                return True
-            if sc:
-                self.insert_from_token(name, attrs, True)
-                self.orig_mode = self.mode
-                self.mode = TEXT_MODE
-                return True
             self.insert_elem(name, attrs)
             self.tok.enter_raw("rawtext", name)
             self.orig_mode = self.mode

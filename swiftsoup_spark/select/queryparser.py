@@ -103,8 +103,8 @@ class _TQ:
         return s[start:end]
 
     def consume_ident(self) -> str:
-        m = re.match(r"[a-zA-Z0-9_\-\\*|.:]+", self.s[self.pos:])
-        # identifiers for element names: letters digits - _ | * and escaped
+        # element-name identifiers: anything up to a combinator/selector
+        # delimiter (letters digits - _ | * and escapes)
         m = re.match(r"[^\s>+~,()\[\]#.:]+", self.s[self.pos:])
         if not m:
             raise QueryError(f"expected identifier at {self.s[self.pos:]}")

@@ -20,6 +20,7 @@ pathological hosts, an optional salt column.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import functions as F
 
@@ -70,8 +71,14 @@ def run_extraction(spark, pages_df, out_dir: str, n_buckets: int = 32,
     out = extracted.select("bucket", "url", "text", "n_nodes", "parse_errors")
     out.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(out_dir, "extracted"))
-    # lineage manifest: one row per bucket, order-independent checksum
-    man = (out.groupBy("bucket")
+    # lineage manifest: one row per bucket, order-independent checksum —
+    # derived by READING BACK the files just written (not from ``out``'s
+    # lineage, which would re-run the whole parse a second time and
+    # describe a recomputation rather than what landed on disk)
+    written = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    if done:
+        written = written.filter(~F.col("bucket").isin(list(done)))
+    man = (written.groupBy("bucket")
            .agg(F.count("*").alias("row_count"),
                 F.sum(F.length("text")).alias("byte_count"),
                 F.expr('bit_xor(xxhash64(concat_ws("\\u0000", url, text)))')
@@ -80,9 +87,11 @@ def run_extraction(spark, pages_df, out_dir: str, n_buckets: int = 32,
     prior = read_manifest(spark, out_dir)
     if prior is not None and done:
         man = prior.filter(F.col("bucket").isin(list(done))).unionByName(man)
-    man.write.mode("overwrite").parquet(_manifest_path(out_dir) + ".tmp")
-    final = spark.read.parquet(_manifest_path(out_dir) + ".tmp")
+    tmp = _manifest_path(out_dir) + ".tmp"
+    man.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
     final.write.mode("overwrite").parquet(_manifest_path(out_dir))
+    shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(_manifest_path(out_dir))
 
 

@@ -5,8 +5,10 @@ no streaming constructs. At corpus scale, however, crawls arrive
 incrementally; this module drops the SAME batch kernel into Structured
 Streaming: ``readStream`` over a page directory → the Arrow-batched
 extraction UDF → ``foreachBatch`` writing through the resumable pipeline,
-with Spark's checkpoint giving exactly-once per micro-batch on top of the
-pipeline's per-bucket idempotence."""
+with per-epoch dynamic partition overwrite making each micro-batch write
+idempotent: a replayed epoch_id REPLACES its own partition instead of
+appending, so checkpoint-replay after a mid-write failure cannot
+duplicate rows (exactly-once per micro-batch)."""
 
 from __future__ import annotations
 
@@ -27,9 +29,14 @@ def stream_extract(spark, in_dir: str, out_dir: str, checkpoint_dir: str,
     src = spark.readStream.schema(schema).parquet(in_dir)
 
     def process_batch(df, epoch_id: int):
+        # idempotent micro-batch commit: epoch-partitioned dynamic
+        # overwrite — a replayed epoch replaces rather than appends
+        df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
         ex = extract_pages(df, css_scope)
         (ex.withColumn("epoch", F.lit(epoch_id))
-           .write.mode("append").parquet(os.path.join(out_dir, "extracted")))
+           .write.mode("overwrite").partitionBy("epoch")
+           .parquet(os.path.join(out_dir, "extracted")))
 
     writer = (src.writeStream
               .foreachBatch(process_batch)

@@ -166,3 +166,18 @@ def test_css_xss_vectors_dropped():
           .add_css_properties("p", "color", "background"))
     assert clean('<p style="background:url(javascript:alert(1))">x</p>', wl) == "<p>x</p>"
     assert clean('<p style="color:expression(alert(1))">x</p>', wl) == "<p>x</p>"
+
+
+def test_css_escape_bypass_blocked():
+    """CSS backslash escapes must not smuggle url(/expression( past the
+    style filter (ADVICE round 1)."""
+    from swiftsoup_spark.clean.whitelist import _sanitize_style
+    allowed = {"background", "color", "width"}
+    assert _sanitize_style(
+        "background:\\75rl(javascript:alert(1))", allowed) is None
+    assert _sanitize_style(
+        "color:expression\\28 alert(1)\\29", allowed) is None
+    assert _sanitize_style(
+        "background:\\000075rl(javascript:x)", allowed) is None
+    # benign escapes keep working
+    assert _sanitize_style("width:10px", allowed) == "width:10px"

@@ -36,3 +36,32 @@ def test_stream_extract_available_now(spark, tmp_path_factory):
     # restart with same checkpoint: no new files -> no duplicates
     stream_extract(spark, in_dir, out_dir, ck_dir)
     assert spark.read.parquet(os.path.join(out_dir, "extracted")).count() == n
+
+
+def test_replayed_epoch_overwrites_not_appends(spark, tmp_path_factory):
+    """Simulated checkpoint replay: re-running the same epoch_id must
+    REPLACE its partition (idempotent), not append duplicates — the
+    at-least-once -> exactly-once fix from round-1 ADVICE."""
+    from pyspark.sql import functions as F
+    from swiftsoup_spark.spark.extract import extract_pages
+    from swiftsoup_spark.spark.pages import pages_df
+
+    out_dir = str(tmp_path_factory.mktemp("replay"))
+    pages = pages_df(spark, SF_DIR).limit(50)
+
+    def process_batch(df, epoch_id):
+        df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
+        ex = extract_pages(df, None)
+        (ex.withColumn("epoch", F.lit(epoch_id))
+           .write.mode("overwrite").partitionBy("epoch")
+           .parquet(os.path.join(out_dir, "extracted")))
+
+    process_batch(pages, 0)
+    n = spark.read.parquet(os.path.join(out_dir, "extracted")).count()
+    process_batch(pages, 0)    # replay of the same micro-batch
+    n2 = spark.read.parquet(os.path.join(out_dir, "extracted")).count()
+    assert n2 == n, "replayed epoch duplicated rows"
+    process_batch(pages, 1)    # a new epoch adds its own partition
+    n3 = spark.read.parquet(os.path.join(out_dir, "extracted")).count()
+    assert n3 == 2 * n
