@@ -78,6 +78,30 @@ q_extract_text_pre = _q_variant_text("pre")
 q_extract_text_entities = _q_variant_text("entities")
 
 
+def q_parse_error_positions(spark, sf_dir):
+    """Positioned parse-error tracking (reference ParseErrorList): a
+    template with a known duplicate attribute yields one error at a
+    fixed char offset; exposes (n_errors, first_err_pos) per url."""
+    from pyspark.sql import types as T
+    from swiftsoup_spark.spark.pages import URL_SQL, load_documents
+    load_documents(spark, sf_dir)
+    pages = spark.sql(
+        f"SELECT {URL_SQL} AS url, "
+        "'<div id=\"d\" id=\"dup\"><p>' || text || '</p></div>' AS html "
+        "FROM documents")
+
+    def row(tb, s):
+        from swiftsoup_spark.kernel.treebuilder import HtmlTreeBuilder
+        arena = HtmlTreeBuilder(track_spans=False, max_errors=8).parse(s)
+        el = arena.error_list
+        return (len(el), el[0].pos if el else -1)
+
+    return X.apply_kernel(
+        pages, row,
+        [T.StructField("n_errors", T.IntegerType()),
+         T.StructField("first_err_pos", T.IntegerType())])
+
+
 def q_select_attr_entities(spark, sf_dir):
     """attribute entity decode: href with &amp; through the selector."""
     from swiftsoup_spark.spark.pages import variant_pages_df
@@ -300,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_pre": q_extract_text_pre,
         "extract_text_entities": q_extract_text_entities,
         "select_attr_entities": q_select_attr_entities,
+        "parse_error_positions": q_parse_error_positions,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -474,6 +499,9 @@ FROM documents
         "extract_text_entities": _variant_oracle("entities"),
         "select_attr_entities": (
             f"SELECT {URL_SQL} AS url, '/x?a=1&b=2' AS href FROM documents"),
+        "parse_error_positions": (
+            f"SELECT {URL_SQL} AS url, 1 AS n_errors, "
+            f"20 AS first_err_pos FROM documents"),
         "dedup_exact": (
             "SELECT md5(text) AS fp, min(doc_id) AS rep_doc_id, "
             "count(*) AS n_dupes FROM documents GROUP BY md5(text)"),

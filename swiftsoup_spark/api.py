@@ -10,18 +10,22 @@ from swiftsoup_spark.kernel.treebuilder import HtmlTreeBuilder
 from swiftsoup_spark.kernel.xmlbuilder import XmlTreeBuilder
 
 
-def parse(html: str | bytes, base_uri: str = "") -> Document:
+def parse(html: str | bytes, base_uri: str = "",
+          max_errors: int = 0) -> Document:
     """SwiftSoup.parse: sniffs a leading ``<?xml`` to pick the XML parser
-    (reference SwiftSoup.swift:20-43,235-254)."""
+    (reference SwiftSoup.swift:20-43,235-254). ``max_errors`` > 0 turns
+    on bounded positioned error tracking (reference
+    Parser.setTrackErrors, Parser.swift:69-90); read results from
+    ``doc.errors()``."""
     if isinstance(html, (bytes, bytearray)):
         html = decode_html(bytes(html))
     if html.lstrip()[:5] == "<?xml":
         return parse_xml(html, base_uri)
-    return parse_html(html, base_uri)
+    return parse_html(html, base_uri, max_errors=max_errors)
 
 
-def parse_html(html: str, base_uri: str = "") -> Document:
-    arena = HtmlTreeBuilder().parse(html, base_uri)
+def parse_html(html: str, base_uri: str = "", max_errors: int = 0) -> Document:
+    arena = HtmlTreeBuilder(max_errors=max_errors).parse(html, base_uri)
     return Document(arena, 0)
 
 

@@ -32,8 +32,8 @@ class Arena:
 
     __slots__ = (
         "parent", "ntype", "tag", "text", "attrs", "children",
-        "tags", "base_uri", "quirks", "errors", "location", "selfclosing",
-        "src_start", "src_end", "form_controls",
+        "tags", "base_uri", "quirks", "errors", "error_list", "location",
+        "selfclosing", "src_start", "src_end", "form_controls",
     )
 
     def __init__(self, tags: TagRegistry | None = None, base_uri: str = "") -> None:
@@ -50,6 +50,10 @@ class Arena:
         self.base_uri = base_uri
         self.quirks = 0  # 0 no-quirks, 1 quirks, 2 limited-quirks
         self.errors = 0
+        # bounded positioned error list (kernel.errors.ParseErrorList);
+        # empty/no-tracking unless the parse enabled max_errors
+        from swiftsoup_spark.kernel.errors import ParseErrorList
+        self.error_list = ParseErrorList(0)
         self.location = base_uri
         self.selfclosing: set[int] = set()  # nodes whose start tag had '/>'
         # form association (reference FormElement.swift): form node id ->
@@ -602,6 +606,12 @@ class Document(Element):
 
     def text(self) -> str:
         return self.arena.node_text(self.id)
+
+    def errors(self):
+        """Positioned parse errors from the last parse (bounded; empty
+        unless the parse enabled ``max_errors`` — reference
+        Parser.getErrors)."""
+        return self.arena.error_list
 
 
 def _wrap(arena: Arena, nid: int) -> Node:

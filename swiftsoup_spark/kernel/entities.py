@@ -114,14 +114,75 @@ def unescape(s: str, in_attribute: bool = False, strict: bool = False) -> str:
 
 # --- escape (serialization) -------------------------------------------------
 
-# Escape modes (reference Entities.swift:217-241): under UTF-8 output the
-# observable escapes are the core set; extended mode additionally prefers
-# named entities, which we support via a reverse map when asked.
+# Escape modes (reference Entities.swift:217-241):
+#   xhtml    — 4 core entities only (lt gt amp quot)
+#   base     — the 106-entry HTML4 table: stdlib ``codepoint2name`` for
+#              cp <= 0xFF (100 names) + the 6 uppercase aliases the
+#              WHATWG table adds (AMP GT LT QUOT COPY REG) — verified
+#              equal to the reference's packed base table
+#   extended — the full 2125-name WHATWG table (== stdlib html5)
+# Under a charset that can encode everything (utf-8) the observable
+# escapes are the core set + nbsp; the named tables matter when the
+# output charset cannot encode a character (reference
+# Entities.swift:485-1100 escape overloads + appendEncoded): preferred
+# named entity (lexicographically greatest name for the first
+# codepoint, reference bestNameForScalar) else ``&#x...;``.
 XHTML = "xhtml"
 BASE = "base"
 EXTENDED = "extended"
 
 _XHTML_MAP = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;"}
+
+_BASE_ALIAS_NAMES = frozenset(["AMP", "GT", "LT", "QUOT", "COPY", "REG"])
+
+
+def _build_escape_tables() -> tuple[dict[int, str], dict[int, str]]:
+    from html.entities import codepoint2name
+
+    distinct: dict[str, str] = {}
+    for k, v in _HTML5.items():
+        distinct.setdefault(k.rstrip(";"), v)
+    ext: dict[int, str] = {}
+    for name, v in distinct.items():
+        cp = ord(v[0])           # keyed by FIRST codepoint (ref parity)
+        cur = ext.get(cp)
+        if cur is None or name > cur:
+            ext[cp] = name
+    base_names = ({n for c, n in codepoint2name.items() if c <= 0xFF}
+                  | _BASE_ALIAS_NAMES)
+    basem: dict[int, str] = {}
+    for name in base_names:
+        cp = ord(distinct[name][0])
+        cur = basem.get(cp)
+        if cur is None or name > cur:
+            basem[cp] = name
+    return basem, ext
+
+
+_ESC_BASE_BY_CP, _ESC_EXT_BY_CP = _build_escape_tables()
+
+
+def _can_encode(ch: str, charset: str) -> bool:
+    if charset in ("utf-8", "utf8", "utf-16", "utf16", "unicode"):
+        return True
+    if charset == "ascii":
+        return ord(ch) < 0x80
+    try:
+        ch.encode(charset)
+        return True
+    except (UnicodeEncodeError, LookupError):
+        return False
+
+
+def _encode_fallback(ch: str, escape_mode: str) -> str:
+    """Named-or-numeric escape for a charset-unencodable char
+    (reference Entities.appendEncoded)."""
+    table = (_ESC_EXT_BY_CP if escape_mode == EXTENDED
+             else _ESC_BASE_BY_CP if escape_mode == BASE else {})
+    name = table.get(ord(ch))
+    if name is not None:
+        return f"&{name};"
+    return f"&#x{ord(ch):x};"
 
 
 def escape(
@@ -131,16 +192,19 @@ def escape(
     pretty: bool = False,
     strip_leading_ws: bool = False,
     normalise_ws: bool = False,
+    charset: str = "utf-8",
 ) -> str:
-    """Escape text for HTML output (UTF-8 charset semantics).
+    """Escape text for HTML output.
 
     Mirrors the attribute/body distinction: body text escapes ``& < >
     nbsp``; attribute values escape ``& " nbsp`` (reference
-    Entities.swift:485-1100).
-    """
+    Entities.swift:485-1100). Characters the ``charset`` cannot encode
+    fall back to the mode's named entity (or ``&#x...;``)."""
     out: list[str] = []
     last_was_white = False
     reached_non_white = not strip_leading_ws
+    always_encodable = charset in ("utf-8", "utf8", "utf-16", "utf16",
+                                   "unicode")
     for ch in s:
         if normalise_ws and ch in " \t\n\f\r":
             if last_was_white or not reached_non_white:
@@ -161,6 +225,8 @@ def escape(
             out.append("&gt;" if not in_attribute else ch)
         elif ch == '"':
             out.append("&quot;" if in_attribute else ch)
-        else:
+        elif always_encodable or _can_encode(ch, charset):
             out.append(ch)
+        else:
+            out.append(_encode_fallback(ch, escape_mode))
     return "".join(out)

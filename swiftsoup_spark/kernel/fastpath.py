@@ -55,8 +55,13 @@ F_DROP = 1 << 17
 F_LISTEXTRA = 1 << 18
 F_AHTOHEAD = 1 << 19
 
-# constructs the streaming pass cannot mirror -> per-document fallback
-BAIL_TAGS = frozenset("table frameset select svg math plaintext".split())
+# constructs the streaming pass cannot mirror -> per-document fallback.
+# svg/math are NOT here: the reference (and therefore the Python kernel)
+# has no ForeignContent mode — both parse svg/math subtrees as regular
+# HTML through the generic insert (reference
+# HtmlTreeBuilderState.swift:2436-2439 stub), which the generic C branch
+# mirrors exactly (differential-fuzzed).
+BAIL_TAGS = frozenset("table frameset select plaintext".split())
 
 # after-head head-re-entry set (treebuilder._after_head error branch)
 AFTERHEAD_TOHEAD = frozenset(

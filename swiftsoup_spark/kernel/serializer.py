@@ -26,16 +26,21 @@ BOOLEAN_ATTRIBUTES = frozenset([
 
 
 class OutputSettings:
-    __slots__ = ("pretty_print", "indent_amount", "outline", "syntax", "escape_mode")
+    __slots__ = ("pretty_print", "indent_amount", "outline", "syntax",
+                 "escape_mode", "charset")
 
     def __init__(self, pretty_print: bool = True, indent_amount: int = 1,
                  outline: bool = False, syntax: str = "html",
-                 escape_mode: str = "base") -> None:
+                 escape_mode: str = "base", charset: str = "utf-8") -> None:
         self.pretty_print = pretty_print
         self.indent_amount = indent_amount
         self.outline = outline
         self.syntax = syntax
         self.escape_mode = escape_mode
+        # output charset: chars it cannot encode serialize as named
+        # (per escape_mode table) or &#x...; references (reference
+        # OutputSettings.charset / Entities escape overloads)
+        self.charset = charset
 
 
 DEFAULT_OUT = OutputSettings()
@@ -51,7 +56,8 @@ def _attrs_html(attrs: dict | None, out: OutputSettings, buf: list[str]) -> None
             continue  # valueless attribute serializes bare
         if not (v == "" and out.syntax == "html" and k.lower() in BOOLEAN_ATTRIBUTES):
             buf.append('="')
-            buf.append(escape(v, in_attribute=True, escape_mode=out.escape_mode))
+            buf.append(escape(v, in_attribute=True, escape_mode=out.escape_mode,
+                              charset=out.charset))
             buf.append('"')
 
 
@@ -130,9 +136,10 @@ def _ser(arena: Arena, nid: int, depth: int, out: OutputSettings, buf: list[str]
             if sib0 and parent_fab and not _is_blank(raw):
                 _indent(buf, depth, out)
             normalise = not (t == CDATA or arena.preserves_ws(pid))
-            buf.append(escape(raw, escape_mode=out.escape_mode, normalise_ws=normalise))
+            buf.append(escape(raw, escape_mode=out.escape_mode, normalise_ws=normalise,
+                              charset=out.charset))
         else:
-            buf.append(escape(raw, escape_mode=out.escape_mode))
+            buf.append(escape(raw, escape_mode=out.escape_mode, charset=out.charset))
         return
     if t == DATA:
         buf.append(arena.text[nid] or "")

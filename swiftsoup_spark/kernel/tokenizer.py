@@ -40,9 +40,9 @@ EOF_TOK = ("eof",)
 
 class Tokeniser:
     __slots__ = ("s", "pos", "n", "_pending", "_raw_mode", "_raw_tag", "errors",
-                 "tok_start", "tok_end")
+                 "tok_start", "tok_end", "error_list")
 
-    def __init__(self, s: str) -> None:
+    def __init__(self, s: str, error_list=None) -> None:
         if "\x00" in s:
             s = s.replace("\x00", "�")  # reference Tokeniser.swift:11
         self.s = s
@@ -52,6 +52,7 @@ class Tokeniser:
         self._raw_mode: str | None = None  # rcdata|rawtext|script|plaintext
         self._raw_tag = ""
         self.errors = 0
+        self.error_list = error_list  # optional bounded ParseErrorList
         self.tok_start = 0  # source span of the token last returned by read()
         self.tok_end = 0
 
@@ -297,6 +298,8 @@ class Tokeniser:
                 attrs[name] = val
             else:
                 self.errors += 1
+                if self.error_list is not None:
+                    self.error_list.add(j, f"Duplicate attribute {name!r}")
 
     # -- markup declarations -------------------------------------------------
     def _markup_decl(self, i: int) -> tuple:

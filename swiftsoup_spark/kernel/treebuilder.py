@@ -70,15 +70,18 @@ SCOPE_BASE = ("applet", "caption", "html", "table", "td", "th", "marquee", "obje
 
 class HtmlTreeBuilder:
     def __init__(self, tags: TagRegistry | None = None,
-                 track_spans: bool = True) -> None:
+                 track_spans: bool = True, max_errors: int = 0) -> None:
         self.tags = tags
         self.track_spans = track_spans
+        self.max_errors = max_errors
 
     # ------------------------------------------------------------------ setup
     def _init(self, html: str, base_uri: str) -> None:
+        from swiftsoup_spark.kernel.errors import ParseErrorList
         self.arena = Arena(self.tags, base_uri)
+        self.arena.error_list = ParseErrorList(self.max_errors)
         self.doc = self.arena.new_node(DOCUMENT)
-        self.tok = Tokeniser(html)
+        self.tok = Tokeniser(html, self.arena.error_list)
         self.mode = INITIAL
         self.orig_mode = INITIAL
         self.stack: list[int] = []
@@ -95,6 +98,7 @@ class HtmlTreeBuilder:
     def parse(self, html: str, base_uri: str = "") -> Arena:
         self._init(html, base_uri)
         self._run()
+        self.arena.errors = self.tok.errors
         return self.arena
 
     def parse_fragment(self, html: str, context: str | None, base_uri: str = "") -> tuple[Arena, list[int]]:
@@ -122,13 +126,24 @@ class HtmlTreeBuilder:
         else:
             self.mode = IN_BODY
         self._run()
+        self.arena.errors = self.tok.errors
         return self.arena, list(self.arena.children[root])
 
     def _run(self) -> None:
+        # a False return from process() is the "error, token ignored"
+        # convention (reference tb.error(state)); with tracking enabled
+        # those become positioned entries (reference ParseError(pos, msg))
         tok = self.tok
+        errs = self.arena.error_list
+        track = errs.max_size > 0
         while True:
             t = tok.read()
-            self.process(t)
+            ok = self.process(t)
+            if track and ok is False:
+                errs.add(tok.tok_start,
+                         f"Unexpected {t[0]} token"
+                         + (f" '{t[1]}'" if len(t) > 1 and t[0] != "char"
+                            else ""))
             if t[0] == "eof":
                 break
 
@@ -930,13 +945,12 @@ class HtmlTreeBuilder:
                 self.generate_implied_end_tags()
                 self.insert_from_token(name, attrs, sc)
             return True
-        if name in ("math", "svg"):
-            # foreign content kept as plain elements (reference keeps them too)
-            self.reconstruct_fmt()
-            self.insert_elem(name, attrs)
-            if sc:
-                self.stack.pop()
-            return True
+        # NOTE: svg/math intentionally take the generic branch below.
+        # The reference has NO ForeignContent implementation — the mode
+        # body is a stub (HtmlTreeBuilderState.swift:2436-2439 "todo:
+        # implement. Also how do we get here?") and "svg"/"math" appear
+        # only in Tag.swift:584's block list, so the reference parses
+        # their contents as regular HTML via the anything-else insert.
         if name in IN_BODY_START_DROP:
             return False
         self.reconstruct_fmt()

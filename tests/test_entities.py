@@ -60,3 +60,67 @@ def test_null_and_out_of_range():
 def test_nbsp_roundtrip():
     assert escape("a\xa0b") == "a&nbsp;b"
     assert unescape("a&nbsp;b") == "a\xa0b"
+
+
+# --- escape modes + charset fallback (reference EntitiesTest.testEscape,
+# testEscapeSupplementaryCharacter; Entities.swift:217-241,485-1100) ------
+
+def test_escape_ascii_base():
+    from swiftsoup_spark.kernel.entities import escape
+    text = "Hello &<> \xc5 \xe5 π 新 there \xbe \xa9 \xbb"
+    assert escape(text, charset="ascii", escape_mode="base") == (
+        "Hello &amp;&lt;&gt; &Aring; &aring; &#x3c0; &#x65b0; "
+        "there &frac34; &copy; &raquo;")
+
+
+def test_escape_ascii_extended():
+    from swiftsoup_spark.kernel.entities import escape
+    text = "Hello &<> \xc5 \xe5 π 新 there \xbe \xa9 \xbb"
+    assert escape(text, charset="ascii", escape_mode="extended") == (
+        "Hello &amp;&lt;&gt; &angst; &aring; &pi; &#x65b0; "
+        "there &frac34; &copy; &raquo;")
+
+
+def test_escape_ascii_xhtml():
+    from swiftsoup_spark.kernel.entities import escape
+    text = "Hello &<> \xc5 \xe5 π 新 there \xbe \xa9 \xbb"
+    assert escape(text, charset="ascii", escape_mode="xhtml") == (
+        "Hello &amp;&lt;&gt; &#xc5; &#xe5; &#x3c0; &#x65b0; "
+        "there &#xbe; &#xa9; &#xbb;")
+
+
+def test_escape_utf8_passthrough():
+    from swiftsoup_spark.kernel.entities import escape
+    text = "Hello &<> \xc5 \xe5 π 新 there \xbe \xa9 \xbb"
+    expected = ("Hello &amp;&lt;&gt; \xc5 \xe5 π 新 "
+                "there \xbe \xa9 \xbb")
+    for mode in ("base", "extended", "xhtml"):
+        got = escape(text, charset="utf-8", escape_mode=mode)
+        # nbsp-free text: modes only differ on charset fallback
+        assert got == expected, mode
+
+
+def test_escape_roundtrip():
+    from swiftsoup_spark.kernel.entities import escape, unescape
+    text = "Hello &<> \xc5 \xe5 π 新 there \xbe \xa9 \xbb"
+    for mode in ("base", "extended", "xhtml"):
+        for cs in ("ascii", "utf-8"):
+            assert unescape(escape(text, charset=cs, escape_mode=mode)) == text
+
+
+def test_escape_supplementary_character():
+    from swiftsoup_spark.kernel.entities import escape
+    text = "\U000210c1"
+    assert escape(text, charset="ascii", escape_mode="base") == "&#x210c1;"
+    assert escape(text, charset="utf-8", escape_mode="base") == text
+
+
+def test_serializer_ascii_charset():
+    from swiftsoup_spark.api import parse
+    from swiftsoup_spark.kernel.serializer import OutputSettings, inner_html
+    d = parse("<p>caf\xe9</p>")
+    body = d.body()
+    assert inner_html(d.arena, body.id,
+                      OutputSettings(charset="ascii")) == "<p>caf&eacute;</p>"
+    assert inner_html(d.arena, body.id,
+                      OutputSettings()) == "<p>caf\xe9</p>"

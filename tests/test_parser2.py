@@ -83,3 +83,28 @@ TRUNCATED = [
 def test_truncated_html_does_not_crash(html):
     doc = parse(html)
     assert doc.body() is not None
+
+
+def test_positioned_parse_errors():
+    """Bounded positioned error list (reference ParseErrorList.swift,
+    Parser.swift:69-90: off by default, (pos, msg) entries, max cap)."""
+    from swiftsoup_spark.api import parse
+
+    html = '<div class="a" class="b">x</div></span><td>y'
+    d = parse(html, max_errors=16)
+    errs = d.errors()
+    assert [e.pos for e in errs] == [24, 32, 39]
+    assert "Duplicate attribute" in errs[0].msg
+    assert "end token 'span'" in errs[1].msg
+    assert "start token 'td'" in errs[2].msg
+    # count parity: the numeric counter tracks tokenizer errors
+    assert d.arena.errors == 1
+
+    # tracking off by default
+    d2 = parse(html)
+    assert list(d2.errors()) == []
+    assert d2.arena.errors == 1
+
+    # bounded at max_errors
+    d3 = parse("<p a=1 a=2 a=3 a=4 a=5>", max_errors=2)
+    assert len(d3.errors()) == 2
