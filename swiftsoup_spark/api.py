@@ -24,8 +24,12 @@ def parse(html: str | bytes, base_uri: str = "",
     return parse_html(html, base_uri, max_errors=max_errors)
 
 
-def parse_html(html: str, base_uri: str = "", max_errors: int = 0) -> Document:
-    arena = HtmlTreeBuilder(max_errors=max_errors).parse(html, base_uri)
+def parse_html(html: str, base_uri: str = "", max_errors: int = 0,
+               settings=None) -> Document:
+    """``settings``: a ``kernel.tokenizer.ParseSettings`` (e.g.
+    ``PRESERVE_CASE``) — reference Parser.settings()."""
+    arena = HtmlTreeBuilder(max_errors=max_errors,
+                            settings=settings).parse(html, base_uri)
     return Document(arena, 0)
 
 

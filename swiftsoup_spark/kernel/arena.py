@@ -33,7 +33,7 @@ class Arena:
     __slots__ = (
         "parent", "ntype", "tag", "text", "attrs", "children",
         "tags", "base_uri", "quirks", "errors", "error_list", "location",
-        "selfclosing", "src_start", "src_end", "form_controls",
+        "selfclosing", "src_start", "src_end", "form_controls", "display_tag",
     )
 
     def __init__(self, tags: TagRegistry | None = None, base_uri: str = "") -> None:
@@ -59,6 +59,10 @@ class Arena:
         # form association (reference FormElement.swift): form node id ->
         # ordered list of its tracked control element ids
         self.form_controls: dict[int, list[int]] = {}
+        # preserve-case display names (reference ParseSettings.preserveCase:
+        # normalized name drives dispatch/selectors, display name drives
+        # tagName()/serialization); empty under HTML default settings
+        self.display_tag: dict[int, str] = {}
 
     # -- construction ----------------------------------------------------------
     def new_node(self, ntype: int, tag: int = -1, text: str | None = None,
@@ -103,6 +107,12 @@ class Arena:
     def tag_name(self, nid: int) -> str:
         t = self.tag[nid]
         return self.tags.name(t) if t >= 0 else ""
+
+    def tag_name_display(self, nid: int) -> str:
+        """Original-case tag name under preserve-case settings
+        (reference Element.tagName vs normalName)."""
+        d = self.display_tag.get(nid)
+        return d if d is not None else self.tag_name(nid)
 
     def is_block(self, nid: int) -> bool:
         return self.ntype[nid] == ELEMENT and self.tags.is_block(self.tag[nid])

@@ -97,7 +97,7 @@ def _ser(arena: Arena, nid: int, depth: int, out: OutputSettings, buf: list[str]
         return
     if t == ELEMENT:
         tid = arena.tag[nid]
-        name = tags.name(tid)
+        name = arena.display_tag.get(nid) or tags.name(tid)
         fab = tags.format_as_block(tid)
         pid = arena.parent[nid]
         parent_fab = (pid >= 0 and arena.ntype[pid] == ELEMENT

@@ -38,11 +38,32 @@ _SCRIPT_EVENT_RE = re.compile(r"<!--|-->|</script(?=[\t\n\f\r />]|$)|<script(?=[
 EOF_TOK = ("eof",)
 
 
+class ParseSettings:
+    """Tag/attribute case handling (reference ParseSettings.swift:1-123).
+
+    HTML default lowercases both; ``preserve_case`` keeps the source
+    case. Like the reference, the preserved (display) name rides along
+    with the normalized name: tree-builder dispatch and selectors always
+    use the normalized form, serialization uses the display form."""
+
+    __slots__ = ("preserve_tag_case", "preserve_attr_case")
+
+    def __init__(self, preserve_tag_case: bool = False,
+                 preserve_attr_case: bool = False) -> None:
+        self.preserve_tag_case = preserve_tag_case
+        self.preserve_attr_case = preserve_attr_case
+
+
+HTML_DEFAULT = ParseSettings(False, False)
+PRESERVE_CASE = ParseSettings(True, True)
+
+
 class Tokeniser:
     __slots__ = ("s", "pos", "n", "_pending", "_raw_mode", "_raw_tag", "errors",
-                 "tok_start", "tok_end", "error_list")
+                 "tok_start", "tok_end", "error_list", "settings")
 
-    def __init__(self, s: str, error_list=None) -> None:
+    def __init__(self, s: str, error_list=None,
+                 settings: ParseSettings | None = None) -> None:
         if "\x00" in s:
             s = s.replace("\x00", "�")  # reference Tokeniser.swift:11
         self.s = s
@@ -53,6 +74,7 @@ class Tokeniser:
         self._raw_tag = ""
         self.errors = 0
         self.error_list = error_list  # optional bounded ParseErrorList
+        self.settings = settings if settings is not None else HTML_DEFAULT
         self.tok_start = 0  # source span of the token last returned by read()
         self.tok_end = 0
 
@@ -209,14 +231,15 @@ class Tokeniser:
         if c == "?":
             return self._bogus_comment(i)
         m = _TAGNAME_RE.match(s, i)
-        name = m.group(0)
-        if not name.islower():
-            name = name.lower()
+        raw = m.group(0)
+        name = raw if raw.islower() else raw.lower()
         attrs, self_closing, j, eof = self._attrs(m.end())
         if eof:
             self.pos = n
             return EOF_TOK  # unterminated tag at EOF is dropped
         self.pos = j
+        if self.settings.preserve_tag_case and raw != name:
+            return ("start", name, attrs, self_closing, raw)
         return ("start", name, attrs, self_closing)
 
     def _end_tag(self, i: int) -> tuple | None:
@@ -231,14 +254,15 @@ class Tokeniser:
         if not (c.isascii() and c.isalpha()):
             return self._bogus_comment(i)
         m = _TAGNAME_RE.match(s, i)
-        name = m.group(0)
-        if not name.islower():
-            name = name.lower()
+        raw = m.group(0)
+        name = raw if raw.islower() else raw.lower()
         _, _, j, eof = self._attrs(m.end())
         if eof:
             self.pos = n
             return EOF_TOK
         self.pos = j
+        if self.settings.preserve_tag_case and raw != name:
+            return ("end", name, raw)
         return ("end", name)
 
     def _attrs(self, j: int) -> tuple[dict | None, bool, int, bool]:
@@ -269,7 +293,7 @@ class Tokeniser:
                 m = _ATTRNAME_RE.match(s, j)
                 name = m.group(0)
                 j = m.end()
-            if not name.islower():
+            if not name.islower() and not self.settings.preserve_attr_case:
                 name = name.lower()
             if j < n and s[j] in "\t\n\f\r ":
                 j = _WS_RE.match(s, j).end()

@@ -70,10 +70,12 @@ SCOPE_BASE = ("applet", "caption", "html", "table", "td", "th", "marquee", "obje
 
 class HtmlTreeBuilder:
     def __init__(self, tags: TagRegistry | None = None,
-                 track_spans: bool = True, max_errors: int = 0) -> None:
+                 track_spans: bool = True, max_errors: int = 0,
+                 settings=None) -> None:
         self.tags = tags
         self.track_spans = track_spans
         self.max_errors = max_errors
+        self.settings = settings
 
     # ------------------------------------------------------------------ setup
     def _init(self, html: str, base_uri: str) -> None:
@@ -81,7 +83,7 @@ class HtmlTreeBuilder:
         self.arena = Arena(self.tags, base_uri)
         self.arena.error_list = ParseErrorList(self.max_errors)
         self.doc = self.arena.new_node(DOCUMENT)
-        self.tok = Tokeniser(html, self.arena.error_list)
+        self.tok = Tokeniser(html, self.arena.error_list, self.settings)
         self.mode = INITIAL
         self.orig_mode = INITIAL
         self.stack: list[int] = []
@@ -94,6 +96,7 @@ class HtmlTreeBuilder:
         self.base_uri_set = False
         self.fragment = False
         self.context_tag: str | None = None
+        self._pending_display: str | None = None
 
     def parse(self, html: str, base_uri: str = "") -> Arena:
         self._init(html, base_uri)
@@ -165,6 +168,9 @@ class HtmlTreeBuilder:
 
     def insert_elem(self, name: str, attrs: dict | None = None) -> int:
         el = self.arena.new_element(name, attrs)
+        pd = self._pending_display
+        if pd is not None and pd[0] == name:
+            self.arena.display_tag[el] = pd[1]
         self._insert_node(el)
         self.stack.append(el)
         self._maybe_base(name, attrs)
@@ -186,6 +192,9 @@ class HtmlTreeBuilder:
 
     def insert_empty(self, name: str, attrs: dict | None, self_closing: bool) -> int:
         el = self.arena.new_element(name, attrs)
+        pd = self._pending_display
+        if pd is not None and pd[0] == name:
+            self.arena.display_tag[el] = pd[1]
         self._insert_node(el)
         if self_closing:
             self.arena.selfclosing.add(el)
@@ -428,6 +437,16 @@ class HtmlTreeBuilder:
         if t[0] == "cdata":
             # reference (pre-CDataNode jsoup): CDATA becomes a plain TextNode
             t = ("char", t[1])
+        elif t[0] == "start" and len(t) > 4:
+            # preserve-case settings: remember the display name for the
+            # element this token inserts (normalized name drives logic);
+            # paired with the normalized name so synthesized elements
+            # (html/head/body) never pick it up
+            self._pending_display = (t[1], t[4])
+            try:
+                return _MODES[self.mode if mode is None else mode](self, t)
+            finally:
+                self._pending_display = None
         m = self.mode if mode is None else mode
         return _MODES[m](self, t)
 

@@ -9,10 +9,14 @@ from swiftsoup_spark.kernel.arena import (
     Arena, CDATA, COMMENT, DATA, DOCTYPE, DOCUMENT, TEXT, XMLDECL,
 )
 from swiftsoup_spark.kernel.tags import TagRegistry
-from swiftsoup_spark.kernel.tokenizer import Tokeniser
+from swiftsoup_spark.kernel.tokenizer import PRESERVE_CASE, Tokeniser
 
 
 class XmlTreeBuilder:
+    """Tag/attribute case is PRESERVED (reference
+    XmlTreeBuilder.defaultSettings == ParseSettings.preserveCase,
+    XmlTreeBuilder.swift:25-34); end tags match case-sensitively."""
+
     def __init__(self, tags: TagRegistry | None = None) -> None:
         self.tags = tags
 
@@ -20,23 +24,30 @@ class XmlTreeBuilder:
         a = Arena(self.tags, base_uri)
         doc = a.new_node(DOCUMENT)
         stack = [doc]
-        tok = Tokeniser(xml)
+        tok = Tokeniser(xml, settings=PRESERVE_CASE)
         while True:
             t = tok.read()
             k = t[0]
             if k == "eof":
                 break
             if k == "start":
+                # intern the NORMALIZED name (selectors match on it, like
+                # the reference's normalName); original case rides in
+                # display_tag for tagName()/serialization
                 el = a.new_element(t[1], t[2])
+                if len(t) > 4:
+                    a.display_tag[el] = t[4]
                 a.append_child(stack[-1], el)
                 if t[3]:
                     a.selfclosing.add(el)
                 else:
                     stack.append(el)
             elif k == "end":
-                # pop to closest matching open element; ignore if none
+                # pop to closest matching open element (case-sensitive on
+                # the display name, reference preserveCase); ignore if none
+                name = t[2] if len(t) > 2 else t[1]
                 for i in range(len(stack) - 1, 0, -1):
-                    if a.tag_name(stack[i]) == t[1]:
+                    if a.tag_name_display(stack[i]) == name:
                         del stack[i:]
                         break
             elif k in ("char", "cdata"):

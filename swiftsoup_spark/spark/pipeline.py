@@ -30,6 +30,61 @@ from swiftsoup_spark.spark.extract import extract_pages
 MANIFEST = "_manifest"
 
 
+# --- table-format seam ------------------------------------------------------
+# The north rule names Iceberg; this sandbox ships no Iceberg runtime jar,
+# so the commit path is a SEAM with two implementations sharing the same
+# replace-not-append contract:
+#   * ParquetFormat  — dynamic partition overwrite (used everywhere here;
+#     identical idempotence semantics at the bucket granularity)
+#   * IcebergFormat  — DataFrameWriterV2 ``writeTo(tbl).overwritePartitions()``
+#     (atomic snapshot commit); auto-selected when the target is a catalog
+#     table name rather than a path. Unit-tested against the writer-V2 call
+#     surface; runs unmodified on a session with the Iceberg extension.
+
+class ParquetFormat:
+    """Path-based parquet with dynamic partition overwrite."""
+
+    def overwrite_partitions(self, df, target: str, partition_col: str) -> None:
+        df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (df.write.mode("overwrite").partitionBy(partition_col)
+           .parquet(target))
+
+    def read(self, spark, target: str):
+        return spark.read.parquet(target)
+
+    def extracted_target(self, out_dir: str) -> str:
+        return os.path.join(out_dir, "extracted")
+
+
+class IcebergFormat:
+    """Catalog-table commit via the DataFrameWriterV2 API: partition
+    replacement is an atomic snapshot operation (``overwritePartitions``).
+    ``target`` is a table identifier (``catalog.db.table``)."""
+
+    def overwrite_partitions(self, df, target: str, partition_col: str) -> None:
+        writer = df.writeTo(target)
+        try:
+            writer.overwritePartitions()
+        except Exception:
+            # first run: table doesn't exist yet
+            df.writeTo(target).partitionedBy(F.col(partition_col)).create()
+
+    def read(self, spark, target: str):
+        return spark.read.table(target)
+
+    def extracted_target(self, out_dir: str) -> str:
+        return out_dir + "_extracted" if "." not in out_dir else out_dir
+
+
+def table_format_for(target: str):
+    """Catalog table identifiers (dots, no path separators) -> Iceberg;
+    paths -> parquet."""
+    if "/" not in target and "." in target:
+        return IcebergFormat()
+    return ParquetFormat()
+
+
 def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, MANIFEST)
 
@@ -50,13 +105,16 @@ def done_buckets(spark, out_dir: str) -> set[int]:
 
 
 def run_extraction(spark, pages_df, out_dir: str, n_buckets: int = 32,
-                   css_scope: str | None = None, salt: int = 1):
+                   css_scope: str | None = None, salt: int = 1,
+                   table_format=None):
     """Extract text for all not-yet-done buckets; returns the manifest DF.
 
     ``salt`` > 1 splits each bucket into sub-tasks for skewed inputs
     (doc-size skew), without changing the bucket commit unit.
+    ``table_format``: a table-format seam instance (ParquetFormat /
+    IcebergFormat); default resolves from the target shape.
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    fmt = table_format or table_format_for(out_dir)
     done = done_buckets(spark, out_dir)
     bucketed = pages_df.withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
@@ -69,13 +127,13 @@ def run_extraction(spark, pages_df, out_dir: str, n_buckets: int = 32,
     extracted = extract_pages(todo, css_scope, keep_cols=("bucket",),
                               metrics=True)
     out = extracted.select("bucket", "url", "text", "n_nodes", "parse_errors")
-    out.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(out_dir, "extracted"))
+    target = fmt.extracted_target(out_dir)
+    fmt.overwrite_partitions(out, target, "bucket")
     # lineage manifest: one row per bucket, order-independent checksum —
     # derived by READING BACK the files just written (not from ``out``'s
     # lineage, which would re-run the whole parse a second time and
     # describe a recomputation rather than what landed on disk)
-    written = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    written = fmt.read(spark, target)
     if done:
         written = written.filter(~F.col("bucket").isin(list(done)))
     man = (written.groupBy("bucket")

@@ -86,3 +86,46 @@ print(json.dumps(P.corpus_checksum(spark, out)))
         assert r.returncode == 0, r.stderr[-2000:]
         results.append(json.loads(r.stdout.strip().splitlines()[-1]))
     assert results[0] == results[1]
+
+
+def test_table_format_seam_resolution():
+    from swiftsoup_spark.spark.pipeline import (
+        IcebergFormat, ParquetFormat, table_format_for)
+    assert isinstance(table_format_for("/tmp/out"), ParquetFormat)
+    assert isinstance(table_format_for("local.db.extracted"), IcebergFormat)
+    assert isinstance(table_format_for("./rel/path"), ParquetFormat)
+
+
+def test_iceberg_format_writer_v2_surface():
+    """IcebergFormat drives the DataFrameWriterV2 API
+    (writeTo -> overwritePartitions, create-on-first-run)."""
+    from swiftsoup_spark.spark.pipeline import IcebergFormat
+
+    calls = []
+
+    class FakeWriter:
+        def __init__(self, exists):
+            self.exists = exists
+        def overwritePartitions(self):
+            calls.append("overwritePartitions")
+            if not self.exists:
+                raise RuntimeError("table not found")
+        def partitionedBy(self, col):
+            calls.append("partitionedBy")
+            return self
+        def create(self):
+            calls.append("create")
+
+    class FakeDF:
+        def __init__(self, exists):
+            self.exists = exists
+        def writeTo(self, target):
+            calls.append(f"writeTo:{target}")
+            return FakeWriter(self.exists)
+
+    IcebergFormat().overwrite_partitions(FakeDF(True), "c.db.t", "bucket")
+    assert calls == ["writeTo:c.db.t", "overwritePartitions"]
+    calls.clear()
+    IcebergFormat().overwrite_partitions(FakeDF(False), "c.db.t", "bucket")
+    assert calls == ["writeTo:c.db.t", "overwritePartitions",
+                     "writeTo:c.db.t", "partitionedBy", "create"]

@@ -38,3 +38,33 @@ def test_xml_case_preserved_tags_are_lowercased_like_reference_default():
     # normalizes to lowercase (HTML default) — selectors are lowercase too
     doc = parse_xml("<CHECK>One</CHECK>")
     assert doc.select("check")[0].text() == "One"
+
+
+def test_parse_settings_preserve_case_html():
+    """reference ParseSettings.preserveCase via Parser.settings():
+    display names keep source case; dispatch and selectors use the
+    normalized (lowercase) name (reference name vs normalName)."""
+    from swiftsoup_spark.api import parse_html
+    from swiftsoup_spark.kernel.tokenizer import PRESERVE_CASE
+
+    d = parse_html('<DIV CLASS="X"><SpAn Foo="1">t</SpAn></DIV>',
+                   settings=PRESERVE_CASE)
+    div = d.select("div")[0]          # selectors: normalized name
+    assert div.arena.tag_name_display(div.id) == "DIV"
+    span = d.select("span")[0]
+    assert span.arena.tag_name_display(span.id) == "SpAn"
+    assert span.attr("Foo") == "1"    # attr case preserved
+    html = d.body().outer_html()
+    assert "<DIV" in html and "<SpAn" in html and 'CLASS="X"' in html
+
+
+def test_xml_preserves_case_like_reference():
+    """reference XmlTreeBuilder.defaultSettings == preserveCase
+    (XmlTreeBuilder.swift:25-34): tags/attrs keep case, end tags match
+    case-sensitively."""
+    from swiftsoup_spark.api import parse_xml
+    from swiftsoup_spark.kernel.serializer import serialize
+
+    x = parse_xml('<Feed><Entry Id="1">a</Entry><entry>b</entry></Feed>')
+    assert serialize(x.arena, 0) == (
+        '<Feed><Entry Id="1">a</Entry><entry>b</entry></Feed>')
