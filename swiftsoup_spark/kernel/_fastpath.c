@@ -130,6 +130,14 @@ typedef struct {
     Py_ssize_t title_a, title_b; int title_set; /* raw rcdata span */
     int bail;
     int pending_end;   /* queued synthetic end tag (-1 none) */
+    /* #id scope extraction (css_scope fast path) */
+    const uint8_t *scope_id; int scope_id_len;   /* NULL = whole doc */
+    int scope_done, scope_active;
+    uint32_t scope_ser;
+    Py_ssize_t scope_a, scope_b;
+    Py_ssize_t base_olen;          /* accumulator barrier at scope entry */
+    Py_ssize_t pid_a, pid_b;       /* current token's id-attr value span */
+    int pid_valid;
     char unk_names[MAXUNK][MAXTAGLEN + 1];      /* doc-local interning */
     int unk_len[MAXUNK]; int n_unk;
 } P;
@@ -152,9 +160,9 @@ static int intern_tag(P *p, const uint8_t *name, int len) {
 }
 
 /* ---- output helpers ---- */
-static inline int out_nonempty(P *p) { return p->olen > 0; }
+static inline int out_nonempty(P *p) { return p->olen > p->base_olen; }
 static inline int out_lastspace(P *p) {
-    return p->olen > 0 && p->out[p->olen - 1] == ' ';
+    return p->olen > p->base_olen && p->out[p->olen - 1] == ' ';
 }
 static inline void putb(P *p, uint8_t c) { p->out[p->olen++] = c; }
 
@@ -364,6 +372,50 @@ static uint32_t insert_el(P *p, int tag) {
 
 static void insert_empty_el(P *p, int tag) { maybe_space(p, tag); }
 
+/* does the current token carry id="<scope_id>"? (valid only between
+ * handle_tag's capture and the token's own element insert) */
+static inline int token_id_matches(P *p) {
+    if (!p->scope_id || p->scope_done || !p->pid_valid) return 0;
+    if (p->pid_b - p->pid_a != p->scope_id_len) return 0;
+    if (memchr(p->s + p->pid_a, '&', p->scope_id_len)) { p->bail = 1; return 0; }
+    return memcmp(p->s + p->pid_a, p->scope_id, p->scope_id_len) == 0;
+}
+
+/* token element just pushed: open the scope on it */
+static inline void scope_on_push(P *p) {
+    if (token_id_matches(p)) {
+        p->scope_done = 1;
+        p->scope_active = 1;
+        p->scope_ser = p->serial;      /* the element just pushed */
+        p->base_olen = p->olen;
+        p->scope_a = p->olen;
+    }
+    p->pid_valid = 0;                  /* consumed by the token element */
+}
+
+/* token element was a void insert (no push): empty-subtree scope */
+static inline void scope_on_void(P *p) {
+    if (token_id_matches(p)) {
+        p->scope_done = 1;
+        p->scope_a = p->scope_b = p->olen;
+    }
+    p->pid_valid = 0;
+}
+
+/* token-origin element insert (vs synthesized/reconstructed inserts,
+ * which must NOT consume the token's id attribute) */
+static uint32_t insert_el_tok(P *p, int tag) {
+    maybe_space(p, tag);
+    push_el(p, tag);
+    scope_on_push(p);
+    return p->serial;
+}
+
+static void insert_empty_el_tok(P *p, int tag) {
+    maybe_space(p, tag);
+    scope_on_void(p);
+}
+
 static void pop_el(P *p) {
     if (p->sp <= 0) { p->bail = 1; return; }
     p->sp--;
@@ -398,6 +450,10 @@ static void gen_implied(P *p, int exclude) {
 }
 
 static void remove_stack_serial(P *p, uint32_t ser) {
+    /* mid-stack removal (form end, a-in-a) leaves deeper elements in
+     * the removed element's TREE subtree while they leave our stack;
+     * streaming can no longer delimit the scope subtree -> bail */
+    if (p->scope_active && ser == p->scope_ser) { p->bail = 1; return; }
     for (int i = p->sp - 1; i >= 0; i--) {
         if (p->st_ser[i] == ser) {
             memmove(p->st_tag + i, p->st_tag + i + 1,
@@ -642,7 +698,7 @@ static void script_end(P *p, Py_ssize_t i, Py_ssize_t *content_end,
  * On entry j is just past the tag name. Returns next pos (past '>'),
  * sets *sc and *eof. */
 static Py_ssize_t skip_attrs(P *p, Py_ssize_t j, int *sc, int *eof,
-                             int *has_attrs) {
+                             int *has_attrs, int capture_id) {
     const uint8_t *s = p->s; Py_ssize_t n = p->n;
     *sc = 0; *eof = 0;
     if (has_attrs) *has_attrs = 0;
@@ -658,6 +714,7 @@ static Py_ssize_t skip_attrs(P *p, Py_ssize_t j, int *sc, int *eof,
         }
         /* attribute name ([^\t\n\f\r />=]+, '=' may lead and join) */
         if (has_attrs) *has_attrs = 1;
+        Py_ssize_t na = j;
         if (c == '=') j++;
         while (j < n) {
             c = s[j];
@@ -665,6 +722,9 @@ static Py_ssize_t skip_attrs(P *p, Py_ssize_t j, int *sc, int *eof,
                 break;
             j++;
         }
+        /* first id attribute wins (duplicate attrs: first declaration) */
+        int is_id = capture_id && !p->pid_valid && j - na == 2 &&
+                    (s[na] | 32) == 'i' && (s[na + 1] | 32) == 'd';
         while (j < n && (s[j]=='\t'||s[j]=='\n'||s[j]=='\f'||s[j]=='\r'||s[j]==' '))
             j++;
         if (j < n && s[j] == '=') {
@@ -676,15 +736,23 @@ static Py_ssize_t skip_attrs(P *p, Py_ssize_t j, int *sc, int *eof,
             if (q == '"' || q == '\'') {
                 const uint8_t *k = memchr(s + j + 1, q, n - j - 1);
                 if (!k) { *eof = 1; return n; }
+                if (is_id) { p->pid_a = j + 1; p->pid_b = k - s; p->pid_valid = 1; }
                 j = (k - s) + 1;
             } else {
+                Py_ssize_t vs = j;
                 while (j < n) {
                     c = s[j];
                     if (c=='\t'||c=='\n'||c=='\f'||c=='\r'||c==' '||c=='>')
                         break;
                     j++;
                 }
+                if (is_id) { p->pid_a = vs; p->pid_b = j; p->pid_valid = 1; }
             }
+        } else if (is_id) {
+            /* valueless id attr: attrs["id"] is None in the kernel ->
+             * never equal to a scope id; mark as zero-len at na so a
+             * non-empty scope id cannot match */
+            p->pid_a = p->pid_b = na; p->pid_valid = 1;
         }
     }
 }
@@ -704,7 +772,7 @@ static void consume_end_tag(P *p, Py_ssize_t close) {
         }
     }
     int sc, eof;
-    Py_ssize_t nx = skip_attrs(p, j, &sc, &eof, NULL);
+    Py_ssize_t nx = skip_attrs(p, j, &sc, &eof, NULL, 0);
     p->pos = eof ? n : nx;
 }
 
@@ -766,7 +834,7 @@ static void close_p_if_open(P *p) {
  * dispatch wrapper AFTER the caller's post-insert steps, mirroring the
  * tokenizer pending queue). Returns the element serial. */
 static uint32_t insert_from_token(P *p, int tag, int sc) {
-    uint32_t ser = insert_el(p, tag);
+    uint32_t ser = insert_el_tok(p, tag);
     if (sc) p->pending_end = tag;
     return ser;
 }
@@ -833,14 +901,14 @@ static void handle_end_body(P *p, int tag) {
 static void start_rcdata(P *p, int tag, int sc,
                          const uint8_t *name, int nlen) {
     if (sc) {
-        insert_el(p, tag);
+        insert_el_tok(p, tag);
         if (tag == T_title && !p->title_set) {
             p->title_set = 1; p->title_a = p->title_b = 0;
         }
         pop_el(p);
         return;
     }
-    insert_el(p, tag);
+    insert_el_tok(p, tag);
     Py_ssize_t i = p->pos, content_end, close;
     find_close(p, i, name, nlen, &content_end, &close);
     if (close < 0) {
@@ -874,8 +942,8 @@ static void start_rcdata(P *p, int tag, int sc,
 /* rawtext/script element: content is a DataNode (excluded from text) */
 static void start_rawtext(P *p, int tag, int sc,
                           const uint8_t *name, int nlen, int is_script) {
-    if (sc) { insert_el(p, tag); pop_el(p); return; }
-    insert_el(p, tag);
+    if (sc) { insert_el_tok(p, tag); pop_el(p); return; }
+    insert_el_tok(p, tag);
     Py_ssize_t i = p->pos, content_end, close;
     if (is_script) script_end(p, i, &content_end, &close);
     else find_close(p, i, name, nlen, &content_end, &close);
@@ -893,7 +961,7 @@ static int to_head_start(P *p, int tag, int sc,
                          const uint8_t *name, int nlen) {
     if (tag == T_base || tag == T_basefont || tag == T_bgsound ||
         tag == T_command || tag == T_link || tag == T_meta) {
-        insert_empty_el(p, tag);
+        insert_empty_el_tok(p, tag);
         return 1;
     }
     if (tag == T_title) { start_rcdata(p, tag, sc, name, nlen); return 1; }
@@ -910,12 +978,20 @@ static void handle_start_body(P *p, int tag, int sc, int has_attrs,
                               const uint8_t *name, int nlen) {
     uint32_t f = tflags(tag);
     if (f & F_BAIL) { p->bail = 1; return; }
-    if (tag == T_html) return;                    /* attr merge only */
+    if (tag == T_html) {
+        if (has_attrs && p->scope_id && !p->scope_done) p->bail = 1;
+        return;
+    }
     if (f & F_TOHEAD) {                           /* incl noscript? no */
         to_head_start(p, tag, sc, name, nlen);
         return;
     }
-    if (tag == T_body) return;                    /* attr merge only */
+    if (tag == T_body) {
+        /* duplicate <body>: Python merges attrs into the existing body
+         * (setdefault) — could introduce the scope id */
+        if (has_attrs && p->scope_id && !p->scope_done) p->bail = 1;
+        return;
+    }
     if (f & F_PCLOSER) {
         close_p_if_open(p);
         insert_from_token(p, tag, sc);
@@ -1007,21 +1083,21 @@ static void handle_start_body(P *p, int tag, int sc, int has_attrs,
     }
     if (f & F_EMPTYFMT) {    /* area br embed img keygen wbr */
         reconstruct_fmt(p);
-        insert_empty_el(p, tag);
+        insert_empty_el_tok(p, tag);
         return;
     }
     if (tag == T_input) {
         reconstruct_fmt(p);
-        insert_empty_el(p, tag);
+        insert_empty_el_tok(p, tag);
         return;
     }
     if (f & F_MEDIA) {       /* param source track */
-        insert_empty_el(p, tag);
+        insert_empty_el_tok(p, tag);
         return;
     }
     if (tag == T_hr) {
         close_p_if_open(p);
-        insert_empty_el(p, tag);
+        insert_empty_el_tok(p, tag);
         return;
     }
     if (tag == T_image) {    /* rewrite to img */
@@ -1076,15 +1152,17 @@ static void push_existing(P *p, int tag, uint32_t ser) {
     p->sp++;
 }
 
-static void enter_head(P *p) {
+static void enter_head(P *p, int from_tok) {
     ensure_html(p);
-    p->head_ser = insert_el(p, T_head);
+    p->head_ser = from_tok ? insert_el_tok(p, T_head)
+                           : insert_el(p, T_head);
     p->head_present = 1;
     p->mode = M_HEAD;
 }
 
-static void enter_body(P *p) {
-    insert_el(p, T_body);
+static void enter_body(P *p, int from_tok) {
+    if (from_tok) insert_el_tok(p, T_body);
+    else insert_el(p, T_body);
     p->mode = M_BODY;
 }
 
@@ -1093,15 +1171,22 @@ static void dispatch_start(P *p, int tag, int sc, int has_attrs,
     if (p->bail) return;
     switch (p->mode) {
     case M_PRE:
-        if (tag == T_html) { ensure_html(p); return; }
-        if (tag == T_head) { enter_head(p); return; }
-        enter_head(p);
+        if (tag == T_html) {
+            int was = p->have_html;
+            ensure_html(p);
+            if (!was) scope_on_push(p);       /* <html id=...> */
+            else if (has_attrs && p->scope_id && !p->scope_done)
+                p->bail = 1;                  /* attr merge could add id */
+            return;
+        }
+        if (tag == T_head) { enter_head(p, 1); return; }
+        enter_head(p, 0);
         dispatch_start(p, tag, sc, has_attrs, name, nlen);
         break;
     case M_HEAD:
         if (tag == T_html) return;
         if (tag == T_noscript) {
-            insert_el(p, tag);
+            insert_el_tok(p, tag);
             p->mode = M_HEADNS;
             return;
         }
@@ -1114,7 +1199,7 @@ static void dispatch_start(P *p, int tag, int sc, int has_attrs,
         if (tag == T_html || tag == T_head || tag == T_noscript) return;
         if (tag == T_basefont || tag == T_bgsound || tag == T_link ||
             tag == T_meta) {
-            insert_empty_el(p, tag);
+            insert_empty_el_tok(p, tag);
             return;
         }
         if (tag == T_noframes || tag == T_style) {
@@ -1127,7 +1212,7 @@ static void dispatch_start(P *p, int tag, int sc, int has_attrs,
         break;
     case M_AFTERHEAD:
         if (tag == T_html || tag == T_head) return;
-        if (tag == T_body) { enter_body(p); return; }
+        if (tag == T_body) { enter_body(p, 1); return; }
         if (tflags(tag) & F_BAIL) { p->bail = 1; return; }
         if (tflags(tag) & F_AHTOHEAD) {
             /* error path: re-enter head for the insert */
@@ -1140,7 +1225,7 @@ static void dispatch_start(P *p, int tag, int sc, int has_attrs,
             }
             return;
         }
-        enter_body(p);
+        enter_body(p, 0);
         dispatch_start(p, tag, sc, has_attrs, name, nlen);
         break;
     default:                          /* M_BODY */
@@ -1159,7 +1244,7 @@ static void dispatch_end(P *p, int tag) {
     switch (p->mode) {
     case M_PRE:
         if (tag == T_head || tag == T_body || tag == T_html || tag == T_br) {
-            enter_head(p);
+            enter_head(p, 0);
             dispatch_end(p, tag);
         }
         break;                        /* other end tags ignored */
@@ -1180,7 +1265,7 @@ static void dispatch_end(P *p, int tag) {
         break;
     case M_AFTERHEAD:
         if (tag == T_body || tag == T_html) {
-            enter_body(p);
+            enter_body(p, 0);
             dispatch_end(p, tag);
         }
         break;                        /* others ignored */
@@ -1236,7 +1321,7 @@ static void dispatch_text(P *p, Py_ssize_t a, Py_ssize_t b, int decode) {
         p->head_ser = p->serial;
         p->head_present = 1;
         pop_el(p);
-        enter_body(p);
+        enter_body(p, 0);
         body_text(p, a, b, decode);
         break;
     case M_HEAD:
@@ -1245,7 +1330,7 @@ static void dispatch_text(P *p, Py_ssize_t a, Py_ssize_t b, int decode) {
             return;
         }
         pop_el(p);                    /* pop head */
-        enter_body(p);
+        enter_body(p, 0);
         body_text(p, a, b, decode);
         break;
     case M_HEADNS:
@@ -1256,7 +1341,7 @@ static void dispatch_text(P *p, Py_ssize_t a, Py_ssize_t b, int decode) {
             emit_norm(p, a, b, decode);            /* text node under html */
             return;
         }
-        enter_body(p);
+        enter_body(p, 0);
         body_text(p, a, b, decode);
         break;
     default:
@@ -1391,7 +1476,7 @@ static void handle_tag(P *p) {
             i++;
         }
         int sc, eof;
-        Py_ssize_t nx = skip_attrs(p, i, &sc, &eof, NULL);
+        Py_ssize_t nx = skip_attrs(p, i, &sc, &eof, NULL, 0);
         if (eof) { p->pos = n; return; }             /* token dropped */
         p->pos = nx;
         {
@@ -1413,7 +1498,9 @@ static void handle_tag(P *p) {
             i++;
         }
         int sc, eof, has_attrs;
-        Py_ssize_t nx = skip_attrs(p, i, &sc, &eof, &has_attrs);
+        p->pid_valid = 0;
+        Py_ssize_t nx = skip_attrs(p, i, &sc, &eof, &has_attrs,
+                                   p->scope_id && !p->scope_done);
         if (eof) { p->pos = n; return; }             /* token dropped */
         p->pos = nx;
         {
@@ -1450,6 +1537,11 @@ static void run_parse(P *p) {
             p->pos = k;
             handle_tag(p);
             if (p->bail) return;
+            if (p->scope_active && on_stack_ser(p, p->scope_ser) < 0) {
+                p->scope_b = p->olen;
+                p->scope_active = 0;
+                if (p->title_set) { p->pos = p->n; return; }  /* all done */
+            }
             start = scan = p->pos;
         } else {
             scan = k + 1;    /* literal '<' stays in the text run */
@@ -1522,7 +1614,9 @@ static PyObject *decode_span(const uint8_t *s, Py_ssize_t a, Py_ssize_t b,
 
 static PyObject *py_doc_text(PyObject *self, PyObject *args) {
     PyObject *in;
-    if (!PyArg_ParseTuple(args, "U", &in)) return NULL;
+    const char *scope = NULL;
+    Py_ssize_t scope_len = 0;
+    if (!PyArg_ParseTuple(args, "U|z#", &in, &scope, &scope_len)) return NULL;
     if (!g_ready) {
         PyErr_SetString(PyExc_RuntimeError, "init_tables not called");
         return NULL;
@@ -1540,8 +1634,18 @@ static PyObject *py_doc_text(PyObject *self, PyObject *args) {
     if (!p->out) { PyMem_Free(p); return PyErr_NoMemory(); }
     p->mode = M_PRE;
     p->pending_end = -1;
+    if (scope && scope_len > 0) {
+        p->scope_id = (const uint8_t *)scope;
+        p->scope_id_len = (int)scope_len;
+    } else {
+        scope = NULL;
+    }
 
     run_parse(p);
+    if (!p->bail && p->scope_active) {       /* EOF with scope open */
+        p->scope_b = p->olen;
+        p->scope_active = 0;
+    }
 
     PyObject *result = NULL;
     if (p->bail) {
@@ -1550,6 +1654,10 @@ static PyObject *py_doc_text(PyObject *self, PyObject *args) {
     } else {
         /* final strip of " \t\n\f\r" (arena.node_text _ASCII_WS) */
         Py_ssize_t a = 0, b = p->olen;
+        if (scope) {
+            if (p->scope_done) { a = p->scope_a; b = p->scope_b; }
+            else { a = b = 0; }                  /* no match -> "" */
+        }
         while (a < b) {
             uint8_t c = p->out[a];
             if (c=='\t'||c=='\n'||c=='\f'||c=='\r'||c==' ') a++;
@@ -1599,9 +1707,12 @@ static PyObject *py_batch_extract(PyObject *self, PyObject *args) {
     Py_buffer data, offs;
     Py_ssize_t n, arr_offset;
     int large;
-    if (!PyArg_ParseTuple(args, "y*y*nnp", &data, &offs, &n, &arr_offset,
-                          &large))
+    const char *scope = NULL;
+    Py_ssize_t scope_len = 0;
+    if (!PyArg_ParseTuple(args, "y*y*nnp|z#", &data, &offs, &n, &arr_offset,
+                          &large, &scope, &scope_len))
         return NULL;
+    if (scope && scope_len == 0) scope = NULL;
     if (!g_ready) {
         PyBuffer_Release(&data); PyBuffer_Release(&offs);
         PyErr_SetString(PyExc_RuntimeError, "init_tables not called");
@@ -1654,11 +1765,23 @@ static PyObject *py_batch_extract(PyObject *self, PyObject *args) {
             p->out = text_data + tpos;
             p->mode = M_PRE;
             p->pending_end = -1;
+            if (scope) {
+                p->scope_id = (const uint8_t *)scope;
+                p->scope_id_len = (int)scope_len;
+            }
             run_parse(p);
+            if (!p->bail && p->scope_active) {
+                p->scope_b = p->olen;
+                p->scope_active = 0;
+            }
             if (!p->bail) {
                 bailed = 0;
                 /* final strip (arena.node_text) */
                 Py_ssize_t a = 0, b = p->olen;
+                if (scope) {
+                    if (p->scope_done) { a = p->scope_a; b = p->scope_b; }
+                    else { a = b = 0; }
+                }
                 while (a < b) {
                     uint8_t c = p->out[a];
                     if (c=='\t'||c=='\n'||c=='\f'||c=='\r'||c==' ') a++;

@@ -212,20 +212,34 @@ def get_module():
     return _mod
 
 
-def doc_text(html: str) -> tuple[str, str] | None:
-    """(document_text, title) via the C fast path, or None -> use the
-    Python kernel. Byte-identical to node_text(0)/Document.title()."""
+_SIMPLE_ID_RE = re.compile(r"#[A-Za-z][\w-]*$")
+
+
+def scope_to_id(css_scope: str | None) -> str | None:
+    """The C fast path supports exactly '#<simple-id>' scopes (the
+    production boilerplate-strip shape); anything else -> None (use the
+    full selector engine)."""
+    if css_scope and _SIMPLE_ID_RE.fullmatch(css_scope.strip()):
+        return css_scope.strip()[1:]
+    return None
+
+
+def doc_text(html: str, scope_id: str | None = None) -> tuple[str, str] | None:
+    """(text, title) via the C fast path, or None -> use the Python
+    kernel. ``scope_id``: restrict text to the first element with that
+    id (Element.text() of select('#id')[0]; "" when no match).
+    Byte-identical to the kernel path on accepted documents."""
     m = get_module()
     if m is None:
         return None
-    r = m.doc_text(html)
+    r = m.doc_text(html, scope_id)
     if r is None:
         return None
     text, title = r
     return text, title if title is not None else ""
 
 
-def batch_doc_text(col):
+def batch_doc_text(col, scope_id: str | None = None):
     """Batch fast path over a ``pyarrow`` string array.
 
     Returns ``(text_array, title_array, bail_indices)`` where the arrays
@@ -255,7 +269,7 @@ def batch_doc_text(col):
     data = bufs[2] if bufs[2] is not None else b""
     try:
         tdat, toff, ddat, doff, mask, n_bails = m.batch_extract(
-            data, bufs[1], len(col), col.offset, large)
+            data, bufs[1], len(col), col.offset, large, scope_id)
     except OverflowError:
         return None
     n = len(col)

@@ -161,7 +161,8 @@ def extract_pages(pages_df, css_scope: str | None = None, keep_cols: tuple = (),
     One fused stage pipelined with the scan, no shuffle; Catalyst prunes
     the scan to (url, html, *keep_cols).
 
-    When ``css_scope`` is None and ``metrics`` is False, each document
+    When ``metrics`` is False and ``css_scope`` is None or a simple
+    ``#id`` selector (the boilerplate-strip shape), each document
     first tries the compiled C streaming extractor
     (kernel/fastpath.doc_text, ~30× the Python kernel) and falls back to
     the full Python parse per-document on bail-out — output is
@@ -189,16 +190,18 @@ def extract_pages(pages_df, css_scope: str | None = None, keep_cols: tuple = (),
         from swiftsoup_spark.kernel.treebuilder import HtmlTreeBuilder
         from swiftsoup_spark.kernel.arena import Document
         from swiftsoup_spark.select.engine import select as sel
-        from swiftsoup_spark.kernel.fastpath import batch_doc_text, doc_text
+        from swiftsoup_spark.kernel.fastpath import (
+            batch_doc_text, doc_text, scope_to_id)
 
-        use_fast = css_scope is None and not metrics
+        scope_id = scope_to_id(css_scope)
+        use_fast = (css_scope is None or scope_id is not None) and not metrics
         tb = HtmlTreeBuilder(track_spans=False)
         for batch in it:
             htmls = batch.column("html")
             if use_fast:
                 # zero-copy batch over the Arrow utf8 buffers: no per-row
                 # Python strings on input, C-built Arrow buffers on output
-                br = batch_doc_text(htmls)
+                br = batch_doc_text(htmls, scope_id)
                 if br is not None:
                     text_arr, title_arr, bail_idx = br
                     if bail_idx:
@@ -206,7 +209,11 @@ def extract_pages(pages_df, css_scope: str | None = None, keep_cols: tuple = (),
                         titles = title_arr.to_pylist()
                         for i in bail_idx:
                             arena = tb.parse(_to_str(htmls[i].as_py()))
-                            texts[i] = arena.node_text(0)
+                            if css_scope:
+                                mm = sel(arena, 0, css_scope)
+                                texts[i] = arena.node_text(mm[0]) if mm else ""
+                            else:
+                                texts[i] = arena.node_text(0)
                             titles[i] = Document(arena, 0).title()
                         text_arr = pa.array(texts, pa.string())
                         title_arr = pa.array(titles, pa.string())
@@ -218,7 +225,7 @@ def extract_pages(pages_df, css_scope: str | None = None, keep_cols: tuple = (),
             for raw in htmls:
                 s = _to_str(raw.as_py())
                 if use_fast:
-                    r = doc_text(s)
+                    r = doc_text(s, scope_id)
                     if r is not None:
                         texts.append(r[0])
                         titles.append(r[1])

@@ -328,3 +328,52 @@ def test_random_wellformed_differential():
                 + nest(4) + "</body></html>")
         assert doc_text(html) is not None
         check(html)
+
+
+def test_scoped_extraction_differential():
+    """#id-scoped fast path == Element.text() of select('#id')[0]."""
+    from swiftsoup_spark.select.engine import select as sel
+
+    cases = [
+        ('<html><body><div id="m"><h1>H</h1><p>one</p></div>noise</body></html>'),
+        ('<p id="m">  lead <b>b</b> tail  </p>after'),
+        ('<div id="m"><div id="m">inner</div>outer</div>'),
+        ('<img id="m">text'),
+        ('no match here'),
+        ('<title>T</title><div id=m>x <pre> p </pre></div>tail'),
+        ('<div ID="m">upper name</div>'),
+        ('<div id=m>unquoted</div>'),
+        ('<ul id=m><li>a<li>b</ul>'),
+        ('<textarea id=m>raw  ws</textarea>'),
+        ('<div class="c" id="m" id="n">first id wins</div>'),
+        ('<div id="n" id="m">other first</div>'),
+        ('<b id=m>fmt scope<p>cont</b>after'),
+    ]
+    for html in cases:
+        fast = doc_text(html, "m")
+        if fast is None:
+            continue
+        arena = parse(html).arena
+        m = sel(arena, 0, "#m")
+        expected = arena.node_text(m[0]) if m else ""
+        assert fast[0] == expected, html
+
+
+def test_scoped_bench_template_accepted():
+    html = ('<html><head><meta charset="utf-8"><title>Doc 7 &amp; x</title>'
+            '</head><body><div id="main" class="content article"><h1>Doc 7'
+            '</h1><p>words</p></div><div class="nav footer">'
+            '<a href="/l/7" class="next">next &gt;</a></div></body></html>')
+    fast = doc_text(html, "main")
+    assert fast is not None
+    assert fast[0] == "Doc 7 words"
+
+
+def test_scope_to_id():
+    from swiftsoup_spark.kernel.fastpath import scope_to_id
+    assert scope_to_id("#main") == "main"
+    assert scope_to_id(" #x-1 ") == "x-1"
+    assert scope_to_id("div#main") is None
+    assert scope_to_id("#main > p") is None
+    assert scope_to_id(None) is None
+    assert scope_to_id("#") is None
