@@ -186,6 +186,22 @@ def q_parse_metrics(spark, sf_dir):
     return out.select("url", "n_nodes", "parse_errors", "n_chars_html")
 
 
+def q_extract_quality_pipeline(spark, sf_dir):
+    """End-to-end training-data shape: parse+extract (C fast path) ->
+    tokenize -> quality filter -> content fingerprint, all in ONE fused
+    scan->mapInArrow->project plan (no shuffle until the consumer
+    aggregates). This is the per-document stage of a CC-style corpus
+    build: downstream, fp feeds exact_dedup and n_tokens feeds corpus
+    stats."""
+    pages = pages_df(spark, sf_dir)
+    ex = X.extract_pages(pages).select("url", "text")
+    return ex.select(
+        "url",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5("text").alias("fp"),
+    ).filter(F.col("n_tokens") >= 20)
+
+
 def q_corpus_metrics(spark, sf_dir):
     """Lineage-style aggregate: docs + total html bytes per (lang, source).
     (§2.4 metrics aggregates; this is the per-partition manifest shape.)"""
@@ -322,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_simpletext": q_clean_simpletext,
         "parse_metrics": q_parse_metrics,
         "corpus_metrics": q_corpus_metrics,
+        "extract_quality_pipeline": q_extract_quality_pipeline,
         "extract_text_tables": q_extract_text_tables,
         "extract_text_misnested": q_extract_text_misnested,
         "extract_text_pre": q_extract_text_pre,
@@ -496,6 +513,11 @@ FROM documents
             f"SELECT lang, source, count(*) AS n_docs, "
             f"CAST(sum(length({HTML_SQL})) AS BIGINT) AS total_chars "
             f"FROM documents GROUP BY lang, source"),
+        "extract_quality_pipeline": (
+            f"WITH t AS (SELECT {URL_SQL} AS url, {EXPECTED_DOC_TEXT_SQL} AS text "
+            f"FROM documents) "
+            "SELECT url, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, "
+            "md5(text) AS fp FROM t WHERE len(string_split(text, ' ')) >= 20"),
         "extract_text_tables": _variant_oracle("tables"),
         "extract_text_misnested": _variant_oracle("misnested"),
         "extract_text_pre": _variant_oracle("pre"),

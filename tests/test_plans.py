@@ -72,3 +72,39 @@ def test_exact_dedup_partial_aggregation(spark):
     # two HashAggregate phases around one Exchange
     assert plan.count("HashAggregate") >= 2
     assert "Exchange hashpartitioning" in plan
+
+
+def test_quality_pipeline_no_post_kernel_shuffle(spark, tmp_path_factory):
+    """extract -> tokenize -> filter -> fingerprint must stay one fused
+    stage: the filter/project run in whole-stage codegen directly on the
+    MapInArrow output, with no Exchange after the kernel."""
+    from pyspark.sql import functions as F
+    from swiftsoup_spark.spark.extract import extract_pages
+    from swiftsoup_spark.spark.pages import pages_df
+
+    out = str(tmp_path_factory.mktemp("pages3"))
+    pages_df(spark, SF_DIR).write.mode("overwrite").parquet(out)
+    pages = spark.read.parquet(out)
+    ex = extract_pages(pages).select("url", "text")
+    q = ex.select(
+        "url",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5("text").alias("fp"),
+    ).filter(F.col("n_tokens") >= 20)
+    plan = _plan(q)
+    assert "MapInArrow" in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_scoped_extraction_prunes_and_fuses(spark, tmp_path_factory):
+    """#id-scoped extraction (C fast path) keeps the same fused plan."""
+    from swiftsoup_spark.spark.extract import extract_pages
+    from swiftsoup_spark.spark.pages import pages_df
+
+    out = str(tmp_path_factory.mktemp("pages4"))
+    pages_df(spark, SF_DIR).write.mode("overwrite").parquet(out)
+    pages = spark.read.parquet(out)
+    ex = extract_pages(pages, css_scope="#main").select("url", "text")
+    plan = _plan(ex)
+    assert "Exchange" not in plan, plan
+    assert "MapInArrow" in plan
