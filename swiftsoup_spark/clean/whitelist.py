@@ -17,14 +17,14 @@ STRICT, TRIM, ALLOW = "strict", "trim", "allow"
 
 
 def resolve_url(base: str, rel: str) -> str:
-    """StringUtil.resolve parity (StringUtil.swift:1201-1260): returns ''
-    when unresolvable (no base and rel not absolute)."""
-    if not base:
-        try:
-            return rel if urlparse(rel).scheme else ""
-        except ValueError:
-            return ""
+    """StringUtil.resolve parity (StringUtil.swift:1201-1260,
+    StringUtilTest.testResolvesRelativeUrls): returns '' when
+    unresolvable — no usable base (no scheme) and rel not absolute."""
     try:
+        if urlparse(rel).scheme:
+            return rel
+        if not base or not urlparse(base).scheme:
+            return ""          # reference: resolve("wrong","also wrong") == ""
         return urljoin(base, rel)
     except ValueError:
         return ""

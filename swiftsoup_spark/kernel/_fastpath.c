@@ -1206,9 +1206,10 @@ static void dispatch_start(P *p, int tag, int sc, int has_attrs,
             start_rawtext(p, tag, sc, name, nlen, 0);
             return;
         }
-        pop_el(p);                    /* pop noscript */
-        p->mode = M_HEAD;
-        dispatch_start(p, tag, sc, has_attrs, name, nlen);
+        /* reference InHeadNoscript anything-else renders the TOKEN as a
+         * text node ('<img src="foo">' etc.) — needs attr rendering we
+         * don't model here -> python kernel */
+        p->bail = 1;
         break;
     case M_AFTERHEAD:
         if (tag == T_html || tag == T_head) return;
@@ -1259,10 +1260,9 @@ static void dispatch_end(P *p, int tag) {
         break;                        /* error, ignore */
     case M_HEADNS:
         if (tag == T_noscript) { pop_el(p); p->mode = M_HEAD; return; }
-        pop_el(p);
-        p->mode = M_HEAD;
-        dispatch_end(p, tag);
-        break;
+        if (tag == T_br) { p->bail = 1; return; }  /* renders "</br>" text */
+        break;                        /* other end tags: dropped (error) */
+        
     case M_AFTERHEAD:
         if (tag == T_body || tag == T_html) {
             enter_body(p, 0);
@@ -1513,18 +1513,22 @@ static void handle_tag(P *p) {
 
 /* ---- main loop (tokenizer._data) ------------------------------------ */
 
+/* EOF while still inside <noscript> renders the reference's "EOF"
+ * token-toString artifact as text — python kernel handles it */
 static void run_parse(P *p) {
     const uint8_t *s = p->s; Py_ssize_t n = p->n;
     Py_ssize_t start = p->pos, scan = p->pos;
     while (!p->bail) {
         if (scan >= n) {
             if (start < n) dispatch_text(p, start, n, 1);
+            if (p->mode == M_HEADNS) p->bail = 1;
             p->pos = n;
             return;
         }
         const uint8_t *lt = memchr(s + scan, '<', n - scan);
         if (!lt) {
             dispatch_text(p, start, n, 1);
+            if (p->mode == M_HEADNS) p->bail = 1;
             p->pos = n;
             return;
         }

@@ -614,6 +614,20 @@ class Document(Element):
         t = self._find("title")
         return _WS_RUN.sub(" ", t.text()).strip(_ASCII_WS) if t else ""
 
+    def set_title(self, title: str) -> "Document":
+        """reference Document.title(set): update the first <title>, or
+        create one in <head>."""
+        t = self._find("title")
+        if t is None:
+            head = self.head()
+            if head is None:
+                return self
+            tid = self.arena.new_element("title")
+            self.arena.append_child(head.id, tid)
+            t = Element(self.arena, tid)
+        t.set_text(title)
+        return self
+
     def text(self) -> str:
         return self.arena.node_text(self.id)
 

@@ -634,9 +634,15 @@ class HtmlTreeBuilder:
         return self.process(t)
 
     def _in_head_noscript(self, t: tuple) -> bool:
+        # reference InHeadNoscript: the anything-else branch inserts the
+        # TOKEN'S STRING RENDERING as a text node inside <noscript>
+        # (HtmlTreeBuilderState InHeadNoscript anythingElse:
+        # tb.insert(Token.Char().data(t.toString())) — so
+        # '<noscript><img src=foo>' keeps '<img src="foo">' as TEXT,
+        # HtmlParserTest.swift:592-594), and stray end tags are DROPPED.
         k = t[0]
         if k == "doctype":
-            return True
+            return True  # error
         if k == "start" and t[1] == "html":
             return self.process(t, IN_BODY)
         if k == "end" and t[1] == "noscript":
@@ -647,17 +653,38 @@ class HtmlTreeBuilder:
                 k == "start" and t[1] in ("basefont", "bgsound", "link", "meta", "noframes", "style")):
             return self.process(t, IN_HEAD)
         if k == "end" and t[1] == "br":
-            pass
-        elif k == "start" and t[1] in ("head", "noscript"):
+            self.insert_char(self._token_text(t))
             return True
-        # anything else: error; treat as text inside noscript (reference behavior:
-        # pop and reprocess in InHead)
-        if k in ("char", "data"):
-            self.insert_char(t[1], TEXT if k == "char" else DATA)
-            return True
-        self.pop()
-        self.mode = IN_HEAD
-        return self.process(t)
+        if (k == "start" and t[1] in ("head", "noscript")) or k == "end":
+            return False  # error, token dropped
+        self.insert_char(self._token_text(t))
+        return True
+
+    def _token_text(self, t: tuple) -> str:
+        """Token.toString() (reference Token.swift Tag/EndTag/Char
+        toString): start tags render '<name key="escaped-val" bare>',
+        end tags '</name>', char tokens their data; EOF renders the
+        Swift String(describing:) artifact "EOF" (mirrored for parity).
+        """
+        from swiftsoup_spark.kernel.entities import escape
+        k = t[0]
+        if k == "start":
+            attrs = t[2]
+            if attrs:
+                parts = []
+                for key, v in attrs.items():
+                    parts.append(
+                        key if v is None
+                        else f'{key}="{escape(v, in_attribute=True)}"')
+                return "<" + t[1] + " " + " ".join(parts) + ">"
+            return "<" + t[1] + ">"
+        if k == "end":
+            return "</" + t[1] + ">"
+        if k in ("char", "cdata", "data"):
+            return t[1]
+        if k == "eof":
+            return "EOF"
+        return ""
 
     def _after_head(self, t: tuple) -> bool:
         k = t[0]

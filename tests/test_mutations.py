@@ -173,3 +173,48 @@ def test_form_tracks_fostered_controls():
     doc = parse("<table><form><input name=q value=x><td>one</td></table>")
     form = doc.select("form")[0].as_form()
     assert form.form_data() == [("q", "x")]
+
+
+# --- ported FormElementTest cases (reference FormElementTest.swift) -------
+
+def test_form_has_associated_controls():
+    from swiftsoup_spark.api import parse
+    html = ("<form id=1><button id=1><fieldset id=2 /><input id=3>"
+            "<keygen id=4><object id=5><output id=6>"
+            "<select id=7><option></select><textarea id=8><p id=9>")
+    d = parse(html)
+    form = d.select("form")[0].as_form()
+    assert len(form.elements()) == 8
+
+
+def test_form_child_inputs_are_direct_children():
+    from swiftsoup_spark.api import parse
+    html = ('<html><body><form name="FORM0" method="post">'
+            '<input type="hidden" name="a" value="1">'
+            '<input type="hidden" name="b" value="2">'
+            '<input type="hidden" name="c"></form></body></html>')
+    d = parse(html)
+    direct = d.select("form[name=FORM0] > input")
+    assert len(direct) == 3
+    with_value = [e for e in direct if e.attr("value")]
+    assert len(with_value) == 2
+
+
+def test_form_children_tree_structure():
+    from swiftsoup_spark.api import parse
+    d = parse("<form id='f'><div><input name='a'></div><input name='b'></form>")
+    direct = d.select("form#f > input")
+    assert len(direct) == 1
+    assert direct[0].attr("name") == "b"
+    assert len(d.select("form#f input")) == 2
+
+
+def test_nested_form_elements_structure():
+    from swiftsoup_spark.api import parse
+    d = parse('<form name="test"><select name="sel">'
+              '<option value="1">One</option></select>'
+              '<textarea name="ta">text</textarea>'
+              '<input name="in" value="val"></form>')
+    form = d.select("form[name=test]")[0]
+    assert len(form.children()) == 3
+    assert form.children()[0].tag_name == "select"
