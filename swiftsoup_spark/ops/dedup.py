@@ -71,18 +71,20 @@ def minhash_lsh_pairs(df, text_col: str = "text", threshold: float = 0.5,
                    .select("doc_id"), "doc_id")
 
     sigs = minhash_signatures(reps, text_col)
-    bands = sigs.select(
+    # one long (doc, band_key) table — the band index is folded into the
+    # bucket key so a SINGLE self-join covers all bands (vs one shuffle
+    # join per band): shuffle count drops from N_BANDS joins + union to
+    # one explode + one join + one distinct
+    bands_long = sigs.select(
         "doc_id",
-        *[F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))).alias(f"band{b}")
-          for b in range(N_BANDS)])
-    # bucket-join per band, union, distinct candidate (rep, rep) pairs
-    cand = None
-    for b in range(N_BANDS):
-        a = bands.select(F.col("doc_id").alias("i"), F.col(f"band{b}").alias("bk"))
-        c = bands.select(F.col("doc_id").alias("j"), F.col(f"band{b}").alias("bk"))
-        p = a.join(c, "bk").filter(F.col("i") < F.col("j")).select("i", "j")
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.distinct()
+        F.explode(F.array(*[
+            F.md5(F.concat(F.lit(str(b)), F.col(f"h{2*b}"),
+                           F.col(f"h{2*b+1}"))).alias(f"b{b}")
+            for b in range(N_BANDS)])).alias("bk"))
+    a = bands_long.select(F.col("doc_id").alias("i"), "bk")
+    c = bands_long.select(F.col("doc_id").alias("j"), "bk")
+    cand = (a.join(c, "bk").filter(F.col("i") < F.col("j"))
+            .select("i", "j").distinct())
     rep_jac = (jaccard_pairs_for(reps, cand, text_col)
                .filter(F.col("jaccard") >= threshold))
 
