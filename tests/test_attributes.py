@@ -104,3 +104,36 @@ def test_attribute_names_lowercased():
 def test_dupe_attribute_first_wins():
     el = parse("<a href=one href=two></a>").select("a")[0]
     assert el.attr("href") == "one"
+
+
+# ported reference AttributeParseTest edge cases (AttributeParseTest.swift:123-162)
+
+def test_attribute_value_after_quoted_with_followup():
+    d = parse('<a href="x"/p=1></a>')
+    a = d.select("a")[0]
+    assert a.attr("href") == "x"
+    assert a.attr("p") == "1"
+
+
+def test_unquoted_value_starts_with_equals_or_lt():
+    assert parse("<p foo==bar></p>").select("p")[0].attr("foo") == "=bar"
+    assert parse("<p foo=<bar></p>").select("p")[0].attr("foo") == "<bar"
+
+
+def test_attribute_name_with_null_gets_replacement():
+    p = parse("<p a\x00b=1></p>").select("p")[0]
+    assert p.has_attr("a�b")
+    assert p.attr("a�b") == "1"
+
+
+def test_attribute_name_includes_quote_character():
+    a = parse('<a data-abc"="foo"></a>').select("a")[0]
+    assert a.has_attr('data-abc"')
+    assert a.attr('data-abc"') == "foo"
+
+
+def test_attribute_value_preserves_comment_tag_text():
+    d = parse('<div><comment><img src="</comment>'
+              '<img src=x onerror=alert(38)//">x</div>')
+    assert d.select("img")[0].attr("src") == (
+        "</comment><img src=x onerror=alert(38)//")
