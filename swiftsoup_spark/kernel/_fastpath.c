@@ -74,6 +74,8 @@ static char   *g_ent_arena = NULL;
 static int     g_max_ent_name = 32;
 
 /* well-known tag ids, resolved at init */
+static int T_table, T_caption, T_colgroup, T_col, T_tbody, T_thead,
+    T_tfoot, T_tr, T_td, T_th, T_select;
 static int T_p, T_li, T_br, T_a, T_form, T_head, T_body, T_html, T_title,
     T_textarea, T_script, T_style, T_noscript, T_noframes, T_pre, T_listing,
     T_xmp, T_iframe, T_noembed, T_button, T_option, T_optgroup, T_ruby,
@@ -138,11 +140,19 @@ typedef struct {
     Py_ssize_t base_olen;          /* accumulator barrier at scope entry */
     Py_ssize_t pid_a, pid_b;       /* current token's id-attr value span */
     int pid_valid;
+    /* table machinery */
+    int quirks;                    /* 1 = force-quirks doctype seen */
+    int seen_content, seen_doctype;
+    int orig_mode;                 /* mode to restore after table text */
+    Py_ssize_t pend_tx[32][2];     /* pending table-text spans */
+    uint8_t pend_decode[32];
+    int n_pend;
     char unk_names[MAXUNK][MAXTAGLEN + 1];      /* doc-local interning */
     int unk_len[MAXUNK]; int n_unk;
 } P;
 
-enum { M_PRE, M_HEAD, M_HEADNS, M_AFTERHEAD, M_BODY };
+enum { M_PRE, M_HEAD, M_HEADNS, M_AFTERHEAD, M_BODY,
+       M_TABLE, M_CAPTION, M_COLGROUP, M_TBODY, M_ROW, M_CELL };
 
 #define BAIL(p) do { (p)->bail = 1; return; } while (0)
 #define BAILV(p, v) do { (p)->bail = 1; return (v); } while (0)
@@ -1081,6 +1091,13 @@ static void handle_start_body(P *p, int tag, int sc, int has_attrs,
         push_marker(p);
         return;
     }
+    if (tag == T_table) {
+        /* _in_body_start table: close p unless quirks, enter table mode */
+        if (p->quirks != 1 && in_button_scope(p, T_p)) close_p_if_open(p);
+        insert_from_token(p, tag, sc);   /* sc end handled mode-aware */
+        p->mode = M_TABLE;
+        return;
+    }
     if (f & F_EMPTYFMT) {    /* area br embed img keygen wbr */
         reconstruct_fmt(p);
         insert_empty_el_tok(p, tag);
@@ -1136,6 +1153,403 @@ static void handle_start_body(P *p, int tag, int sc, int has_attrs,
     insert_from_token(p, tag, sc);
 }
 
+
+/* ---- table machinery (treebuilder _in_table.. _in_cell mirrors) ----- */
+
+static int run_all_ws(P *p, Py_ssize_t a, Py_ssize_t b, int decode);
+
+static int in_table_scope(P *p, int tag) {
+    for (int i = p->sp - 1; i >= 0; i--) {
+        int t = p->st_tag[i];
+        if (t == tag) return 1;
+        if (t == T_html || t == T_table) return 0;
+    }
+    return 0;
+}
+
+static void clear_to_table_ctx(P *p) {
+    while (p->sp > 0) {
+        int t = top_tag(p);
+        if (t == T_table || t == T_html) return;
+        p->sp--;
+    }
+}
+
+static void clear_to_tbody_ctx(P *p) {
+    while (p->sp > 0) {
+        int t = top_tag(p);
+        if (t == T_tbody || t == T_tfoot || t == T_thead || t == T_html)
+            return;
+        p->sp--;
+    }
+}
+
+static void clear_to_tr_ctx(P *p) {
+    while (p->sp > 0) {
+        int t = top_tag(p);
+        if (t == T_tr || t == T_html) return;
+        p->sp--;
+    }
+}
+
+/* treebuilder._reset_insertion_mode (non-fragment) */
+static void reset_insertion_mode(P *p) {
+    for (int i = p->sp - 1; i >= 0; i--) {
+        int t = p->st_tag[i];
+        int last = (i == 0);
+        if (t == T_select) { p->bail = 1; return; }
+        if ((t == T_td || t == T_th) && !last) { p->mode = M_CELL; return; }
+        if (t == T_tr) { p->mode = M_ROW; return; }
+        if (t == T_tbody || t == T_thead || t == T_tfoot) {
+            p->mode = M_TBODY; return;
+        }
+        if (t == T_caption) { p->mode = M_CAPTION; return; }
+        if (t == T_colgroup) { p->mode = M_COLGROUP; return; }
+        if (t == T_table) { p->mode = M_TABLE; return; }
+        if (t == T_head || t == T_body) { p->mode = M_BODY; return; }
+        if (t == T_html) { p->mode = M_PRE; return; }   /* BeforeHead */
+        if (last) { p->mode = M_BODY; return; }
+    }
+    p->mode = M_BODY;
+}
+
+/* pending table characters (treebuilder IN_TABLE_TEXT): spans buffered
+ * while in table/tbody/tr context; whitespace-only -> inserted as text
+ * under the table-ish element, anything else would FOSTER (re-homed
+ * before the table => emission reorder) -> bail to the python kernel */
+static void pend_add(P *p, Py_ssize_t a, Py_ssize_t b, int decode) {
+    if (p->n_pend >= 32) { p->bail = 1; return; }
+    p->pend_tx[p->n_pend][0] = a;
+    p->pend_tx[p->n_pend][1] = b;
+    p->pend_decode[p->n_pend] = (uint8_t)decode;
+    p->n_pend++;
+}
+
+static void pend_flush(P *p) {
+    if (!p->n_pend || p->bail) return;
+    for (int i = 0; i < p->n_pend; i++) {
+        if (!run_all_ws(p, p->pend_tx[i][0], p->pend_tx[i][1],
+                        p->pend_decode[i])) {
+            p->bail = 1;           /* would foster-parent */
+            return;
+        }
+    }
+    /* whitespace text nodes under the current table-ish element
+     * (insert_char without reconstruct); preserve by parent/gp */
+    int parent = p->sp > 0 ? p->st_tag[p->sp - 1] : -1;
+    int gp = p->sp > 0 ? p->st_ptag[p->sp - 1] : -1;
+    int preserve = (tflags(parent) & F_PRESERVE) ||
+                   (tflags(gp) & F_PRESERVE);
+    for (int i = 0; i < p->n_pend; i++) {
+        if (preserve)
+            emit_preserve(p, p->pend_tx[i][0], p->pend_tx[i][1],
+                          p->pend_decode[i]);
+        else
+            emit_norm(p, p->pend_tx[i][0], p->pend_tx[i][1],
+                      p->pend_decode[i]);
+    }
+    p->n_pend = 0;
+}
+
+static void handle_end_table_mode(P *p, int tag);
+static void handle_start_table_mode(P *p, int tag, int sc, int has_attrs,
+                                    const uint8_t *name, int nlen);
+
+/* M_TABLE end tags (_in_table end branch) */
+static void handle_end_table_mode(P *p, int tag) {
+    if (tag == T_table) {
+        if (!in_table_scope(p, T_table)) return;     /* error, ignore */
+        pop_to_close(p, T_table);
+        reset_insertion_mode(p);
+        return;
+    }
+    if (tag == T_body || tag == T_caption || tag == T_col ||
+        tag == T_colgroup || tag == T_html || tag == T_tbody ||
+        tag == T_td || tag == T_tfoot || tag == T_th || tag == T_thead ||
+        tag == T_tr)
+        return;                                       /* error, ignore */
+    /* _in_table_anything_else for END tags runs InBody processing with
+     * foster-inserts armed — but every InBody end-tag branch only pops
+     * or removes, EXCEPT a stray </p> (synthesizes a fostered empty <p>
+     * whose block-space would land BEFORE the table) and a real
+     * adoption run (aaa() bails on node-moving cases itself). */
+    if (tag == T_p && !in_button_scope(p, T_p)) { p->bail = 1; return; }
+    handle_end_body(p, tag);
+}
+
+/* M_TABLE start tags (_in_table start branch) */
+static void handle_start_table_mode(P *p, int tag, int sc, int has_attrs,
+                                    const uint8_t *name, int nlen) {
+    if (tag == T_caption) {
+        clear_to_table_ctx(p);
+        push_marker(p);
+        insert_el_tok(p, tag);
+        p->mode = M_CAPTION;
+        return;
+    }
+    if (tag == T_colgroup) {
+        clear_to_table_ctx(p);
+        insert_el_tok(p, tag);
+        p->mode = M_COLGROUP;
+        return;
+    }
+    if (tag == T_col) {
+        clear_to_table_ctx(p);
+        insert_el(p, T_colgroup);        /* synthesized, no token attrs */
+        p->mode = M_COLGROUP;
+        dispatch_start(p, tag, sc, has_attrs, name, nlen);
+        return;
+    }
+    if (tag == T_tbody || tag == T_tfoot || tag == T_thead) {
+        clear_to_table_ctx(p);
+        insert_el_tok(p, tag);
+        p->mode = M_TBODY;
+        return;
+    }
+    if (tag == T_td || tag == T_th || tag == T_tr) {
+        clear_to_table_ctx(p);
+        insert_el(p, T_tbody);           /* synthesized */
+        p->mode = M_TBODY;
+        dispatch_start(p, tag, sc, has_attrs, name, nlen);
+        return;
+    }
+    if (tag == T_table) {
+        /* nested <table>: acts as </table> then reprocess */
+        if (in_table_scope(p, T_table)) {
+            pop_to_close(p, T_table);
+            reset_insertion_mode(p);
+            dispatch_start(p, tag, sc, has_attrs, name, nlen);
+        }
+        return;
+    }
+    if (tag == T_style) { start_rawtext(p, tag, sc, name, nlen, 0); return; }
+    if (tag == T_script) { start_rawtext(p, tag, sc, name, nlen, 1); return; }
+    if (tag == T_form) {
+        if (p->have_form) return;
+        /* inserted EMPTY in table context (no push) */
+        insert_empty_el_tok(p, tag);
+        p->have_form = 1;
+        p->form_ser = 0;                 /* not on the stack */
+        return;
+    }
+    /* input[type=hidden] inserts in place; everything else fosters */
+    p->bail = 1;
+}
+
+
+/* ---- remaining table-mode dispatchers ------------------------------- */
+
+static void close_cell(P *p);
+
+/* M_TBODY (_in_table_body) */
+static void tbody_exit(P *p, int tag, int is_end, int sc, int has_attrs,
+                       const uint8_t *name, int nlen) {
+    /* _exit_table_body */
+    if (!(in_table_scope(p, T_tbody) || in_table_scope(p, T_thead) ||
+          in_table_scope(p, T_tfoot)))
+        return;                                       /* error, ignore */
+    clear_to_tbody_ctx(p);
+    /* process(("end", current)) -> pops the tbody-ish element */
+    {
+        int cur = top_tag(p);
+        if (in_table_scope(p, cur)) {
+            clear_to_tbody_ctx(p);
+            pop_el(p);
+            p->mode = M_TABLE;
+        }
+    }
+    if (is_end) dispatch_end(p, tag);
+    else dispatch_start(p, tag, sc, has_attrs, name, nlen);
+}
+
+static void handle_start_tbody(P *p, int tag, int sc, int has_attrs,
+                               const uint8_t *name, int nlen) {
+    if (tag == T_tr) {
+        clear_to_tbody_ctx(p);
+        insert_el_tok(p, tag);
+        p->mode = M_ROW;
+        return;
+    }
+    if (tag == T_th || tag == T_td) {
+        clear_to_tbody_ctx(p);
+        insert_el(p, T_tr);              /* synthesized */
+        p->mode = M_ROW;
+        dispatch_start(p, tag, sc, has_attrs, name, nlen);
+        return;
+    }
+    if (tag == T_caption || tag == T_col || tag == T_colgroup ||
+        tag == T_tbody || tag == T_tfoot || tag == T_thead) {
+        tbody_exit(p, tag, 0, sc, has_attrs, name, nlen);
+        return;
+    }
+    handle_start_table_mode(p, tag, sc, has_attrs, name, nlen);
+}
+
+static void handle_end_tbody(P *p, int tag) {
+    if (tag == T_tbody || tag == T_tfoot || tag == T_thead) {
+        if (!in_table_scope(p, tag)) return;
+        clear_to_tbody_ctx(p);
+        pop_el(p);
+        p->mode = M_TABLE;
+        return;
+    }
+    if (tag == T_table) { tbody_exit(p, tag, 1, 0, 0, NULL, 0); return; }
+    if (tag == T_body || tag == T_caption || tag == T_col ||
+        tag == T_colgroup || tag == T_html || tag == T_td || tag == T_th ||
+        tag == T_tr)
+        return;
+    handle_end_table_mode(p, tag);
+}
+
+/* M_ROW (_in_row) */
+static int row_end_tr(P *p) {
+    if (!in_table_scope(p, T_tr)) return 0;
+    clear_to_tr_ctx(p);
+    pop_el(p);
+    p->mode = M_TBODY;
+    return 1;
+}
+
+static void handle_start_row(P *p, int tag, int sc, int has_attrs,
+                             const uint8_t *name, int nlen) {
+    if (tag == T_th || tag == T_td) {
+        clear_to_tr_ctx(p);
+        insert_el_tok(p, tag);           /* sc ignored (python insert_elem) */
+        p->mode = M_CELL;
+        push_marker(p);
+        return;
+    }
+    if (tag == T_caption || tag == T_col || tag == T_colgroup ||
+        tag == T_tbody || tag == T_tfoot || tag == T_thead || tag == T_tr) {
+        if (row_end_tr(p))
+            dispatch_start(p, tag, sc, has_attrs, name, nlen);
+        return;
+    }
+    handle_start_table_mode(p, tag, sc, has_attrs, name, nlen);
+}
+
+static void handle_end_row(P *p, int tag) {
+    if (tag == T_tr) { row_end_tr(p); return; }
+    if (tag == T_table) {
+        if (row_end_tr(p)) dispatch_end(p, tag);
+        return;
+    }
+    if (tag == T_tbody || tag == T_tfoot || tag == T_thead) {
+        if (!in_table_scope(p, tag)) return;
+        row_end_tr(p);
+        dispatch_end(p, tag);
+        return;
+    }
+    if (tag == T_body || tag == T_caption || tag == T_col ||
+        tag == T_colgroup || tag == T_html || tag == T_td || tag == T_th)
+        return;
+    handle_end_table_mode(p, tag);
+}
+
+/* M_CELL (_in_cell) */
+static void handle_end_cell(P *p, int tag) {
+    if (tag == T_td || tag == T_th) {
+        if (!in_table_scope(p, tag)) { p->mode = M_ROW; return; }
+        gen_implied(p, -1);              /* nil-exclude: no-op */
+        pop_to_close(p, tag);
+        clear_fmt_to_marker(p);
+        p->mode = M_ROW;
+        return;
+    }
+    if (tag == T_body || tag == T_caption || tag == T_col ||
+        tag == T_colgroup || tag == T_html)
+        return;
+    if (tag == T_table || tag == T_tbody || tag == T_tfoot ||
+        tag == T_thead || tag == T_tr) {
+        if (!in_table_scope(p, tag)) return;
+        close_cell(p);
+        dispatch_end(p, tag);
+        return;
+    }
+    handle_end_body(p, tag);
+}
+
+static void close_cell(P *p) {
+    if (in_table_scope(p, T_td)) handle_end_cell(p, T_td);
+    else handle_end_cell(p, T_th);
+}
+
+static void handle_start_cell(P *p, int tag, int sc, int has_attrs,
+                              const uint8_t *name, int nlen) {
+    if (tag == T_caption || tag == T_col || tag == T_colgroup ||
+        tag == T_tbody || tag == T_td || tag == T_tfoot || tag == T_th ||
+        tag == T_thead || tag == T_tr) {
+        if (!(in_table_scope(p, T_td) || in_table_scope(p, T_th))) return;
+        close_cell(p);
+        dispatch_start(p, tag, sc, has_attrs, name, nlen);
+        return;
+    }
+    handle_start_body(p, tag, sc, has_attrs, name, nlen);
+}
+
+/* M_CAPTION (_in_caption) */
+static int caption_close(P *p) {
+    if (!in_table_scope(p, T_caption)) return 0;
+    gen_implied(p, -1);
+    pop_to_close(p, T_caption);
+    clear_fmt_to_marker(p);
+    p->mode = M_TABLE;
+    return 1;
+}
+
+static void handle_start_caption(P *p, int tag, int sc, int has_attrs,
+                                 const uint8_t *name, int nlen) {
+    if (tag == T_caption || tag == T_col || tag == T_colgroup ||
+        tag == T_tbody || tag == T_td || tag == T_tfoot || tag == T_th ||
+        tag == T_thead || tag == T_tr) {
+        if (caption_close(p))
+            dispatch_start(p, tag, sc, has_attrs, name, nlen);
+        return;
+    }
+    handle_start_body(p, tag, sc, has_attrs, name, nlen);
+}
+
+static void handle_end_caption(P *p, int tag) {
+    if (tag == T_caption) { caption_close(p); return; }
+    if (tag == T_table) {
+        if (caption_close(p)) dispatch_end(p, tag);
+        return;
+    }
+    if (tag == T_body || tag == T_col || tag == T_colgroup ||
+        tag == T_html || tag == T_tbody || tag == T_td || tag == T_tfoot ||
+        tag == T_th || tag == T_thead || tag == T_tr)
+        return;
+    handle_end_body(p, tag);
+}
+
+/* M_COLGROUP (_in_column_group) */
+static void handle_start_colgroup(P *p, int tag, int sc, int has_attrs,
+                                  const uint8_t *name, int nlen) {
+    if (tag == T_html) {
+        if (has_attrs && p->scope_id && !p->scope_done) p->bail = 1;
+        return;
+    }
+    if (tag == T_col) { insert_empty_el_tok(p, tag); return; }
+    if (top_tag(p) == T_html) return;    /* error, ignore */
+    pop_el(p);
+    p->mode = M_TABLE;
+    dispatch_start(p, tag, sc, has_attrs, name, nlen);
+}
+
+static void handle_end_colgroup(P *p, int tag) {
+    if (tag == T_colgroup) {
+        if (top_tag(p) == T_html) return;
+        pop_el(p);
+        p->mode = M_TABLE;
+        return;
+    }
+    if (tag == T_col) return;            /* error, ignore */
+    if (top_tag(p) == T_html) return;
+    pop_el(p);
+    p->mode = M_TABLE;
+    dispatch_end(p, tag);
+}
+
 /* ---- mode dispatch (Initial..AfterHead synthesis + InBody) ---------- */
 
 static void ensure_html(P *p) {
@@ -1169,7 +1583,31 @@ static void enter_body(P *p, int from_tok) {
 static void dispatch_start(P *p, int tag, int sc, int has_attrs,
                            const uint8_t *name, int nlen) {
     if (p->bail) return;
+    p->seen_content = 1;
+    if (p->n_pend &&
+        (p->mode == M_TABLE || p->mode == M_TBODY || p->mode == M_ROW)) {
+        pend_flush(p);
+        if (p->bail) return;
+    }
     switch (p->mode) {
+    case M_TABLE:
+        handle_start_table_mode(p, tag, sc, has_attrs, name, nlen);
+        goto pending;
+    case M_TBODY:
+        handle_start_tbody(p, tag, sc, has_attrs, name, nlen);
+        goto pending;
+    case M_ROW:
+        handle_start_row(p, tag, sc, has_attrs, name, nlen);
+        goto pending;
+    case M_CELL:
+        handle_start_cell(p, tag, sc, has_attrs, name, nlen);
+        goto pending;
+    case M_CAPTION:
+        handle_start_caption(p, tag, sc, has_attrs, name, nlen);
+        goto pending;
+    case M_COLGROUP:
+        handle_start_colgroup(p, tag, sc, has_attrs, name, nlen);
+        goto pending;
     case M_PRE:
         if (tag == T_html) {
             int was = p->have_html;
@@ -1231,18 +1669,32 @@ static void dispatch_start(P *p, int tag, int sc, int has_attrs,
         break;
     default:                          /* M_BODY */
         handle_start_body(p, tag, sc, has_attrs, name, nlen);
-        if (p->pending_end >= 0 && !p->bail) {
-            int t = p->pending_end;
-            p->pending_end = -1;
-            handle_end_body(p, t);
-        }
-        break;
+        goto pending;
+    }
+    return;
+pending:
+    if (p->pending_end >= 0 && !p->bail) {
+        int t = p->pending_end;
+        p->pending_end = -1;
+        dispatch_end(p, t);           /* mode-aware (table sc inserts) */
     }
 }
 
 static void dispatch_end(P *p, int tag) {
     if (p->bail) return;
+    p->seen_content = 1;
+    if (p->n_pend &&
+        (p->mode == M_TABLE || p->mode == M_TBODY || p->mode == M_ROW)) {
+        pend_flush(p);
+        if (p->bail) return;
+    }
     switch (p->mode) {
+    case M_TABLE: handle_end_table_mode(p, tag); return;
+    case M_TBODY: handle_end_tbody(p, tag); return;
+    case M_ROW: handle_end_row(p, tag); return;
+    case M_CELL: handle_end_cell(p, tag); return;
+    case M_CAPTION: handle_end_caption(p, tag); return;
+    case M_COLGROUP: handle_end_colgroup(p, tag); return;
     case M_PRE:
         if (tag == T_head || tag == T_body || tag == T_html || tag == T_br) {
             enter_head(p, 0);
@@ -1316,6 +1768,7 @@ static void dispatch_text(P *p, Py_ssize_t a, Py_ssize_t b, int decode) {
     switch (p->mode) {
     case M_PRE:
         if (run_all_ws(p, a, b, decode)) return;   /* dropped */
+        p->seen_content = 1;
         ensure_html(p);
         push_el(p, T_head);           /* synth head, inserted+popped */
         p->head_ser = p->serial;
@@ -1344,7 +1797,22 @@ static void dispatch_text(P *p, Py_ssize_t a, Py_ssize_t b, int decode) {
         enter_body(p, 0);
         body_text(p, a, b, decode);
         break;
-    default:
+    case M_TABLE:
+    case M_TBODY:
+    case M_ROW:
+        pend_add(p, a, b, decode);     /* IN_TABLE_TEXT buffering */
+        break;
+    case M_COLGROUP:
+        if (run_all_ws(p, a, b, decode)) {
+            emit_norm(p, a, b, decode);           /* ws text in colgroup */
+            return;
+        }
+        if (top_tag(p) == T_html) return;
+        pop_el(p);
+        p->mode = M_TABLE;
+        dispatch_text(p, a, b, decode);
+        break;
+    default:                           /* M_BODY, M_CAPTION, M_CELL */
         body_text(p, a, b, decode);
         break;
     }
@@ -1388,21 +1856,36 @@ static Py_ssize_t skip_ws_bytes(const uint8_t *s, Py_ssize_t n, Py_ssize_t j) {
 }
 
 /* tokenizer._doctype quoted-string skip: returns next pos */
-static Py_ssize_t doctype_quoted(const uint8_t *s, Py_ssize_t n, Py_ssize_t j) {
+static Py_ssize_t doctype_quoted2(const uint8_t *s, Py_ssize_t n,
+                                  Py_ssize_t j, int *found) {
     j = skip_ws_bytes(s, n, j);
     if (j < n && (s[j] == '"' || s[j] == '\'')) {
         const uint8_t *k = memchr(s + j + 1, s[j], n - j - 1);
+        if (found) *found = 1;
         return k ? (k - s) + 1 : n;
     }
+    if (found) *found = 0;
     return j;
 }
 
-/* tokenizer._doctype: i is just past "<!doctype" (7 chars after "<!") */
+static Py_ssize_t doctype_quoted(const uint8_t *s, Py_ssize_t n,
+                                 Py_ssize_t j) {
+    return doctype_quoted2(s, n, j, NULL);
+}
+
+/* tokenizer._doctype: i is just past "<!doctype" (7 chars after "<!").
+ * Also mirrors the force-quirks computation: a malformed doctype in the
+ * INITIAL state sets quirks mode, which changes whether <table> closes
+ * an open <p> (treebuilder._in_body_start table branch). */
 static void skip_doctype(P *p, Py_ssize_t i) {
     const uint8_t *s = p->s; Py_ssize_t n = p->n;
+    int fq = 0;
     Py_ssize_t j = skip_ws_bytes(s, n, i);
-    if (j >= n) { p->pos = n; return; }
-    if (s[j] == '>') { p->pos = j + 1; return; }
+    if (j >= n || s[j] == '>') {
+        p->pos = j >= n ? n : j + 1;
+        fq = 1;
+        goto record;
+    }
     while (j < n) {                       /* doctype name [^\t\n\f\r >]+ */
         uint8_t c = s[j];
         if (c=='\t'||c=='\n'||c=='\f'||c=='\r'||c==' '||c=='>') break;
@@ -1411,16 +1894,31 @@ static void skip_doctype(P *p, Py_ssize_t i) {
     j = skip_ws_bytes(s, n, j);
     if (j < n && s[j] != '>') {
         if (j + 6 <= n && strncasecmp((const char *)s + j, "public", 6) == 0) {
-            Py_ssize_t j2 = doctype_quoted(s, n, j + 6);
+            int found;
+            Py_ssize_t j2 = doctype_quoted2(s, n, j + 6, &found);
+            if (!found) fq = 1;           /* no quoted public id */
             j = doctype_quoted(s, n, j2);
         } else if (j + 6 <= n &&
                    strncasecmp((const char *)s + j, "system", 6) == 0) {
-            j = doctype_quoted(s, n, j + 6);
+            int found;
+            Py_ssize_t j2 = doctype_quoted2(s, n, j + 6, &found);
+            if (!found) fq = 1;           /* no quoted system id */
+            j = j2;
+        } else {
+            fq = 1;                        /* unknown keyword */
         }
-        /* else: force-quirks, position just continues */
     }
-    const uint8_t *gt = memchr(s + j, '>', n - j);
-    p->pos = gt ? (gt - s) + 1 : n;
+    {
+        const uint8_t *gt = memchr(s + j, '>', n - j);
+        if (!gt) fq = 1;
+        p->pos = gt ? (gt - s) + 1 : n;
+    }
+record:
+    /* only the INITIAL-state doctype counts (treebuilder._initial) */
+    if (!p->seen_content && !p->seen_doctype) {
+        p->seen_doctype = 1;
+        if (fq) p->quirks = 1;
+    }
 }
 
 /* ---- the tag-open scanner (tokenizer._tag_open / _end_tag) ---------- */
@@ -1646,6 +2144,7 @@ static PyObject *py_doc_text(PyObject *self, PyObject *args) {
     }
 
     run_parse(p);
+    if (!p->bail && p->n_pend) pend_flush(p);   /* EOF flush */
     if (!p->bail && p->scope_active) {       /* EOF with scope open */
         p->scope_b = p->olen;
         p->scope_active = 0;
@@ -1774,6 +2273,7 @@ static PyObject *py_batch_extract(PyObject *self, PyObject *args) {
                 p->scope_id_len = (int)scope_len;
             }
             run_parse(p);
+            if (!p->bail && p->n_pend) pend_flush(p);
             if (!p->bail && p->scope_active) {
                 p->scope_b = p->olen;
                 p->scope_active = 0;
@@ -1904,6 +2404,10 @@ static PyObject *py_init_tables(PyObject *self, PyObject *args) {
     R(T_hr,"hr"); R(T_dd,"dd"); R(T_dt,"dt"); R(T_base,"base");
     R(T_basefont,"basefont"); R(T_bgsound,"bgsound"); R(T_command,"command");
     R(T_link,"link"); R(T_meta,"meta"); R(T_ol,"ol"); R(T_ul,"ul");
+    R(T_table,"table"); R(T_caption,"caption"); R(T_colgroup,"colgroup");
+    R(T_col,"col"); R(T_tbody,"tbody"); R(T_thead,"thead");
+    R(T_tfoot,"tfoot"); R(T_tr,"tr"); R(T_td,"td"); R(T_th,"th");
+    R(T_select,"select");
 #undef R
 
     /* byte classes */

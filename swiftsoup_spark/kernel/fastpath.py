@@ -61,7 +61,11 @@ F_AHTOHEAD = 1 << 19
 # HTML through the generic insert (reference
 # HtmlTreeBuilderState.swift:2436-2439 stub), which the generic C branch
 # mirrors exactly (differential-fuzzed).
-BAIL_TAGS = frozenset("table frameset select plaintext".split())
+# table is NOT here since round 2: the C pass implements the table
+# insertion modes (InTable..InCell) and bails only when content would
+# FOSTER-PARENT (non-ws text / non-table elements in table context,
+# which re-home before the table and reorder emission).
+BAIL_TAGS = frozenset("frameset select plaintext".split())
 
 # after-head head-re-entry set (treebuilder._after_head error branch)
 AFTERHEAD_TOHEAD = frozenset(

@@ -377,3 +377,37 @@ def test_scope_to_id():
     assert scope_to_id("#main > p") is None
     assert scope_to_id(None) is None
     assert scope_to_id("#") is None
+
+
+def test_table_modes_accepted():
+    """Well-formed tables (the common case) stay on the C fast path;
+    only fostering content bails."""
+    accepted = [
+        '<table><tr><td>cell</td><td>c2</td></tr></table>after',
+        '<table><caption>Cap</caption><tr><th>H</th></tr>'
+        '<tr><td>D</td></tr></table>',
+        '<p>before<table><tbody><tr><td>x</td></tr></tbody></table>tail',
+        '<table><tr><td>a<b>bold</b></td><td><p>para</p></td></tr></table>',
+        '<table>  <tr> <td>ws pending</td> </tr> </table>',
+        '<table><td>implied tbody/tr</td></table>',
+        '<table><col><colgroup><col></table>x',
+        '<table><tr><td><table><tr><td>nested</td></tr></table>'
+        '</td></tr></table>',
+        '<table><thead><tr><th>h</th></tr><tfoot><tr><td>f</td></tr></table>',
+        '<table><tr><td>u',                    # EOF inside cell
+        '<!doctype html><p>q<table><td>x',     # no-quirks: closes p
+        '<!doctype junk z><p>q<table><td>x',   # quirks: keeps p open
+        '<table><form><tr><td>f</td></tr></form></table>',
+        '<pre><table> <tr><td>x</td></tr></table></pre>',
+    ]
+    for html in accepted:
+        assert doc_text(html) is not None, f"unexpected bail: {html}"
+        check(html)
+
+    fostering = [
+        '<table>FOSTER<tr><td>x</td></tr></table>',
+        '<table><div>el foster</div></table>',
+        '<table><tr><td>a</td>MID</tr></table>',
+    ]
+    for html in fostering:
+        check(html)   # bail is fine; accept must match
