@@ -75,7 +75,7 @@ static int     g_max_ent_name = 32;
 
 /* well-known tag ids, resolved at init */
 static int T_table, T_caption, T_colgroup, T_col, T_tbody, T_thead,
-    T_tfoot, T_tr, T_td, T_th, T_select;
+    T_tfoot, T_tr, T_td, T_th, T_select, T_keygen;
 static int T_p, T_li, T_br, T_a, T_form, T_head, T_body, T_html, T_title,
     T_textarea, T_script, T_style, T_noscript, T_noframes, T_pre, T_listing,
     T_xmp, T_iframe, T_noembed, T_button, T_option, T_optgroup, T_ruby,
@@ -152,7 +152,8 @@ typedef struct {
 } P;
 
 enum { M_PRE, M_HEAD, M_HEADNS, M_AFTERHEAD, M_BODY,
-       M_TABLE, M_CAPTION, M_COLGROUP, M_TBODY, M_ROW, M_CELL };
+       M_TABLE, M_CAPTION, M_COLGROUP, M_TBODY, M_ROW, M_CELL,
+       M_SELECT, M_SELECT_TB };
 
 #define BAIL(p) do { (p)->bail = 1; return; } while (0)
 #define BAILV(p, v) do { (p)->bail = 1; return (v); } while (0)
@@ -1098,6 +1099,13 @@ static void handle_start_body(P *p, int tag, int sc, int has_attrs,
         p->mode = M_TABLE;
         return;
     }
+    if (tag == T_select) {
+        reconstruct_fmt(p);
+        insert_from_token(p, tag, sc);
+        p->mode = (p->mode == M_CAPTION || p->mode == M_CELL)
+                      ? M_SELECT_TB : M_SELECT;
+        return;
+    }
     if (f & F_EMPTYFMT) {    /* area br embed img keygen wbr */
         reconstruct_fmt(p);
         insert_empty_el_tok(p, tag);
@@ -1197,7 +1205,7 @@ static void reset_insertion_mode(P *p) {
     for (int i = p->sp - 1; i >= 0; i--) {
         int t = p->st_tag[i];
         int last = (i == 0);
-        if (t == T_select) { p->bail = 1; return; }
+        if (t == T_select) { p->mode = M_SELECT; return; }
         if ((t == T_td || t == T_th) && !last) { p->mode = M_CELL; return; }
         if (t == T_tr) { p->mode = M_ROW; return; }
         if (t == T_tbody || t == T_thead || t == T_tfoot) {
@@ -1550,6 +1558,101 @@ static void handle_end_colgroup(P *p, int tag) {
     dispatch_end(p, tag);
 }
 
+/* ---- select modes (_in_select / _in_select_in_table) ---------------- */
+
+static int in_select_scope(P *p, int tag) {
+    for (int i = p->sp - 1; i >= 0; i--) {
+        int t = p->st_tag[i];
+        if (t == tag) return 1;
+        if (t != T_optgroup && t != T_option) return 0;
+    }
+    return 0;
+}
+
+/* char insert inside select: no reconstruct (python insert_char) */
+static void select_text(P *p, Py_ssize_t a, Py_ssize_t b, int decode) {
+    int parent = p->sp > 0 ? p->st_tag[p->sp - 1] : -1;
+    int gp = p->sp > 0 ? p->st_ptag[p->sp - 1] : -1;
+    if ((tflags(parent) & F_PRESERVE) || (tflags(gp) & F_PRESERVE))
+        emit_preserve(p, a, b, decode);
+    else
+        emit_norm(p, a, b, decode);
+}
+
+static void select_end_select(P *p) {
+    if (!in_select_scope(p, T_select)) return;    /* error, ignore */
+    pop_to_close(p, T_select);
+    reset_insertion_mode(p);
+}
+
+static void handle_start_select(P *p, int tag, int sc, int has_attrs,
+                                const uint8_t *name, int nlen) {
+    if (tag == T_html) {
+        if (has_attrs && p->scope_id && !p->scope_done) p->bail = 1;
+        return;
+    }
+    if (tag == T_option) {
+        if (top_tag(p) == T_option) pop_el(p);
+        insert_el_tok(p, tag);
+        return;
+    }
+    if (tag == T_optgroup) {
+        if (top_tag(p) == T_option) pop_el(p);
+        if (top_tag(p) == T_optgroup) pop_el(p);
+        insert_el_tok(p, tag);
+        return;
+    }
+    if (tag == T_select) { select_end_select(p); return; }
+    if (tag == T_input || tag == T_textarea || tag == T_keygen) {
+        if (!in_select_scope(p, T_select)) return;  /* error, ignore */
+        select_end_select(p);
+        dispatch_start(p, tag, sc, has_attrs, name, nlen);
+        return;
+    }
+    if (tag == T_script) { start_rawtext(p, tag, sc, name, nlen, 1); return; }
+    /* anything else: error, token ignored */
+}
+
+static void handle_end_select(P *p, int tag) {
+    if (tag == T_optgroup) {
+        if (top_tag(p) == T_option && p->sp >= 2 &&
+            p->st_tag[p->sp - 2] == T_optgroup)
+            pop_el(p);                              /* implied </option> */
+        if (top_tag(p) == T_optgroup) pop_el(p);
+        return;
+    }
+    if (tag == T_option) {
+        if (top_tag(p) == T_option) pop_el(p);
+        return;
+    }
+    if (tag == T_select) { select_end_select(p); return; }
+    /* anything else: error, ignored */
+}
+
+static void handle_start_select_tb(P *p, int tag, int sc, int has_attrs,
+                                   const uint8_t *name, int nlen) {
+    if (tag == T_caption || tag == T_table || tag == T_tbody ||
+        tag == T_tfoot || tag == T_thead || tag == T_tr || tag == T_td ||
+        tag == T_th) {
+        select_end_select(p);
+        dispatch_start(p, tag, sc, has_attrs, name, nlen);
+        return;
+    }
+    handle_start_select(p, tag, sc, has_attrs, name, nlen);
+}
+
+static void handle_end_select_tb(P *p, int tag) {
+    if (tag == T_caption || tag == T_table || tag == T_tbody ||
+        tag == T_tfoot || tag == T_thead || tag == T_tr || tag == T_td ||
+        tag == T_th) {
+        if (!in_table_scope(p, tag)) return;        /* error, ignore */
+        select_end_select(p);
+        dispatch_end(p, tag);
+        return;
+    }
+    handle_end_select(p, tag);
+}
+
 /* ---- mode dispatch (Initial..AfterHead synthesis + InBody) ---------- */
 
 static void ensure_html(P *p) {
@@ -1607,6 +1710,12 @@ static void dispatch_start(P *p, int tag, int sc, int has_attrs,
         goto pending;
     case M_COLGROUP:
         handle_start_colgroup(p, tag, sc, has_attrs, name, nlen);
+        goto pending;
+    case M_SELECT:
+        handle_start_select(p, tag, sc, has_attrs, name, nlen);
+        goto pending;
+    case M_SELECT_TB:
+        handle_start_select_tb(p, tag, sc, has_attrs, name, nlen);
         goto pending;
     case M_PRE:
         if (tag == T_html) {
@@ -1695,6 +1804,8 @@ static void dispatch_end(P *p, int tag) {
     case M_CELL: handle_end_cell(p, tag); return;
     case M_CAPTION: handle_end_caption(p, tag); return;
     case M_COLGROUP: handle_end_colgroup(p, tag); return;
+    case M_SELECT: handle_end_select(p, tag); return;
+    case M_SELECT_TB: handle_end_select_tb(p, tag); return;
     case M_PRE:
         if (tag == T_head || tag == T_body || tag == T_html || tag == T_br) {
             enter_head(p, 0);
@@ -1801,6 +1912,10 @@ static void dispatch_text(P *p, Py_ssize_t a, Py_ssize_t b, int decode) {
     case M_TBODY:
     case M_ROW:
         pend_add(p, a, b, decode);     /* IN_TABLE_TEXT buffering */
+        break;
+    case M_SELECT:
+    case M_SELECT_TB:
+        select_text(p, a, b, decode);
         break;
     case M_COLGROUP:
         if (run_all_ws(p, a, b, decode)) {
@@ -2407,7 +2522,7 @@ static PyObject *py_init_tables(PyObject *self, PyObject *args) {
     R(T_table,"table"); R(T_caption,"caption"); R(T_colgroup,"colgroup");
     R(T_col,"col"); R(T_tbody,"tbody"); R(T_thead,"thead");
     R(T_tfoot,"tfoot"); R(T_tr,"tr"); R(T_td,"td"); R(T_th,"th");
-    R(T_select,"select");
+    R(T_select,"select"); R(T_keygen,"keygen");
 #undef R
 
     /* byte classes */

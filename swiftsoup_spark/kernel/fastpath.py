@@ -65,7 +65,7 @@ F_AHTOHEAD = 1 << 19
 # insertion modes (InTable..InCell) and bails only when content would
 # FOSTER-PARENT (non-ws text / non-table elements in table context,
 # which re-home before the table and reorder emission).
-BAIL_TAGS = frozenset("frameset select plaintext".split())
+BAIL_TAGS = frozenset("frameset plaintext".split())
 
 # after-head head-re-entry set (treebuilder._after_head error branch)
 AFTERHEAD_TOHEAD = frozenset(

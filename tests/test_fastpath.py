@@ -411,3 +411,21 @@ def test_table_modes_accepted():
     ]
     for html in fostering:
         check(html)   # bail is fine; accept must match
+
+
+def test_select_modes_accepted():
+    """<select> stays on the C fast path (option text IS in text())."""
+    cases = [
+        '<select><option>one</option><option>two</option></select>after',
+        '<form><select><optgroup><option>a<option>b</optgroup>'
+        '<option>c</select></form>',
+        '<select><option>a<input></select>tail',   # input exits select
+        '<select><option>unclosed',
+        '<table><tr><td><select><option>in cell</option></select>'
+        '</td></tr></table>',
+        '<select><select>double</select>',
+        '<div id=m><select><option>scoped</option></select></div>',
+    ]
+    for html in cases:
+        assert doc_text(html) is not None, f"unexpected bail: {html}"
+        check(html)
