@@ -76,6 +76,7 @@ def _q_variant_text(name):
 
 
 q_extract_text_tables = _q_variant_text("tables")
+q_extract_text_tables_clean = _q_variant_text("tables_clean")
 q_extract_text_misnested = _q_variant_text("misnested")
 q_extract_text_pre = _q_variant_text("pre")
 q_extract_text_entities = _q_variant_text("entities")
@@ -340,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_metrics": q_corpus_metrics,
         "extract_quality_pipeline": q_extract_quality_pipeline,
         "extract_text_tables": q_extract_text_tables,
+        "extract_text_tables_clean": q_extract_text_tables_clean,
         "extract_text_misnested": q_extract_text_misnested,
         "extract_text_pre": q_extract_text_pre,
         "extract_text_entities": q_extract_text_entities,
@@ -519,6 +521,7 @@ FROM documents
             "SELECT url, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, "
             "md5(text) AS fp FROM t WHERE len(string_split(text, ' ')) >= 20"),
         "extract_text_tables": _variant_oracle("tables"),
+        "extract_text_tables_clean": _variant_oracle("tables_clean"),
         "extract_text_misnested": _variant_oracle("misnested"),
         "extract_text_pre": _variant_oracle("pre"),
         "extract_text_entities": _variant_oracle("entities"),

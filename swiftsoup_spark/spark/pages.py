@@ -102,6 +102,20 @@ VARIANT_TEMPLATES = {
         "<td>B' || doc_id || '</td></tr></table><p>after</p></body></html>'",
         "'T ' || doc_id || ' FOST' || doc_id || ' A ' || text || ' B' ||"
         " doc_id || ' after'"),
+    # well-formed table (caption/thead/tbody/th/td, no fostered content):
+    # stays on the C fast path's native table insertion modes
+    # (InTable..InCell) — the driver gate thereby exercises BOTH table
+    # code paths: 'tables' → foster bail→Python kernel, 'tables_clean' →
+    # C table modes
+    "tables_clean": (
+        "'<html><head><title>T ' || doc_id || '</title></head><body>"
+        "<table><caption>Cap ' || doc_id || '</caption>"
+        "<thead><tr><th>H1</th><th>H2</th></tr></thead>"
+        "<tbody><tr><td>A ' || text || '</td><td>B' || doc_id || '</td></tr>"
+        "<tr><td colspan=\"2\">C' || doc_id || '</td></tr></tbody></table>"
+        "<p>after</p></body></html>'",
+        "'T ' || doc_id || ' Cap ' || doc_id || ' H1 H2 A ' || text ||"
+        " ' B' || doc_id || ' C' || doc_id || ' after'"),
     # misnested <b><i></b></i> triggers the adoption-agency repair;
     # extracted text stays in source order
     "misnested": (

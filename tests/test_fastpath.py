@@ -429,3 +429,35 @@ def test_select_modes_accepted():
     for html in cases:
         assert doc_text(html) is not None, f"unexpected bail: {html}"
         check(html)
+
+
+def test_oracle_corpus_bail_contract():
+    """Which oracle-corpus shapes ride the C fast path is a perf contract:
+    only the foster-parenting 'tables' variant may bail (it re-homes text
+    before the table — by design the C pass refuses to reorder).  A
+    regression here silently sends a whole driver query to the ~30×
+    slower Python kernel."""
+    import duckdb
+    import pyarrow as pa
+
+    from swiftsoup_spark.kernel.fastpath import batch_doc_text, get_module
+    from swiftsoup_spark.spark.pages import HTML_SQL, VARIANT_TEMPLATES
+
+    if get_module() is None:
+        import pytest
+        pytest.skip("native fastpath unavailable")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+    corpora = {"primary": HTML_SQL}
+    corpora.update({k: h for k, (h, _) in VARIANT_TEMPLATES.items()})
+    expected_bail = {"tables": 1.0}
+    for name, hsql in corpora.items():
+        htmls = [r[0] for r in
+                 con.execute(f"SELECT {hsql} FROM documents").fetchall()]
+        r = batch_doc_text(pa.array(htmls, type=pa.string()))
+        assert r is not None
+        rate = len(r[2]) / len(htmls)
+        assert rate == expected_bail.get(name, 0.0), (name, rate)
