@@ -8,10 +8,12 @@
  * (returns None -> caller falls back to the Python kernel) on any
  * construct that can move text nodes out of source order or change
  * preserve-whitespace ancestry in ways this pass does not model:
- * tables (foster parenting), frameset, select, svg/math (foreign
- * content), plaintext, real adoption-agency runs (formatting end tag
+ * frameset, plaintext, real adoption-agency runs (formatting end tag
  * with a special element above it on the stack), Noah's-ark
- * evictions, NUL bytes, and pathological depth.
+ * evictions, NUL bytes, and pathological depth.  Tables (including
+ * FOSTER PARENTING: non-table content re-homed before the table) and
+ * select are modeled natively; fostering under an active #id scope
+ * falls back (offset bookkeeping not worth the rarity).
  *
  * The contract is byte-identity with Arena.node_text(0) +
  * first-title capture of the Python kernel on every accepted
@@ -56,6 +58,10 @@
 #define MAXUNK   64
 #define MAXTAGLEN 63
 #define UNK_BASE 4096
+#define MAXTBL   16    /* open-table nesting for foster bookkeeping */
+
+/* segment-head join state (see seg_note / fz_end) */
+enum { SJ_NONE = 0, SJ_SPACE, SJ_SUPP, SJ_RAW };
 
 /* ---- global registry (built once by init_tables) ---- */
 typedef struct { const char *name; int len; int id; } TagSlot;
@@ -147,8 +153,27 @@ typedef struct {
     Py_ssize_t pend_tx[32][2];     /* pending table-text spans */
     uint8_t pend_decode[32];
     int n_pend;
+    /* foster parenting: per-open-table "foster zone" bookkeeping.
+     * tb_fpt[k] = out offset where content fostered before table k
+     * inserts (the zone END; the table's own emitted segment follows).
+     * Emission is redirected there by fz_begin/fz_end (memmove of the
+     * segment tail per rare foster event). */
+    Py_ssize_t tb_fpt[MAXTBL];
+    int tb_spidx[MAXTBL];          /* stack index of the table */
+    uint32_t tb_ser[MAXTBL];       /* its serial (lazy tb_sync checks) */
+    uint8_t tb_sj[MAXTBL];         /* segment-head join state (SJ_*) */
+    int n_tbl;
+    int foster_arm;                /* _in_table_anything_else armed */
+    Py_ssize_t foster_copied;      /* fz tail bytes copied (quad guard) */
+    int fz_brk;                    /* inside a foster-redirect bracket */
+    Py_ssize_t fz_sav_fpt, fz_taillen;
+    uint8_t st_fz[MAXSTACK];       /* stack entry lives in a foster zone */
     char unk_names[MAXUNK][MAXTAGLEN + 1];      /* doc-local interning */
     int unk_len[MAXUNK]; int n_unk;
+    /* fields below unk_names are NOT zeroed per-doc by batch_extract */
+    uint8_t *scratch;              /* fz tail save (persists across docs) */
+    Py_ssize_t scratch_cap;
+    Py_ssize_t out_cap;            /* capacity of out (set per doc) */
 } P;
 
 enum { M_PRE, M_HEAD, M_HEADNS, M_AFTERHEAD, M_BODY,
@@ -176,6 +201,114 @@ static inline int out_lastspace(P *p) {
     return p->olen > p->base_olen && p->out[p->olen - 1] == ' ';
 }
 static inline void putb(P *p, uint8_t c) { p->out[p->olen++] = c; }
+
+/* ---- foster-parenting machinery ------------------------------------- */
+
+static inline int is_tableish(int tag) {
+    return tag == T_table || tag == T_tbody || tag == T_thead ||
+           tag == T_tfoot || tag == T_tr;
+}
+
+/* drop foster levels whose table has left the open-element stack.
+ * Mid-stack removals (form end, a-in-a remnant) shift indices, so a
+ * stale index is revalidated by the table's SERIAL before dropping. */
+static int on_stack_ser(P *p, uint32_t ser);   /* fwd */
+static void tb_sync(P *p) {
+    while (p->n_tbl > 0) {
+        int k = p->n_tbl - 1, i = p->tb_spidx[k];
+        if (i < p->sp && p->st_ser[i] == p->tb_ser[k] &&
+            p->st_tag[i] == T_table)
+            break;
+        int j = on_stack_ser(p, p->tb_ser[k]);
+        if (j >= 0 && p->st_tag[j] == T_table) { p->tb_spidx[k] = j; break; }
+        p->n_tbl--;
+    }
+}
+
+/* Record how the innermost table segment's FIRST emission related to
+ * the output preceding it, so a later foster insertion between them can
+ * repair the join (fz_end):
+ *   SJ_SPACE - first byte is an emitted block/ws join space
+ *   SJ_SUPP  - a join was suppressed (output empty / ended in space)
+ *   SJ_RAW   - first byte is plain content (adjacent-text concat or
+ *              preserved text): never repair
+ * First decision wins; only meaningful while the segment is empty. */
+static inline void seg_note(P *p, int what) {
+    if (p->n_tbl == 0 || p->fz_brk) return;
+    int k = p->n_tbl - 1;
+    if (p->olen != p->tb_fpt[k]) return;   /* segment already has bytes */
+    if (p->tb_sj[k] == SJ_NONE) p->tb_sj[k] = (uint8_t)what;
+}
+
+/* Begin emitting fostered content: stash the table segment tail and
+ * rewind out to the foster insertion point, so the normal emitters see
+ * the true preceding output.  Scoped (#id) extraction bails: fostering
+ * shifts stored out-offsets and the combination is rare. */
+static void fz_begin(P *p) {
+    if (p->fz_brk) { p->bail = 1; return; }   /* nesting is a caller bug */
+    if (p->scope_id) { p->bail = 1; return; }
+    int k = p->n_tbl - 1;
+    Py_ssize_t fpt = p->tb_fpt[k];
+    Py_ssize_t tl = p->olen - fpt;
+    if (!p->scratch || p->scratch_cap < p->out_cap) {
+        PyMem_Free(p->scratch);
+        p->scratch = PyMem_Malloc(p->out_cap > 64 ? p->out_cap : 64);
+        if (!p->scratch) { p->scratch_cap = 0; p->bail = 1; return; }
+        p->scratch_cap = p->out_cap > 64 ? p->out_cap : 64;
+    }
+    p->foster_copied += tl;
+    if (p->foster_copied > (Py_ssize_t)4 << 20) { p->bail = 1; return; }
+    memcpy(p->scratch, p->out + fpt, tl);
+    p->fz_taillen = tl;
+    p->fz_sav_fpt = fpt;
+    p->olen = fpt;
+    p->fz_brk = 1;
+}
+
+/* End the bracket: re-append the segment tail after the fostered
+ * content and repair the join at the new boundary. */
+static void fz_end(P *p) {
+    if (!p->fz_brk) return;
+    p->fz_brk = 0;
+    if (p->bail) return;
+    int k = p->n_tbl - 1;
+    Py_ssize_t fpt = p->fz_sav_fpt;
+    Py_ssize_t tl = p->fz_taillen;
+    Py_ssize_t grew = p->olen - fpt;
+    const uint8_t *tail = p->scratch;
+    p->tb_fpt[k] = p->olen;            /* zone grew by `grew` */
+    if (grew > 0) {
+        int end_sp = p->out[p->olen - 1] == ' ';
+        if (p->tb_sj[k] == SJ_SPACE && end_sp) {
+            tail++; tl--;              /* collapse now-redundant join */
+            p->tb_sj[k] = SJ_SUPP;     /* it is latent again */
+        } else if (p->tb_sj[k] == SJ_SUPP && !end_sp) {
+            /* materialize the suppressed join (segment head); with an
+             * empty segment this is the table's own entry join, which
+             * tree-order places AFTER the fostered content */
+            putb(p, ' ');
+            p->tb_sj[k] = SJ_SPACE;
+        }
+    }
+    memcpy(p->out + p->olen, tail, tl);
+    p->olen += tl;
+}
+
+/* Open a redirect bracket iff the CURRENT emission targets the foster
+ * zone: the stack top is itself fostered, or foster-inserts are armed
+ * (_in_table_anything_else / fostered table text) with a table-ish
+ * insert parent.  Mirrors python _insert_node's per-insert decision.
+ * Returns 1 if a bracket was opened (caller must fz_end). */
+static int fz_enter(P *p) {
+    if (p->fz_brk) return 0;           /* already redirected */
+    int zone = (p->sp > 0 && p->st_fz[p->sp - 1]) ||
+               (p->foster_arm && is_tableish(p->sp > 0 ? p->st_tag[p->sp - 1] : -1));
+    if (!zone) return 0;
+    tb_sync(p);
+    if (!p->n_tbl) { p->bail = 1; return 0; }
+    fz_begin(p);
+    return !p->bail;
+}
 
 /* entity decode: s[i] is the char after '&'. Writes decoded UTF-8 to
  * dst (cap 16), sets *adv = source chars consumed after the '&'.
@@ -261,8 +394,12 @@ static uint8_t g_bclass[256];
  * unless it is leading in the run AND (output empty or ends in ' ') */
 static inline void flush_pend(P *p, int *pend, int sawnon) {
     if (*pend) {
-        if (sawnon || (out_nonempty(p) && !out_lastspace(p)))
+        if (sawnon || (out_nonempty(p) && !out_lastspace(p))) {
+            seg_note(p, SJ_SPACE);
             putb(p, ' ');
+        } else {
+            seg_note(p, SJ_SUPP);
+        }
         *pend = 0;
     }
 }
@@ -290,6 +427,7 @@ static void emit_norm(P *p, Py_ssize_t a, Py_ssize_t b, int decode) {
                 break;
             }
             flush_pend(p, &pend, sawnon);
+            seg_note(p, SJ_RAW);
             memcpy(p->out + p->olen, s + a, q - a);
             p->olen += q - a;
             sawnon = 1;
@@ -303,6 +441,7 @@ static void emit_norm(P *p, Py_ssize_t a, Py_ssize_t b, int decode) {
             int dl = decode_entity(s, a + 1, p->n, dbuf, &adv);
             if (dl <= 0) {
                 flush_pend(p, &pend, sawnon);
+                seg_note(p, SJ_RAW);
                 putb(p, '&'); sawnon = 1; a++;
             } else {
                 for (int k = 0; k < dl; ) {
@@ -313,6 +452,7 @@ static void emit_norm(P *p, Py_ssize_t a, Py_ssize_t b, int decode) {
                         pend = 1; k += 2;
                     } else {
                         flush_pend(p, &pend, sawnon);
+                        seg_note(p, SJ_RAW);
                         putb(p, dc); sawnon = 1; k++;
                     }
                 }
@@ -329,6 +469,7 @@ static void emit_preserve(P *p, Py_ssize_t a, Py_ssize_t b, int decode) {
     const uint8_t *s = p->s;
     uint8_t dbuf[16];
     while (a < b) {
+        seg_note(p, SJ_RAW);
         if (decode) {
             const uint8_t *amp = memchr(s + a, '&', b - a);
             Py_ssize_t stop = amp ? (amp - s) : b;
@@ -361,7 +502,20 @@ static void push_el(P *p, int tag) {
     /* the tree parent is the insertion point (stack top before push);
        it stays valid even after mid-stack removals (form end, a-in-a)
        because no modeled construct reparents nodes */
-    p->st_ptag[p->sp] = p->sp > 0 ? p->st_tag[p->sp - 1] : -1;
+    {
+        int top = p->sp > 0 ? p->st_tag[p->sp - 1] : -1;
+        int topfz = p->sp > 0 && p->st_fz[p->sp - 1];
+        if (!topfz && p->foster_arm && is_tableish(top)) {
+            /* directly fostered: the TREE parent is the table's parent */
+            tb_sync(p);
+            if (!p->n_tbl) { p->bail = 1; return; }
+            p->st_ptag[p->sp] = p->st_ptag[p->tb_spidx[p->n_tbl - 1]];
+            p->st_fz[p->sp] = 1;
+        } else {
+            p->st_ptag[p->sp] = top;
+            p->st_fz[p->sp] = (uint8_t)topfz;
+        }
+    }
     p->st_tag[p->sp] = tag;
     p->st_ser[p->sp] = ++p->serial;
     p->sp++;
@@ -370,18 +524,34 @@ static void push_el(P *p, int tag) {
 /* entering an element in document order: block/br single-space rule */
 static inline void maybe_space(P *p, int tag) {
     if ((tflags(tag) & F_BLOCK) || tag == T_br) {
-        if (out_nonempty(p) && !out_lastspace(p)) putb(p, ' ');
+        if (out_nonempty(p) && !out_lastspace(p)) {
+            seg_note(p, SJ_SPACE);
+            putb(p, ' ');
+        } else {
+            seg_note(p, SJ_SUPP);
+        }
     }
 }
 
-/* insert an element node (maybe_space + push); returns its serial */
+/* the entry join of an insert, routed to the foster zone when the
+ * insert parent lives there (fz_enter) */
+static void join_space(P *p, int tag) {
+    if ((tflags(tag) & F_BLOCK) || tag == T_br) {
+        int o = fz_enter(p);
+        if (p->bail) return;
+        maybe_space(p, tag);
+        if (o) fz_end(p);
+    }
+}
+
+/* insert an element node (join + push); returns its serial */
 static uint32_t insert_el(P *p, int tag) {
-    maybe_space(p, tag);
+    join_space(p, tag);
     push_el(p, tag);
     return p->serial;
 }
 
-static void insert_empty_el(P *p, int tag) { maybe_space(p, tag); }
+static void insert_empty_el(P *p, int tag) { join_space(p, tag); }
 
 /* does the current token carry id="<scope_id>"? (valid only between
  * handle_tag's capture and the token's own element insert) */
@@ -416,14 +586,14 @@ static inline void scope_on_void(P *p) {
 /* token-origin element insert (vs synthesized/reconstructed inserts,
  * which must NOT consume the token's id attribute) */
 static uint32_t insert_el_tok(P *p, int tag) {
-    maybe_space(p, tag);
+    join_space(p, tag);
     push_el(p, tag);
     scope_on_push(p);
     return p->serial;
 }
 
 static void insert_empty_el_tok(P *p, int tag) {
-    maybe_space(p, tag);
+    join_space(p, tag);
     scope_on_void(p);
 }
 
@@ -473,6 +643,8 @@ static void remove_stack_serial(P *p, uint32_t ser) {
                     (p->sp - i - 1) * sizeof(uint32_t));
             memmove(p->st_ptag + i, p->st_ptag + i + 1,
                     (p->sp - i - 1) * sizeof(int32_t));
+            memmove(p->st_fz + i, p->st_fz + i + 1,
+                    (Py_ssize_t)(p->sp - i - 1));
             p->sp--;
             return;
         }
@@ -838,6 +1010,7 @@ static void close_p_if_open(P *p) {
     if (in_button_scope(p, T_p)) {
         gen_implied(p, T_p);
         pop_to_close(p, T_p);
+        p->foster_arm = 0;   /* nested mode-dispatch end (jsoup quirk) */
     }
 }
 
@@ -871,8 +1044,12 @@ static void handle_end_body(P *p, int tag) {
     }
     if (tag == T_p) {
         if (!in_button_scope(p, T_p)) {
-            /* synth <p> then close it: net effect is the block space */
+            /* synth <p> then close it: net effect is the block space,
+             * fostered when armed with a table-ish insert parent */
+            int o = fz_enter(p);
+            if (p->bail) return;
             maybe_space(p, T_p);
+            if (o) fz_end(p);
             return;
         }
         gen_implied(p, T_p);
@@ -928,7 +1105,8 @@ static void start_rcdata(P *p, int tag, int sc,
             if (tag == T_title && !p->title_set) {
                 p->title_set = 1; p->title_a = i; p->title_b = bj;
             }
-            emit_preserve(p, i, bj, 1);
+            { int o = fz_enter(p); if (p->bail) return;
+              emit_preserve(p, i, bj, 1); if (o) fz_end(p); }
             p->pos = bj;
             pop_el(p);
             return;
@@ -937,7 +1115,8 @@ static void start_rcdata(P *p, int tag, int sc,
         if (tag == T_title && !p->title_set) {
             p->title_set = 1; p->title_a = i; p->title_b = content_end;
         }
-        emit_preserve(p, i, content_end, 1);
+        { int o = fz_enter(p); if (p->bail) return;
+          emit_preserve(p, i, content_end, 1); if (o) fz_end(p); }
         p->pos = p->n;
         pop_el(p);          /* EOF in Text mode pops */
         return;
@@ -945,7 +1124,8 @@ static void start_rcdata(P *p, int tag, int sc,
     if (tag == T_title && !p->title_set) {
         p->title_set = 1; p->title_a = i; p->title_b = content_end;
     }
-    emit_preserve(p, i, content_end, 1);
+    { int o = fz_enter(p); if (p->bail) return;
+      emit_preserve(p, i, content_end, 1); if (o) fz_end(p); }
     consume_end_tag(p, close);
     pop_el(p);
 }
@@ -1029,7 +1209,11 @@ static void handle_start_body(P *p, int tag, int sc, int has_attrs,
     if (tag == T_li) {
         for (int i = p->sp - 1; i >= 0; i--) {
             int t = p->st_tag[i];
-            if (t == T_li) { handle_end_body(p, T_li); break; }
+            if (t == T_li) {
+                handle_end_body(p, T_li);
+                p->foster_arm = 0;   /* nested mode-dispatch end (jsoup quirk) */
+                break;
+            }
             uint32_t tf = tflags(t);
             if ((tf & F_SPECIAL) && !(tf & F_LIBREAK)) break;
         }
@@ -1040,7 +1224,11 @@ static void handle_start_body(P *p, int tag, int sc, int has_attrs,
     if (f & F_DDDT) {
         for (int i = p->sp - 1; i >= 0; i--) {
             int t = p->st_tag[i];
-            if (tflags(t) & F_DDDT) { handle_end_body(p, t); break; }
+            if (tflags(t) & F_DDDT) {
+                handle_end_body(p, t);
+                p->foster_arm = 0;   /* nested mode-dispatch end (jsoup quirk) */
+                break;
+            }
             uint32_t tf = tflags(t);
             if ((tf & F_SPECIAL) && !(tf & F_LIBREAK)) break;
         }
@@ -1052,8 +1240,11 @@ static void handle_start_body(P *p, int tag, int sc, int has_attrs,
     if (tag == T_button) {
         if (in_button_scope(p, T_button)) {
             handle_end_body(p, T_button);
+            p->foster_arm = 0;   /* nested mode-dispatch end (jsoup quirk) */
             if (p->bail) return;
-            handle_start_body(p, tag, sc, has_attrs, name, nlen);
+            /* python: return self.process(t) — re-dispatch through the
+             * mode (re-arms via anything-else in table modes) */
+            dispatch_start(p, tag, sc, has_attrs, name, nlen);
             return;
         }
         reconstruct_fmt(p);
@@ -1063,6 +1254,7 @@ static void handle_start_body(P *p, int tag, int sc, int has_attrs,
     if (tag == T_a) {
         if (get_active_fmt(p, T_a) >= 0) {
             handle_end_body(p, T_a);              /* AAA path */
+            p->foster_arm = 0;   /* nested mode-dispatch end (jsoup quirk) */
             if (p->bail) return;
             int rem = get_active_fmt(p, T_a);
             if (rem >= 0) {
@@ -1093,16 +1285,32 @@ static void handle_start_body(P *p, int tag, int sc, int has_attrs,
         return;
     }
     if (tag == T_table) {
-        /* _in_body_start table: close p unless quirks, enter table mode */
+        /* _in_body_start table: close p unless quirks, enter table mode.
+         * Register the foster level BEFORE the insert so the table's own
+         * entry join is noted as segment head (tree order puts fostered
+         * content before it). */
         if (p->quirks != 1 && in_button_scope(p, T_p)) close_p_if_open(p);
+        tb_sync(p);
+        if (p->n_tbl >= MAXTBL) { p->bail = 1; return; }
+        int k = p->n_tbl++;
+        p->tb_fpt[k] = p->olen;
+        p->tb_sj[k] = SJ_NONE;
+        p->tb_spidx[k] = p->sp;
+        p->tb_ser[k] = 0;
         insert_from_token(p, tag, sc);   /* sc end handled mode-aware */
+        if (p->bail) return;
+        p->tb_ser[k] = p->st_ser[p->sp - 1];
         p->mode = M_TABLE;
         return;
     }
     if (tag == T_select) {
         reconstruct_fmt(p);
         insert_from_token(p, tag, sc);
-        p->mode = (p->mode == M_CAPTION || p->mode == M_CELL)
+        /* treebuilder._in_body select: IN_SELECT_IN_TABLE when the mode
+         * is any table-ish one (incl. fostered selects from InTable) */
+        p->mode = (p->mode == M_CAPTION || p->mode == M_CELL ||
+                   p->mode == M_TABLE || p->mode == M_TBODY ||
+                   p->mode == M_ROW)
                       ? M_SELECT_TB : M_SELECT;
         return;
     }
@@ -1144,7 +1352,10 @@ static void handle_start_body(P *p, int tag, int sc, int has_attrs,
         return;
     }
     if (tag == T_optgroup || tag == T_option) {
-        if (top_tag(p) == T_option) handle_end_body(p, T_option);
+        if (top_tag(p) == T_option) {
+            handle_end_body(p, T_option);
+            p->foster_arm = 0;   /* nested mode-dispatch end (jsoup quirk) */
+        }
         reconstruct_fmt(p);
         insert_from_token(p, tag, sc);
         return;
@@ -1235,17 +1446,35 @@ static void pend_add(P *p, Py_ssize_t a, Py_ssize_t b, int decode) {
 
 static void pend_flush(P *p) {
     if (!p->n_pend || p->bail) return;
-    for (int i = 0; i < p->n_pend; i++) {
+    int nonws = 0;
+    for (int i = 0; i < p->n_pend; i++)
         if (!run_all_ws(p, p->pend_tx[i][0], p->pend_tx[i][1],
-                        p->pend_decode[i])) {
-            p->bail = 1;           /* would foster-parent */
+                        p->pend_decode[i])) { nonws = 1; break; }
+    /* non-ws text runs through the InBody char path with foster armed
+     * (treebuilder._in_table_text): reconstruct + insert, re-homed
+     * before the table when the insert parent is table-ish.  Ws-only
+     * inserts plainly under the current element (no reconstruct). */
+    if (nonws) p->foster_arm = 1;
+    int o = fz_enter(p);
+    if (p->bail) { p->foster_arm = 0; return; }
+    if (nonws) reconstruct_fmt(p);
+    if (p->bail) { if (o) fz_end(p); p->foster_arm = 0; return; }
+    int parent, gp;
+    if (p->foster_arm && is_tableish(top_tag(p))) {
+        /* text re-homes before the table, under the table's TREE parent
+         * (preserve-ws ancestry follows the foster target) */
+        int ti = p->tb_spidx[p->n_tbl - 1];
+        parent = p->st_ptag[ti];
+        if (ti >= 1 && p->st_tag[ti - 1] != parent) {
+            p->bail = 1;   /* mid-stack removal in between: gp unknown */
+            p->foster_arm = 0;
             return;
         }
+        gp = ti >= 1 ? p->st_ptag[ti - 1] : -1;
+    } else {
+        parent = top_tag(p);
+        gp = p->sp > 0 ? p->st_ptag[p->sp - 1] : -1;
     }
-    /* whitespace text nodes under the current table-ish element
-     * (insert_char without reconstruct); preserve by parent/gp */
-    int parent = p->sp > 0 ? p->st_tag[p->sp - 1] : -1;
-    int gp = p->sp > 0 ? p->st_ptag[p->sp - 1] : -1;
     int preserve = (tflags(parent) & F_PRESERVE) ||
                    (tflags(gp) & F_PRESERVE);
     for (int i = 0; i < p->n_pend; i++) {
@@ -1256,6 +1485,8 @@ static void pend_flush(P *p) {
             emit_norm(p, p->pend_tx[i][0], p->pend_tx[i][1],
                       p->pend_decode[i]);
     }
+    if (o) fz_end(p);
+    p->foster_arm = 0;
     p->n_pend = 0;
 }
 
@@ -1277,12 +1508,14 @@ static void handle_end_table_mode(P *p, int tag) {
         tag == T_tr)
         return;                                       /* error, ignore */
     /* _in_table_anything_else for END tags runs InBody processing with
-     * foster-inserts armed — but every InBody end-tag branch only pops
-     * or removes, EXCEPT a stray </p> (synthesizes a fostered empty <p>
-     * whose block-space would land BEFORE the table) and a real
-     * adoption run (aaa() bails on node-moving cases itself). */
-    if (tag == T_p && !in_button_scope(p, T_p)) { p->bail = 1; return; }
+     * foster-inserts armed — every InBody end-tag branch only pops or
+     * removes, EXCEPT a stray </p> (synthesizes a fostered empty <p>
+     * whose block-space lands in the foster zone) and a real adoption
+     * run (aaa() bails on node-moving cases itself).  Bracket to the
+     * zone so any emission fosters correctly. */
+    p->foster_arm = 1;
     handle_end_body(p, tag);
+    p->foster_arm = 0;
 }
 
 /* M_TABLE start tags (_in_table start branch) */
@@ -1334,14 +1567,33 @@ static void handle_start_table_mode(P *p, int tag, int sc, int has_attrs,
     if (tag == T_script) { start_rawtext(p, tag, sc, name, nlen, 1); return; }
     if (tag == T_form) {
         if (p->have_form) return;
-        /* inserted EMPTY in table context (no push) */
-        insert_empty_el_tok(p, tag);
+        /* inserted EMPTY in table context (no push), UNfostered
+         * (python's form branch does not arm); join_space routes the
+         * block join into the zone when the top is a fostered element */
+        {
+            int arm = p->foster_arm;
+            p->foster_arm = 0;
+            insert_empty_el_tok(p, tag);
+            p->foster_arm = arm;
+        }
         p->have_form = 1;
         p->form_ser = 0;                 /* not on the stack */
         return;
     }
-    /* input[type=hidden] inserts in place; everything else fosters */
-    p->bail = 1;
+    if (tag == T_input) {
+        /* type=hidden inserts in place, others foster; attr values are
+         * not captured here -> undecidable, fall back */
+        p->bail = 1;
+        return;
+    }
+    /* _in_table_anything_else: InBody processing with foster-inserts
+     * armed.  With a table-ish insert parent the element re-homes
+     * before the table (emission bracketed to the foster zone); with a
+     * fostered element already open (topfz) it nests inside it, which
+     * is also the zone. */
+    p->foster_arm = 1;
+    handle_start_body(p, tag, sc, has_attrs, name, nlen);
+    p->foster_arm = 0;
 }
 
 
@@ -1571,12 +1823,15 @@ static int in_select_scope(P *p, int tag) {
 
 /* char insert inside select: no reconstruct (python insert_char) */
 static void select_text(P *p, Py_ssize_t a, Py_ssize_t b, int decode) {
+    int o = fz_enter(p);                 /* fostered select */
+    if (p->bail) return;
     int parent = p->sp > 0 ? p->st_tag[p->sp - 1] : -1;
     int gp = p->sp > 0 ? p->st_ptag[p->sp - 1] : -1;
     if ((tflags(parent) & F_PRESERVE) || (tflags(gp) & F_PRESERVE))
         emit_preserve(p, a, b, decode);
     else
         emit_norm(p, a, b, decode);
+    if (o) fz_end(p);
 }
 
 static void select_end_select(P *p) {
@@ -1864,14 +2119,17 @@ static int run_all_ws(P *p, Py_ssize_t a, Py_ssize_t b, int decode) {
 /* emit a text node at the current insertion point (head/afterhead:
  * normalized; body: preserve-ws by parent/grandparent) */
 static void body_text(P *p, Py_ssize_t a, Py_ssize_t b, int decode) {
-    reconstruct_fmt(p);
+    int o = fz_enter(p);                 /* defensive: fz top in body */
     if (p->bail) return;
+    reconstruct_fmt(p);
+    if (p->bail) { if (o) fz_end(p); return; }
     int parent = p->sp > 0 ? p->st_tag[p->sp - 1] : -1;
     int gp = p->sp > 0 ? p->st_ptag[p->sp - 1] : -1;
     if ((tflags(parent) & F_PRESERVE) || (tflags(gp) & F_PRESERVE))
         emit_preserve(p, a, b, decode);
     else
         emit_norm(p, a, b, decode);
+    if (o) fz_end(p);
 }
 
 static void dispatch_text(P *p, Py_ssize_t a, Py_ssize_t b, int decode) {
@@ -2044,6 +2302,17 @@ static void handle_tag(P *p) {
     Py_ssize_t i = p->pos + 1;
     uint8_t c = s[i];
     uint8_t nbuf[MAXTAGLEN + 1];
+    /* comment/doctype/bogus tokens are skipped (no text effect) but
+     * they are still TOKENS: pending table text flushes on any
+     * non-char token (treebuilder IN_TABLE_TEXT), which decides the
+     * ws-only-vs-foster grouping.  Flush before skipping. */
+    if ((c == '!' || c == '?') && p->n_pend &&
+        (p->mode == M_TABLE || p->mode == M_TBODY || p->mode == M_ROW)) {
+        if (!(c == '!' && i + 8 <= n && memcmp(s + i + 1, "[CDATA[", 7) == 0)) {
+            pend_flush(p);
+            if (p->bail) return;
+        }
+    }
     if (c == '!') {
         i++;
         if (i + 1 < n && s[i] == '-' && s[i + 1] == '-') {
@@ -2249,6 +2518,7 @@ static PyObject *py_doc_text(PyObject *self, PyObject *args) {
     p->n = n;
     p->out = PyMem_Malloc(2 * n + 64);
     if (!p->out) { PyMem_Free(p); return PyErr_NoMemory(); }
+    p->out_cap = 2 * n + 64;
     p->mode = M_PRE;
     p->pending_end = -1;
     if (scope && scope_len > 0) {
@@ -2292,7 +2562,7 @@ static PyObject *py_doc_text(PyObject *self, PyObject *args) {
         if (p->title_set) {
             Py_ssize_t cap = 2 * (p->title_b - p->title_a) + 16;
             uint8_t *tb = PyMem_Malloc(cap);
-            if (!tb) { PyMem_Free(p->out); PyMem_Free(p); return PyErr_NoMemory(); }
+            if (!tb) { PyMem_Free(p->scratch); PyMem_Free(p->out); PyMem_Free(p); return PyErr_NoMemory(); }
             Py_ssize_t tl = normalize_title(p->s, p->title_a, p->title_b,
                                             p->n, tb);
             title = PyUnicode_DecodeUTF8((const char *)tb, tl, "replace");
@@ -2306,6 +2576,7 @@ static PyObject *py_doc_text(PyObject *self, PyObject *args) {
         Py_XDECREF(text);
         Py_XDECREF(title);
     }
+    PyMem_Free(p->scratch);
     PyMem_Free(p->out);
     PyMem_Free(p);
     return result;
@@ -2360,6 +2631,7 @@ static PyObject *py_batch_extract(PyObject *self, PyObject *args) {
     int32_t *title_off = PyMem_Malloc((n + 1) * sizeof(int32_t));
     uint8_t *mask = PyMem_Malloc(n > 0 ? n : 1);
     P *p = PyMem_Malloc(sizeof(P));
+    if (p) { p->scratch = NULL; p->scratch_cap = 0; }
     if (!text_data || !text_off || !title_data || !title_off || !mask || !p) {
         PyBuffer_Release(&data); PyBuffer_Release(&offs);
         PyMem_Free(text_data); PyMem_Free(text_off); PyMem_Free(title_data);
@@ -2381,6 +2653,7 @@ static PyObject *py_batch_extract(PyObject *self, PyObject *args) {
             p->n_unk = 0;
             p->s = doc; p->n = dlen;
             p->out = text_data + tpos;
+            p->out_cap = 2 * dlen + 64;
             p->mode = M_PRE;
             p->pending_end = -1;
             if (scope) {
@@ -2434,7 +2707,8 @@ static PyObject *py_batch_extract(PyObject *self, PyObject *args) {
         (const char *)mask, n,
         n_bails);
     PyMem_Free(text_data); PyMem_Free(text_off); PyMem_Free(title_data);
-    PyMem_Free(title_off); PyMem_Free(mask); PyMem_Free(p);
+    PyMem_Free(title_off); PyMem_Free(mask);
+    PyMem_Free(p->scratch); PyMem_Free(p);
     return r;
 }
 

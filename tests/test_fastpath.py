@@ -433,10 +433,10 @@ def test_select_modes_accepted():
 
 def test_oracle_corpus_bail_contract():
     """Which oracle-corpus shapes ride the C fast path is a perf contract:
-    only the foster-parenting 'tables' variant may bail (it re-homes text
-    before the table — by design the C pass refuses to reorder).  A
-    regression here silently sends a whole driver query to the ~30×
-    slower Python kernel."""
+    since the foster-parenting support (fz_begin/fz_end in _fastpath.c)
+    NO variant bails — including 'tables', whose text re-homes before
+    the table.  A regression here silently sends a whole driver query to
+    the ~30× slower Python kernel."""
     import duckdb
     import pyarrow as pa
 
@@ -453,7 +453,7 @@ def test_oracle_corpus_bail_contract():
         "read_parquet('/root/testdata/sf0.001/documents.parquet')")
     corpora = {"primary": HTML_SQL}
     corpora.update({k: h for k, (h, _) in VARIANT_TEMPLATES.items()})
-    expected_bail = {"tables": 1.0}
+    expected_bail = {}
     for name, hsql in corpora.items():
         htmls = [r[0] for r in
                  con.execute(f"SELECT {hsql} FROM documents").fetchall()]
@@ -461,3 +461,59 @@ def test_oracle_corpus_bail_contract():
         assert r is not None
         rate = len(r[2]) / len(htmls)
         assert rate == expected_bail.get(name, 0.0), (name, rate)
+
+
+def test_foster_parenting_cases():
+    """Foster parenting (table text/element re-homing) on the C path:
+    curated cases covering text fostering, fostered elements, nested
+    tables, the nested-end disarm quirk, comment-split pend groups, and
+    a-in-a remnant removal under an open table."""
+    cases = [
+        'x<table>F</table>y',
+        'x<table> F <tr><td>c</td></tr></table>',
+        '<table><caption>cap</caption>F<tr><td>c</td></tr></table>',
+        'x<table><div>d<p>q</p></div>e<tr><td>c</td></tr></table>z',
+        'a<table>f1<table>f2<tr><td>in</td></tr></table>f3</table>b',
+        '<pre><table>fost</table></pre>',
+        'x<table><select><option>o1<option>o2</select><tr><td>c</td></tr></table>',
+        'x<table></p><tr><td>c</td></tr></table>',
+        '<b>fmt<table>text<tr><td>c</td></tr></table>tail',
+        '<table><p><p>two<thead>FOST',          # nested-end disarm: p2 in table
+        '<table><h2><p><h2>a b<colgroup>FOSTx', # heading direct-pop keeps arm
+        '<table>a b<table>a b\n',               # empty-table entry join
+        '<table>one</textarea>  <!-- c -->two', # comment splits pend groups
+        '<table><option>\n&amp;<form>&amp;',    # form block join in zone
+        '<table><optgroup id=m><p>\nonex<div id=m>twoone\n',
+        '<table><th><a><table>two<div><a>Z',    # a-in-a remnant + tb resync
+        '<table><tr><td>a</td>MID</tr></table>',
+        '<table><div>FOST<form><textarea></colgroup>',
+    ]
+    for html in cases:
+        assert doc_text(html) is not None, f"unexpected bail: {html}"
+        check(html)
+
+
+def test_foster_fuzz():
+    """Randomized table-soup differential fuzz (foster-heavy grammar)."""
+    rng = random.Random(424242)
+    ttags = ["table", "tr", "td", "th", "tbody", "thead", "tfoot",
+             "caption", "colgroup", "col", "div", "p", "span", "b", "i",
+             "pre", "select", "option", "form", "li", "ul", "br",
+             "textarea", "a", "h2", "button", "dd", "dt", "optgroup"]
+    words = ["one", "two", " ", "\n", "&amp;", "x", "FOST", "&nbsp;",
+             "a b", "\xa0"]
+    for _ in range(4000):
+        parts = []
+        for _ in range(rng.randint(2, 50)):
+            r = rng.random()
+            if r < 0.4:
+                parts.append(rng.choice(words))
+            elif r < 0.7:
+                t = rng.choice(ttags)
+                parts.append(
+                    f"<{t}{' id=m' if rng.random() < 0.05 else ''}>")
+            elif r < 0.95:
+                parts.append(f"</{rng.choice(ttags)}>")
+            else:
+                parts.append("<!-- c -->")
+        check("".join(parts))
