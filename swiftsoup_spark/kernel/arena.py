@@ -34,6 +34,7 @@ class Arena:
         "parent", "ntype", "tag", "text", "attrs", "children",
         "tags", "base_uri", "quirks", "errors", "error_list", "location",
         "selfclosing", "src_start", "src_end", "form_controls", "display_tag",
+        "out",
     )
 
     def __init__(self, tags: TagRegistry | None = None, base_uri: str = "") -> None:
@@ -56,6 +57,7 @@ class Arena:
         self.error_list = ParseErrorList(0)
         self.location = base_uri
         self.selfclosing: set[int] = set()  # nodes whose start tag had '/>'
+        self.out = None        # per-doc OutputSettings (None = default)
         # form association (reference FormElement.swift): form node id ->
         # ordered list of its tracked control element ids
         self.form_controls: dict[int, list[int]] = {}
@@ -323,17 +325,21 @@ class Node:
 
     # attributes
     def attr(self, key: str) -> str:
-        if key.startswith("abs:"):
-            return self.abs_url(key[4:])
         a = self.arena.attrs[self.id]
+        # a literal "abs:xxx" attribute wins over abs-resolution
+        # (reference NodeTest.testLiteralAbsPrefix)
+        if key.startswith("abs:") and not (a is not None and key in a):
+            return self.abs_url(key[4:])
         if a is None:
             return ""
         return a.get(key) or ""
 
     def has_attr(self, key: str) -> bool:
-        if key.startswith("abs:"):
-            return bool(self.abs_url(key[4:]))
         a = self.arena.attrs[self.id]
+        if key.startswith("abs:"):
+            if a is not None and key in a:
+                return True
+            return bool(self.abs_url(key[4:]))
         return a is not None and key in a
 
     def set_attr(self, key: str, value: str) -> "Node":
@@ -365,7 +371,7 @@ class Node:
 
     def outer_html(self) -> str:
         from swiftsoup_spark.kernel.serializer import serialize
-        return serialize(self.arena, self.id)
+        return serialize(self.arena, self.id, self.arena.out)
 
     # -- mutations (§2.5 DML surface; delegates to kernel.mutations) ------
     def before(self, html: str) -> "Node":
@@ -383,10 +389,18 @@ class Node:
         M.wrap(self.arena, self.id, html)
         return self
 
-    def unwrap(self) -> "Node":
+    def unwrap(self) -> "Node | None":
+        """Replace this node with its children; returns the FIRST child
+        (or None if empty) — reference Node.unwrap()."""
         from swiftsoup_spark.kernel import mutations as M
+        ch = self.arena.children[self.id]
+        first = ch[0] if ch else None
         M.unwrap(self.arena, self.id)
-        return self
+        if first is None:
+            return None
+        if self.arena.ntype[first] == ELEMENT:
+            return Element(self.arena, first)
+        return Node(self.arena, first)
 
     def replace_with(self, other: "Node") -> "Node":
         from swiftsoup_spark.kernel import mutations as M
@@ -450,7 +464,7 @@ class Element(Node):
 
     def html(self) -> str:
         from swiftsoup_spark.kernel.serializer import inner_html
-        return inner_html(self.arena, self.id)
+        return inner_html(self.arena, self.id, self.arena.out)
 
     # getElementsBy* family (reference Element.swift:1215-1693) — these are
     # the reference's physical fast paths; here they compile to selectors.
@@ -552,8 +566,23 @@ class Element(Node):
             return self.text()
         return self.attr("value")
 
+    def set_val(self, value: str) -> "Element":
+        """Reference Element.val(String): textarea sets text, others the
+        value attribute (Element.swift val setter)."""
+        if self.tag_name == "textarea":
+            self.set_text(value)
+        else:
+            self.set_attr("value", value)
+        return self
+
     def as_form(self) -> "FormElement | None":
         return FormElement(self.arena, self.id) if self.tag_name == "form" else None
+
+    def clone(self) -> "Element":
+        """Deep copy of this element's subtree, detached (no parent) —
+        reference Node.copy() (Node.swift copy/clone semantics)."""
+        from swiftsoup_spark.kernel.mutations import copy_subtree
+        return Element(self.arena, copy_subtree(self.arena, self.id, self.arena))
 
 
 class FormElement(Element):
@@ -595,6 +624,24 @@ class FormElement(Element):
 
 class Document(Element):
     __slots__ = ()
+
+    @property
+    def output_settings(self):
+        """Per-document serialization settings (reference
+        Document.outputSettings(), Document.swift:647-812)."""
+        if self.arena.out is None:
+            from swiftsoup_spark.kernel.serializer import OutputSettings
+            self.arena.out = OutputSettings()
+        return self.arena.out
+
+    def clone(self) -> "Document":
+        """Independent deep copy of the whole document (reference
+        Document.copy()): a fresh arena, mutations do not alias."""
+        from swiftsoup_spark.kernel.mutations import copy_subtree
+        a2 = Arena(self.arena.tags, self.arena.base_uri)
+        root = copy_subtree(self.arena, self.id, a2)
+        a2.quirks = self.arena.quirks
+        return Document(a2, root)
 
     def _find(self, name: str) -> Element | None:
         a = self.arena

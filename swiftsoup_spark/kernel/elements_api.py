@@ -46,7 +46,24 @@ class Elements(list):
         return any(el.has_class(name) for el in self)
 
     def val(self) -> str:
-        return self[0].attr("value") if self else ""
+        return self[0].val() if self else ""
+
+    def set_val(self, value: str) -> "Elements":
+        """Bulk value set (reference Elements.val(String))."""
+        for el in self:
+            el.set_val(value)
+        return self
+
+    def set_html(self, html: str) -> "Elements":
+        """Bulk inner-html replace (reference Elements.html(String))."""
+        for el in self:
+            el.set_html(html)
+        return self
+
+    def forms(self) -> list:
+        """The matched elements that are forms, as FormElement
+        (reference Elements.forms)."""
+        return [f for f in (el.as_form() for el in self) if f is not None]
 
     # -- filtering / set ops -----------------------------------------------
     def select(self, css: str) -> "Elements":
