@@ -270,7 +270,22 @@ def _nth(arg: str) -> tuple[int, int]:
 
 
 def _unescape_arg(s: str) -> str:
-    return s.replace("\\(", "(").replace("\\)", ")").replace("\\,", ",")
+    """reference TokenQueue.unescape: a backslash escapes ANY char."""
+    if "\\" not in s:
+        return s
+    out = []
+    it = iter(range(len(s)))
+    skip = False
+    for i, c in enumerate(s):
+        if skip:
+            skip = False
+            out.append(c)
+            continue
+        if c == "\\" and i + 1 < len(s):
+            skip = True
+            continue
+        out.append(c)
+    return "".join(out)
 
 
 def _parse_pseudo(tq: _TQ):

@@ -137,3 +137,52 @@ def test_attribute_value_preserves_comment_tag_text():
               '<img src=x onerror=alert(38)//">x</div>')
     assert d.select("img")[0].attr("src") == (
         "</comment><img src=x onerror=alert(38)//")
+
+
+# ---- ported from the reference AttributesTest -----------------------------
+# (/root/reference/Tests/SwiftSoupTests/AttributesTest.swift); the
+# reference's Attributes object maps to the arena's insertion-ordered
+# per-element dict, so the cases assert through the Element surface.
+
+def test_parsed_attributes_materialize_and_mutate():
+    html = '<a href="/one" data-foo="bar" disabled class="A B"></a>'
+    el = parse(html).select("a")[0]
+    a = _attrs(el)
+    assert len(a) == 4
+    assert a["href"] == "/one"
+    assert a["data-foo"] == "bar"
+    assert a["disabled"] is None          # boolean attribute
+    assert el.attr("disabled") == ""      # renders empty through attr()
+    assert a["class"] == "A B"
+    el.set_attr("data-foo", "baz")
+    assert el.attr("data-foo") == "baz"
+
+
+def test_attribute_insertion_order_preserved():
+    html = '<a Tot="raul" Hello="pismuth" data-name="Jsoup"></a>'
+    el = parse(html).select("a")[0]
+    assert list(_attrs(el).keys()) == ["tot", "hello", "data-name"]
+
+
+def test_preserve_case_attribute_keys():
+    from swiftsoup_spark.api import parse_html
+    from swiftsoup_spark.kernel.tokenizer import PRESERVE_CASE
+    doc = parse_html('<a HREF="/one" Data-Foo="bar"></a>',
+                     settings=PRESERVE_CASE)
+    el = doc.select("a")[0]
+    assert el.attr("HREF") == "/one"
+    assert el.attr("Data-Foo") == "bar"
+
+
+def test_attributes_html_serialization():
+    html = '<a href="/one" disabled data-foo="a&amp;b"></a>'
+    el = parse(html).select("a")[0]
+    assert el.outer_html() == '<a href="/one" disabled data-foo="a&amp;b"></a>'
+
+
+def test_remove_attrs():
+    el = parse('<a one="1" two="2" data-x="3"></a>').select("a")[0]
+    el.remove_attr("two")
+    el.remove_attr("data-x")
+    a = _attrs(el)
+    assert len(a) == 1 and "one" in a

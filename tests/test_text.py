@@ -83,3 +83,27 @@ def test_text_block_boundaries():
 def test_invalid_start_tags_stay_text():
     doc = parse("<div>Hello < There <&amp;></div>")
     assert doc.select("div")[0].text() == "Hello < There <&>"
+
+
+# ---- ported from the reference StringUtilTest (normalization surface) -----
+# (/root/reference/Tests/SwiftSoupTests/StringUtilTest.swift); join /
+# padding / isNumeric are stdlib-subsumed; the parse-visible whitespace
+# semantics are what we pin here.
+
+def test_normalise_whitespace_through_parse():
+    assert parse("   hello   \r \n  there    \n").text() == "hello there"
+    assert parse("hello\nthere").text() == "hello there"
+    assert parse("hello").text() == "hello"
+
+
+def test_normalise_whitespace_handles_astral_chars():
+    # U+2A6B2 (surrogate pair in UTF-16 hosts) followed by combining
+    # chars; normalization must not split multi-unit characters
+    s = "\U0002A6B2か゚  1"
+    assert parse(s).text() == "\U0002A6B2か゚ 1"
+
+
+def test_nbsp_is_not_collapsible_whitespace_in_pre():
+    # nbsp normalizes to space in flow text but is preserved in <pre>
+    assert parse("a\xa0b \t c\n").text() == "a b c"
+    assert parse("<pre>a\xa0b</pre>").text() == "a\xa0b"
