@@ -168,6 +168,7 @@ typedef struct {
     int fz_brk;                    /* inside a foster-redirect bracket */
     Py_ssize_t fz_sav_fpt, fz_taillen;
     uint8_t st_fz[MAXSTACK];       /* stack entry lives in a foster zone */
+    Py_ssize_t st_oout[MAXSTACK];  /* olen at push (AAA join check) */
     char unk_names[MAXUNK][MAXTAGLEN + 1];      /* doc-local interning */
     int unk_len[MAXUNK]; int n_unk;
     /* fields below unk_names are NOT zeroed per-doc by batch_extract */
@@ -518,6 +519,7 @@ static void push_el(P *p, int tag) {
     }
     p->st_tag[p->sp] = tag;
     p->st_ser[p->sp] = ++p->serial;
+    p->st_oout[p->sp] = p->olen;
     p->sp++;
 }
 
@@ -645,6 +647,8 @@ static void remove_stack_serial(P *p, uint32_t ser) {
                     (p->sp - i - 1) * sizeof(int32_t));
             memmove(p->st_fz + i, p->st_fz + i + 1,
                     (Py_ssize_t)(p->sp - i - 1));
+            memmove(p->st_oout + i, p->st_oout + i + 1,
+                    (p->sp - i - 1) * sizeof(Py_ssize_t));
             p->sp--;
             return;
         }
@@ -982,28 +986,190 @@ static void any_other_end(P *p, int tag) {
 /* treebuilder._adoption_agency, restricted: handles the no-furthest-
  * block cases exactly; BAILS on a real adoption run (special element
  * above the formatting element) because that moves nodes. */
+/* is serial an active-formatting entry (whole list, markers skipped) */
+static int in_fmt_ser(P *p, uint32_t ser) {
+    for (int i = 0; i < p->fp; i++)
+        if (!p->f_mark[i] && p->f_ser[i] == ser) return i;
+    return -1;
+}
+
+/* Full adoption agency (treebuilder._adoption_agency, itself mirroring
+ * reference HtmlTreeBuilderState.swift:1060-1161: 8 outer / 3 inner
+ * iterations, 64-deep scan, no bookmark).  The tree moves it performs
+ * preserve the DFS order of ALREADY-EMITTED text in every modeled case
+ * (the furthest-block subtree moves under a clone chain at the same
+ * relative position), so only stack/fmt bookkeeping and st_ptag
+ * (preserve-gp) fixes are needed.  Bails when the common ancestor is
+ * table-ish (last_node would FOSTER, re-homing emitted text) or on any
+ * zone mismatch. */
 static void aaa(P *p, int tag) {
-    int fi = get_active_fmt(p, tag);
-    if (fi < 0) { any_other_end(p, tag); return; }
-    uint32_t fser = p->f_ser[fi];
-    int ftag = p->f_tag[fi];
-    if (on_stack_ser(p, fser) < 0) {
-        remove_fmt_at(p, fi);
-        any_other_end(p, tag);
-        return;
-    }
-    if (!in_scope(p, ftag)) return;
-    int size = p->sp < 64 ? p->sp : 64;
-    int seen = 0, furthest = -1;
-    for (int si = 0; si < size; si++) {
-        if (p->st_ser[si] == fser) seen = 1;
-        else if (seen && (tflags(p->st_tag[si]) & F_SPECIAL)) {
-            furthest = si; break;
+    for (int outer = 0; outer < 8; outer++) {
+        int fi = get_active_fmt(p, tag);
+        if (fi < 0) { any_other_end(p, tag); return; }
+        uint32_t fser = p->f_ser[fi];
+        int ftag = p->f_tag[fi];
+        int fhas = p->f_attr[fi];
+        if (on_stack_ser(p, fser) < 0) {
+            remove_fmt_at(p, fi);
+            any_other_end(p, tag);
+            return;
+        }
+        if (!in_scope(p, ftag)) return;
+        int size = p->sp < 64 ? p->sp : 64;
+        int seen = 0, if_idx = -1, ic_idx = -1;
+        for (int si = 0; si < size; si++) {
+            if (p->st_ser[si] == fser) { ic_idx = si - 1; seen = 1; }
+            else if (seen && (tflags(p->st_tag[si]) & F_SPECIAL)) {
+                if_idx = si; break;
+            }
+        }
+        if (if_idx < 0) {
+            pop_to_close(p, ftag);
+            remove_fmt_at(p, fi);
+            return;
+        }
+        if (ic_idx < 0) { p->bail = 1; return; }   /* fmt at stack bottom */
+        int common_tag = p->st_tag[ic_idx];
+        uint32_t furthest_ser = p->st_ser[if_idx];
+        if (is_tableish(common_tag)) { p->bail = 1; return; }  /* fosters */
+        if (p->st_fz[if_idx] != p->st_fz[ic_idx]) { p->bail = 1; return; }
+        /* the adopter splice changes the preserve-ws ancestry of text
+         * ALREADY emitted under the furthest block (e.g. pre's
+         * grandchildren lose preserve when a clone slots in between);
+         * streaming output cannot be re-normalized -> bail when any
+         * affected ancestor is preserve-ish */
+        if ((tflags(p->st_tag[if_idx]) | tflags(p->st_ptag[if_idx]) |
+             tflags(common_tag)) & F_PRESERVE) {
+            p->bail = 1;
+            return;
+        }
+        uint8_t zone_fz = p->st_fz[if_idx];
+        /* inner loop: walk DOWN from furthest toward fmt */
+        uint32_t node_ser = furthest_ser;
+        int node_on = 1;
+        uint32_t last_ser = furthest_ser;       /* last_node */
+        /* clone chain (child->parent): parent tag of furthest, then of
+         * each successive clone; fixed up after the final append.
+         * Recorded by SERIAL (stack indices shift on removals). */
+        uint32_t chain_ser[3]; int n_chain = 0;
+        int chain_block = 0;   /* any clone with a block tag ('s') */
+        for (int inner = 0; inner < 3; inner++) {
+            int ni = on_stack_ser(p, node_ser);
+            node_on = ni >= 0;
+            if (node_on && ni > 0) { node_ser = p->st_ser[ni - 1]; ni = ni - 1; }
+            else if (node_on) { p->bail = 1; return; }  /* at bottom */
+            if (in_fmt_ser(p, node_ser) < 0) {
+                remove_stack_serial(p, node_ser);
+                if (p->bail) return;
+                continue;
+            }
+            if (node_ser == fser) break;
+            /* replace node with a fresh clone in fmt list AND stack */
+            int nfi = in_fmt_ser(p, node_ser);
+            int nsi = on_stack_ser(p, node_ser);
+            if (nsi < 0) { p->bail = 1; return; }   /* off-stack fmt node */
+            uint32_t clone = ++p->serial;
+            if (tflags(p->f_tag[nfi]) & F_BLOCK) chain_block = 1;
+            p->f_ser[nfi] = clone;
+            p->st_ser[nsi] = clone;
+            /* tree: last_node reparented under the clone */
+            if (n_chain < 3) chain_ser[n_chain++] = clone;
+            node_ser = clone;
+            last_ser = clone;
+            (void)nsi;
+        }
+        /* last_node appended to the common ancestor; fix the st_ptag
+         * (preserve-gp) chain: furthest -> clone_1 -> ... -> common */
+        {
+            int prev_tag = common_tag;
+            for (int k = n_chain - 1; k >= 0; k--) {
+                int idx = on_stack_ser(p, chain_ser[k]);
+                if (idx < 0) { p->bail = 1; return; }
+                p->st_ptag[idx] = prev_tag;
+                prev_tag = p->st_tag[idx];
+            }
+            int fsi = on_stack_ser(p, furthest_ser);
+            int fmi = on_stack_ser(p, fser);
+            if (fsi < 0 || fmi < 0 || fmi > fsi) { p->bail = 1; return; }
+            /* in-fmt elements the 3-iteration cap left unprocessed
+             * between fmt and furthest remain OPEN at a tree position
+             * BEFORE the moved block: future content into them would
+             * reorder vs the stream -> bail */
+            for (int si = fmi + 1; si < fsi; si++) {
+                int okc = 0;
+                for (int k = 0; k < n_chain; k++)
+                    if (p->st_ser[si] == chain_ser[k]) { okc = 1; break; }
+                if (!okc) { p->bail = 1; return; }
+            }
+            p->st_ptag[fsi] = prev_tag;
+            /* the entry directly above furthest (its direct child, if
+             * any) is adopted by the new clone of fmt */
+            if (fsi + 1 < p->sp && p->st_ptag[fsi + 1] == p->st_tag[fsi])
+                p->st_ptag[fsi + 1] = ftag;
+            /* adopter: clone of fmt wrapping furthest's children,
+             * appended to furthest and pushed right after it */
+            if (p->sp >= MAXSTACK) { p->bail = 1; return; }
+            int at = fsi + 1;
+            memmove(p->st_tag + at + 1, p->st_tag + at,
+                    (p->sp - at) * sizeof(int32_t));
+            memmove(p->st_ser + at + 1, p->st_ser + at,
+                    (p->sp - at) * sizeof(uint32_t));
+            memmove(p->st_ptag + at + 1, p->st_ptag + at,
+                    (p->sp - at) * sizeof(int32_t));
+            memmove(p->st_fz + at + 1, p->st_fz + at,
+                    (Py_ssize_t)(p->sp - at));
+            memmove(p->st_oout + at + 1, p->st_oout + at,
+                    (p->sp - at) * sizeof(Py_ssize_t));
+            p->st_tag[at] = ftag;
+            p->st_ser[at] = ++p->serial;
+            p->st_ptag[at] = p->st_tag[fsi];
+            p->st_fz[at] = zone_fz;
+            p->sp++;
+            (void)fhas;
+            /* Splice joins: the chain clones wrap the furthest block's
+             * emitted SUBTREE (their joins land at its start) and the
+             * adopter wraps its CHILDREN (join at child-content start).
+             * jsoup's block list includes the formatter 's', so these
+             * can be real block joins.  For a BLOCK furthest both
+             * positions sit at a join boundary the stream already
+             * resolved — provably a no-op either way.  For a non-block
+             * furthest with nothing emitted since its push, all the
+             * splice joins collapse to ONE join at the current end;
+             * with content in between a retro-insert would be needed
+             * -> bail. */
+            if (chain_block || (tflags(ftag) & F_BLOCK) || ftag == T_br) {
+                if (tflags(p->st_tag[fsi]) & F_BLOCK) {
+                    /* join boundary: suppressed / already materialized */
+                } else if (p->olen != p->st_oout[fsi]) {
+                    p->bail = 1;
+                    return;
+                } else {
+                    int opened = 0;
+                    if (zone_fz && !p->fz_brk) {
+                        tb_sync(p);
+                        if (!p->n_tbl) { p->bail = 1; return; }
+                        fz_begin(p);
+                        if (p->bail) return;
+                        opened = 1;
+                    }
+                    if (out_nonempty(p) && !out_lastspace(p)) {
+                        seg_note(p, SJ_SPACE);
+                        putb(p, ' ');
+                    } else {
+                        seg_note(p, SJ_SUPP);
+                    }
+                    if (opened) fz_end(p);
+                }
+            }
+        }
+        /* fmt element leaves both the stack and the list */
+        remove_stack_serial(p, fser);
+        if (p->bail) return;
+        {
+            int rfi = in_fmt_ser(p, fser);
+            if (rfi >= 0) remove_fmt_at(p, rfi);
         }
     }
-    if (furthest >= 0) { p->bail = 1; return; }
-    pop_to_close(p, ftag);
-    remove_fmt_at(p, fi);
 }
 
 static void close_p_if_open(P *p) {

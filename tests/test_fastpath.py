@@ -517,3 +517,34 @@ def test_foster_fuzz():
             else:
                 parts.append("<!-- c -->")
         check("".join(parts))
+
+
+def test_adoption_agency_cases():
+    """Real adoption-agency runs on the C path (round-2: full AAA with
+    clone-chain/adopter bookkeeping; bails only on foster/preserve/
+    retro-join hazards)."""
+    cases = [
+        '<b>x<div>y</b>z',
+        '<b>x<span>s<div>y</b>z',
+        '<p>1<b>2<i>3<div>4</b>5</i>6</p>7',
+        '<b>a<p>b</b>c</p>d',
+        '<a>1<div>2<div>3</a>4',
+        '<b><b><div>x</b>y</b>z',
+        '<em>a<table><tr><td><b>x<div>y</b>z</td></tr></table>b</em>',
+        '<b>one<table>FOST<div>in</b>out',    # AAA inside a foster zone
+        '<i><button>x</i>y</button>',
+        '<s>two<button></s>&amp;',            # adopter 's' is a block join
+        '<s>x<div>y</s>z',
+        '<strong><s>x<button></strong>a b',   # block chain clone join
+        '<code><s>a b<button></code>xa b',
+    ]
+    bails = [
+        '<code><em><span><h1></code>a b</h1>W',  # 3-cap residue reorder
+        '<b><pre>x</b>y',                        # preserve ancestry change
+        '<s>x<button>y</s>z',                    # retro-insert join
+    ]
+    for html in cases:
+        assert doc_text(html) is not None, f"unexpected bail: {html}"
+        check(html)
+    for html in bails:
+        check(html)     # bail is fine; accept must match
