@@ -289,6 +289,19 @@ def q_image_features(spark, sf_dir):
                                       F.size("features").alias("n_features"))
 
 
+def q_host_url_sample(spark, sf_dir):
+    """Per-host K-first urls via the salted two-phase min-K (explicit
+    host-skew handling; see ops/hoststats.py)."""
+    from swiftsoup_spark.ops.hoststats import host_url_sample
+    return host_url_sample(pages_df(spark, sf_dir), k=3, salt=8)
+
+
+def q_host_stats(spark, sf_dir):
+    """Plain per-host aggregates (partial-agg combines map-side)."""
+    from swiftsoup_spark.ops.hoststats import host_stats
+    return host_stats(pages_df(spark, sf_dir))
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return (ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
@@ -362,6 +375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": q_image_meta,
         "image_features": q_image_features,
         "events_hourly": q_events_hourly,
+        "host_url_sample": q_host_url_sample,
+        "host_stats": q_host_stats,
     }
 
 
@@ -571,4 +586,23 @@ SELECT doc_id, CAST(CASE WHEN uv >= 9223372036854775808 THEN uv - 18446744073709
             "AS hour_epoch, event_type, count(*) AS n, "
             "CAST(round(sum(value) * 1000000) AS BIGINT) AS sum_value_e6 "
             "FROM events GROUP BY 1, 2"),
+        "host_url_sample": f"""
+WITH p AS (SELECT {URL_SQL} AS url, source || '.docs.test' AS host
+           FROM documents),
+r AS (SELECT host, url,
+             row_number() OVER (PARTITION BY host ORDER BY url) AS rn
+      FROM p)
+SELECT host,
+       max(CASE WHEN rn = 1 THEN url END) AS u1,
+       max(CASE WHEN rn = 2 THEN url END) AS u2,
+       max(CASE WHEN rn = 3 THEN url END) AS u3
+FROM r WHERE rn <= 3 GROUP BY host
+""",
+        "host_stats": f"""
+SELECT source || '.docs.test' AS host,
+       count(*) AS n_docs,
+       CAST(sum(length({HTML_SQL})) AS BIGINT) AS total_bytes,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY 1
+""",
     }
