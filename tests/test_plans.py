@@ -108,3 +108,22 @@ def test_scoped_extraction_prunes_and_fuses(spark, tmp_path_factory):
     plan = _plan(ex)
     assert "Exchange" not in plan, plan
     assert "MapInArrow" in plan
+
+
+def test_host_sample_salted_two_phase(spark, tmp_path_factory):
+    """The salted per-host min-K aggregates in TWO phases: a partial
+    keyed by (host, salt) and a merge keyed by host — the physical plan
+    must show both groupings so no single task ever owns a whole host's
+    rows (the north rule's host-skew requirement)."""
+    from swiftsoup_spark.ops.hoststats import host_url_sample
+    from swiftsoup_spark.spark.pages import pages_df
+
+    out = str(tmp_path_factory.mktemp("pages5"))
+    pages_df(spark, SF_DIR).write.mode("overwrite").parquet(out)
+    pages = spark.read.parquet(out)
+    plan = _plan(host_url_sample(pages, k=3, salt=8))
+    # phase 1 keys: host + salt; phase 2 keys: host only
+    import re
+    assert plan.count("Exchange") >= 2, plan
+    assert re.search(r"keys=\[host#\d+, s#\d+", plan), plan
+    assert re.search(r"keys=\[host#\d+\]", plan), plan
