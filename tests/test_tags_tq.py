@@ -71,3 +71,39 @@ def test_chomp_balanced_matches_as_much_as_possible():
 
 def test_unescape():
     assert _unescape_arg("one \\( \\) \\\\") == "one ( ) \\"
+
+
+# ---- ported from the reference ParseSettingsTest --------------------------
+
+def test_parse_settings_case_support():
+    """(/root/reference/Tests/SwiftSoupTests/ParseSettingsTest.swift)
+    The four tag/attr case combinations drive parse-level normalization."""
+    from swiftsoup_spark.api import parse_html
+    from swiftsoup_spark.kernel.tokenizer import ParseSettings
+
+    html = '<FOO Bar="1">x</FOO>'
+    both_on = parse_html(html, settings=ParseSettings(True, True))
+    both_off = parse_html(html, settings=ParseSettings(False, False))
+    tag_on = parse_html(html, settings=ParseSettings(True, False))
+    attr_on = parse_html(html, settings=ParseSettings(False, True))
+
+    def el(doc):
+        return doc.select("foo")[0]
+
+    assert "FOO" in el(both_on).outer_html()
+    assert el(both_on).attr("Bar") == "1"
+    assert "<foo" in el(both_off).outer_html()
+    assert el(both_off).attr("bar") == "1"
+    assert "FOO" in el(tag_on).outer_html()
+    assert el(tag_on).attr("bar") == "1"
+    assert "<foo" in el(attr_on).outer_html()
+    assert el(attr_on).attr("Bar") == "1"
+
+
+def test_query_parser_cache():
+    """(/root/reference/Tests/SwiftSoupTests/QueryParserCacheTest.swift)
+    Repeated parses of the same selector hit the compile cache."""
+    from swiftsoup_spark.select.queryparser import parse_query
+    e1 = parse_query("div.x > p[k=v]")
+    e2 = parse_query("div.x > p[k=v]")
+    assert e1 is e2                  # cached instance
