@@ -1036,10 +1036,13 @@ static void aaa(P *p, int tag) {
         /* the adopter splice changes the preserve-ws ancestry of text
          * ALREADY emitted under the furthest block (e.g. pre's
          * grandchildren lose preserve when a clone slots in between);
-         * streaming output cannot be re-normalized -> bail when any
-         * affected ancestor is preserve-ish */
-        if ((tflags(p->st_tag[if_idx]) | tflags(p->st_ptag[if_idx]) |
-             tflags(common_tag)) & F_PRESERVE) {
+         * streaming output cannot be re-normalized -> bail when an
+         * affected ancestor is preserve-ish AND anything was emitted
+         * since the furthest block opened (future text follows the
+         * fixed-up st_ptag chain and needs no bail) */
+        if (((tflags(p->st_tag[if_idx]) | tflags(p->st_ptag[if_idx]) |
+              tflags(common_tag)) & F_PRESERVE) &&
+            p->olen != p->st_oout[if_idx]) {
             p->bail = 1;
             return;
         }
