@@ -215,7 +215,7 @@ def _sanitize_style(style: str, allowed: set[str]) -> str | None:
 
 
 def _css_unescape(s: str) -> str:
-    """Decode CSS backslash escapes: \HH..H (1-6 hex digits, optional
+    r"""Decode CSS backslash escapes: \HH..H (1-6 hex digits, optional
     trailing whitespace) -> codepoint; \<char> -> char."""
     def repl(m):
         h = m.group(1)
