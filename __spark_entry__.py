@@ -78,6 +78,7 @@ def _q_variant_text(name):
 q_extract_text_tables = _q_variant_text("tables")
 q_extract_text_tables_clean = _q_variant_text("tables_clean")
 q_extract_text_misnested = _q_variant_text("misnested")
+q_extract_text_svg = _q_variant_text("svg")
 q_extract_text_pre = _q_variant_text("pre")
 q_extract_text_entities = _q_variant_text("entities")
 
@@ -356,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_tables": q_extract_text_tables,
         "extract_text_tables_clean": q_extract_text_tables_clean,
         "extract_text_misnested": q_extract_text_misnested,
+        "extract_text_svg": q_extract_text_svg,
         "extract_text_pre": q_extract_text_pre,
         "extract_text_entities": q_extract_text_entities,
         "select_attr_entities": q_select_attr_entities,
@@ -538,6 +540,7 @@ FROM documents
         "extract_text_tables": _variant_oracle("tables"),
         "extract_text_tables_clean": _variant_oracle("tables_clean"),
         "extract_text_misnested": _variant_oracle("misnested"),
+        "extract_text_svg": _variant_oracle("svg"),
         "extract_text_pre": _variant_oracle("pre"),
         "extract_text_entities": _variant_oracle("entities"),
         "select_attr_entities": (

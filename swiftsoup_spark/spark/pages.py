@@ -94,8 +94,9 @@ def pages_df(spark, sf_dir: str, html_as: str = "string"):
 # 632, 661; ElementTest.swift:56-114)
 VARIANT_TEMPLATES = {
     # text inside <table> is foster-parented BEFORE the table; cells join
-    # with block spaces (also exercises the C fast path's table bail-out →
-    # per-doc Python-kernel fallback inside the same Arrow batch)
+    # with block spaces (since round 2 the C fast path handles fostering
+    # natively — fz_begin/fz_end in _fastpath.c — so this variant rides
+    # the C path end to end)
     "tables": (
         "'<html><head><title>T ' || doc_id || '</title></head><body>"
         "<table>FOST' || doc_id || '<tr><td>A ' || text || '</td>"
@@ -128,6 +129,16 @@ VARIANT_TEMPLATES = {
         "'<html><body><pre>  line1' || chr(10) || '  line2 ' || doc_id ||"
         " '</pre><p>a<br>b&nbsp;' || text || '</p></body></html>'",
         "'line1' || chr(10) || '  line2 ' || doc_id || ' a b ' || text"),
+    # inline SVG subtree (ubiquitous on modern pages): parsed through the
+    # generic insert at full reference parity (the reference's
+    # ForeignContent body is a stub — HtmlTreeBuilderState.swift:2436);
+    # svg is a block, its <title> is rcdata, unknown children are inline
+    "svg": (
+        "'<html><body><p>pre ' || doc_id || '</p>"
+        "<svg viewBox=\"0 0 10 10\"><title>icon</title>"
+        "<circle cx=\"5\"></circle><text x=\"1\">lbl ' || doc_id ||"
+        " '</text></svg><p>post ' || text || '</p></body></html>'",
+        "'pre ' || doc_id || ' iconlbl ' || doc_id || ' post ' || text"),
     # entity decoding in text AND attribute values (&amp; &lt; &gt; &quot;
     # &nbsp;)
     "entities": (
