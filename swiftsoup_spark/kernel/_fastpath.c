@@ -130,6 +130,8 @@ typedef struct {
     int sp;
     int32_t f_tag[MAXFMT]; uint32_t f_ser[MAXFMT]; uint8_t f_mark[MAXFMT];
     uint8_t f_attr[MAXFMT];
+    uint32_t f_ahash[MAXFMT];      /* raw attr-span hash (Noah's ark) */
+    uint32_t cur_ahash;            /* current token's attr-span hash */
     int fp;
     uint32_t serial;
     int mode;
@@ -730,18 +732,36 @@ static void push_fmt(P *p, int tag, uint32_t ser, int has_attrs) {
             }
         }
     } else {
-        int withattr = 0;
+        /* python compares parsed attr DICTS; identical raw spans prove
+         * dict equality (legacy pages repeat byte-identical formatters
+         * like <font color="#000">), differing spans prove nothing.
+         * Evict exactly when the 3rd hash-equal match precedes any
+         * ambiguous (hash-different) same-tag entry; bail only when an
+         * eviction decision could depend on undecidable equality. */
+        int he = 0, hd_before = 0, evict = -1;
         for (int i = p->fp - 1; i >= 0; i--) {
             if (p->f_mark[i]) break;
             if (p->f_tag[i] == tag && p->f_attr[i]) {
-                if (++withattr >= 3) { p->bail = 1; return; }
+                if (p->f_ahash[i] == p->cur_ahash) {
+                    if (++he == 3) { evict = i; break; }
+                } else {
+                    hd_before++;
+                }
             }
+        }
+        if (evict >= 0) {
+            if (hd_before) { p->bail = 1; return; }
+            remove_fmt_at(p, evict);
+        } else if (he + hd_before >= 3) {
+            p->bail = 1;
+            return;
         }
     }
     p->f_tag[p->fp] = tag;
     p->f_ser[p->fp] = ser;
     p->f_mark[p->fp] = 0;
     p->f_attr[p->fp] = (uint8_t)has_attrs;
+    p->f_ahash[p->fp] = has_attrs ? p->cur_ahash : 0;
     p->fp++;
 }
 
@@ -2554,6 +2574,9 @@ static void handle_tag(P *p) {
                                    p->scope_id && !p->scope_done);
         if (eof) { p->pos = n; return; }             /* token dropped */
         p->pos = nx;
+        /* raw attr-span hash: byte-identical spans parse to equal attr
+         * dicts (the converse does not hold) — see push_fmt's ark */
+        p->cur_ahash = has_attrs ? fnv1a(s + i, nx - i) : 0;
         {
             int tag = intern_tag(p, nbuf, len);
             if (p->bail) return;

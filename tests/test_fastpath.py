@@ -548,3 +548,19 @@ def test_adoption_agency_cases():
         check(html)
     for html in bails:
         check(html)     # bail is fine; accept must match
+
+
+def test_noahs_ark_identical_attrs():
+    """Byte-identical attr-bearing formatters (the legacy <font> chain
+    shape) are ark-evicted exactly on the C path via the raw-span hash;
+    undecidable mixes still bail."""
+    accepted = [
+        '<font color="#000">a<font color="#000">b<font color="#000">c'
+        '<font color="#000">d',
+        '<b a=1>x<b a=1>y<b a=1>z<b a=1>w',
+        '<font color="#000">a</font>' * 5 + 'tail',
+    ]
+    for html in accepted:
+        assert doc_text(html) is not None, f"unexpected bail: {html}"
+        check(html)
+    check('<b a=1>x<b a=2>y<b a=1>z<b a=1>w')   # ambiguous: bail is fine
