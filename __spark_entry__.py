@@ -238,6 +238,12 @@ def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    """Banded-SimHash near-dup pairs (pigeonhole-complete at hamming<=3,
+    so the quadratic DuckDB oracle is exact)."""
+    return D.simhash_near_dup(_docs(spark, sf_dir))
+
+
 def q_token_count(spark, sf_dir):
     return TX.token_count(_docs(spark, sf_dir))
 
@@ -367,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
         "token_count": q_token_count,
         "quality": q_quality,
         "lang_signal": q_lang_signal,
@@ -563,6 +570,18 @@ v AS (SELECT doc_id, SUM(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 E
       FROM bits GROUP BY doc_id)
 SELECT doc_id, CAST(CASE WHEN uv >= 9223372036854775808 THEN uv - 18446744073709551616
                          ELSE uv END AS BIGINT) AS simhash FROM v
+""",
+        "simhash_near_dup": """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 16) AS UBIGINT) AS hv FROM w),
+bits AS (SELECT doc_id, b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+         FROM h, (SELECT unnest(range(64)) AS b) GROUP BY doc_id, b),
+v AS (SELECT doc_id, SUM(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS uv
+      FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS i, b.doc_id AS j,
+       CAST(bit_count(xor(CAST(a.uv AS UBIGINT), CAST(b.uv AS UBIGINT))) AS INTEGER) AS hamming
+FROM v a JOIN v b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(CAST(a.uv AS UBIGINT), CAST(b.uv AS UBIGINT))) <= 3
 """,
         "token_count": (
             "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_m, "

@@ -203,3 +203,42 @@ def simhash(df, text_col: str = "text"):
                 ["doc_id", "simhash"])
 
     return src.mapInArrow(batches, out_schema)
+
+
+def simhash_near_dup(df, text_col: str = "text", max_hamming: int = 3,
+                     n_bands: int = 4):
+    """Near-duplicate pairs by banded SimHash: the 64-bit signature is
+    split into ``n_bands`` 16-bit bands; candidate pairs share at least
+    one band (single exploded self-join, same shape as the MinHash-LSH
+    join), then verify exact ``popcount(xor) <= max_hamming``.
+
+    With ``max_hamming < n_bands`` the banding is pigeonhole-COMPLETE
+    (k differing bits can touch at most k bands, so some band matches
+    exactly), which is what makes a closed-form quadratic oracle valid.
+    At 100 TB the same guards as MinHash-LSH apply: exact-duplicate
+    groups share all bands, so pre-collapse exact fingerprints (see
+    minhash_lsh_pairs) before banding a duplicate-heavy corpus.
+    """
+    from pyspark.sql import functions as F
+
+    sig = simhash(df, text_col)
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("bi"),
+            F.shiftrightunsigned("simhash", 16 * i)
+             .bitwiseAND(F.lit(0xFFFF)).alias("bv"))
+        for i in range(n_bands)])
+    m = (sig.select("doc_id", "simhash", F.explode(bands).alias("b"))
+            .select("doc_id", "simhash", "b.bi", "b.bv"))
+    a, b = m.alias("a"), m.alias("b")
+    cand = (a.join(b, (F.col("a.bi") == F.col("b.bi")) &
+                      (F.col("a.bv") == F.col("b.bv")) &
+                      (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("i"),
+                     F.col("b.doc_id").alias("j"),
+                     F.col("a.simhash").alias("si"),
+                     F.col("b.simhash").alias("sj"))
+             .distinct())
+    ham = F.bit_count(F.col("si").bitwiseXOR(F.col("sj")))
+    return (cand.select("i", "j", ham.cast("int").alias("hamming"))
+                .filter(F.col("hamming") <= max_hamming))
