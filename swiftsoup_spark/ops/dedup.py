@@ -220,8 +220,13 @@ def simhash_near_dup(df, text_col: str = "text", max_hamming: int = 3,
     minhash_lsh_pairs) before banding a duplicate-heavy corpus.
     """
     from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
 
-    sig = simhash(df, text_col)
+    # persist the signatures before the self-join: both join sides read
+    # them (tiny — 16 bytes/doc — vs recomputing the Python signature
+    # pass twice; at small scale AQE broadcasts, so no ReusedExchange
+    # would save us)
+    sig = simhash(df, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     bands = F.array(*[
         F.struct(
             F.lit(i).alias("bi"),
