@@ -2,12 +2,15 @@
 
 ``doc_text(html) -> (text, title) | None`` runs the C streaming
 extractor (``_fastpath.c``) and returns ``None`` whenever the document
-uses a construct the fast path does not model (tables, frameset,
-select, svg/math, plaintext, real adoption-agency repairs, NUL bytes,
-pathological nesting) — callers then fall back to the full Python
-kernel. On accepted documents the output is byte-identical to
-``Arena.node_text(0)`` / ``Document.title()`` (differential-tested in
-tests/test_fastpath.py).
+uses a construct the fast path does not model — see ``BAIL_TAGS``
+below (frameset, plaintext) plus the dynamic bails in ``_fastpath.c``'s
+header (NUL bytes, foster-parenting table content, a small residue of
+adoption-agency repairs, pathological nesting) — callers then fall back
+to the full Python kernel. Tables, select, and svg/math subtrees are
+handled NATIVELY since round 2 (table insertion modes and the
+generic-insert foreign-content parity are in C). On accepted documents
+the output is byte-identical to ``Arena.node_text(0)`` /
+``Document.title()`` (differential-tested in tests/test_fastpath.py).
 
 The C source is compiled once per machine with the system gcc into the
 package directory (or ``~/.cache`` if read-only); compilation results

@@ -42,6 +42,51 @@ def minhash_signatures(df, text_col: str = "text", k: int = K_MINHASH):
     return words.groupBy("doc_id").agg(*aggs)
 
 
+def _exact_collapse(df, text_col: str):
+    """Collapse to one representative doc per exact text fingerprint.
+
+    Returns ``(reps, members)`` where ``members`` has columns
+    ``(fp, doc_id, rep, gsz)`` and ``reps`` is ``df`` restricted to the
+    min-doc_id representative of each fingerprint group. This is the
+    shared skew guard for every banded near-dup join: exact duplicates
+    share *every* band, so banding must run on representatives or a
+    duplicate-heavy corpus funnels whole groups into one bucket."""
+    fps = df.select("doc_id", F.md5(F.col(text_col)).alias("fp"))
+    groups = fps.groupBy("fp").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("gsz"))
+    members = fps.join(groups, "fp")                  # doc_id, fp, rep, gsz
+    reps = df.join(members.filter(F.col("doc_id") == F.col("rep"))
+                   .select("doc_id"), "doc_id")
+    return reps, members
+
+
+def _expand_rep_pairs(rep_pairs, members, payload: str, within_value,
+                      max_group: int):
+    """Re-expand representative-level near-dup pairs through the exact
+    fingerprint groups.
+
+    Cross-group pairs inherit the representatives' ``payload`` value
+    (identical texts have identical signatures); within-group pairs are
+    exact duplicates and get ``within_value`` (Jaccard 1.0 / Hamming 0).
+    Groups larger than ``max_group`` contribute only their
+    representative to the expansion — cross-group near-dups of a viral
+    page still surface (via the rep), only the O(g^2) intra-group
+    expansion is suppressed (that is ``exact_dedup``'s job)."""
+    small = members.filter(F.col("gsz") <= max_group)
+    expand = members.filter((F.col("gsz") <= max_group) |
+                            (F.col("doc_id") == F.col("rep")))
+    mi = expand.select(F.col("rep").alias("i"), F.col("doc_id").alias("di"))
+    mj = expand.select(F.col("rep").alias("j"), F.col("doc_id").alias("dj"))
+    cross = (rep_pairs.join(mi, "i").join(mj, "j")
+             .select(F.least("di", "dj").alias("i"),
+                     F.greatest("di", "dj").alias("j"), payload))
+    within = (small.select("fp", F.col("doc_id").alias("i"))
+              .join(small.select("fp", F.col("doc_id").alias("j")), "fp")
+              .filter(F.col("i") < F.col("j"))
+              .select("i", "j", F.lit(within_value).alias(payload)))
+    return cross, within
+
+
 def minhash_lsh_pairs(df, text_col: str = "text", threshold: float = 0.5,
                       limit_ids: int | None = None, max_group: int = 1000):
     """Near-dup candidate pairs via LSH banding, verified with exact
@@ -60,15 +105,12 @@ def minhash_lsh_pairs(df, text_col: str = "text", threshold: float = 0.5,
     (Jaccard 1.0). Groups larger than ``max_group`` are reported via
     their representative only — a viral page duplicated 10^6 times
     yields its cross-group pairs but not the 5*10^11 intra-group pairs
-    (those are the ``exact_dedup`` operator's job)."""
+    (those are the ``exact_dedup`` operator's job). The representative
+    of an over-``max_group`` group therefore stays in the expansion so
+    the group's cross-group near-dups still surface (via the rep)."""
     if limit_ids is not None:
         df = df.filter(F.col("doc_id") < limit_ids)
-    fps = df.select("doc_id", F.md5(F.col(text_col)).alias("fp"))
-    groups = fps.groupBy("fp").agg(
-        F.min("doc_id").alias("rep"), F.count("*").alias("gsz"))
-    members = fps.join(groups, "fp")                  # doc_id, fp, rep, gsz
-    reps = df.join(members.filter(F.col("doc_id") == F.col("rep"))
-                   .select("doc_id"), "doc_id")
+    reps, members = _exact_collapse(df, text_col)
 
     sigs = minhash_signatures(reps, text_col)
     # one long (doc, band_key) table — the band index is folded into the
@@ -88,16 +130,8 @@ def minhash_lsh_pairs(df, text_col: str = "text", threshold: float = 0.5,
     rep_jac = (jaccard_pairs_for(reps, cand, text_col)
                .filter(F.col("jaccard") >= threshold))
 
-    small = members.filter(F.col("gsz") <= max_group)
-    mi = small.select(F.col("rep").alias("i"), F.col("doc_id").alias("di"))
-    mj = small.select(F.col("rep").alias("j"), F.col("doc_id").alias("dj"))
-    cross = (rep_jac.join(mi, "i").join(mj, "j")
-             .select(F.least("di", "dj").alias("i"),
-                     F.greatest("di", "dj").alias("j"), "jaccard"))
-    within = (small.select("fp", F.col("doc_id").alias("i"))
-              .join(small.select("fp", F.col("doc_id").alias("j")), "fp")
-              .filter(F.col("i") < F.col("j"))
-              .select("i", "j", F.lit(1.0).alias("jaccard")))
+    cross, within = _expand_rep_pairs(rep_jac, members, "jaccard", 1.0,
+                                      max_group)
     if threshold > 1.0:
         within = within.filter(F.lit(False))
     return cross.unionByName(within)
@@ -185,8 +219,10 @@ def simhash(df, text_col: str = "text"):
                 for i, w in enumerate(uniq):
                     hv[i] = int.from_bytes(md5(w.encode("utf-8")).digest()[:8],
                                            "big")
-                # column j of the unpacked matrix is value bit (63 - j)
-                bytes_be = hv.byteswap().view(np.uint8).reshape(-1, 8)
+                # column j of the unpacked matrix is value bit (63 - j);
+                # astype('>u8') is endianness-explicit (byteswap() would
+                # only be correct on little-endian hosts)
+                bytes_be = hv.astype(">u8").view(np.uint8).reshape(-1, 8)
                 pm = np.unpackbits(bytes_be, axis=1).astype(np.int32) * 2 - 1
                 word_pm = pm[inv]
                 starts = np.zeros(len(docs), dtype=np.int64)
@@ -205,8 +241,11 @@ def simhash(df, text_col: str = "text"):
     return src.mapInArrow(batches, out_schema)
 
 
+_LAST_SIMHASH_SIG = None  # previous call's persisted signatures (released on next call)
+
+
 def simhash_near_dup(df, text_col: str = "text", max_hamming: int = 3,
-                     n_bands: int = 4):
+                     n_bands: int = 4, max_group: int = 1000):
     """Near-duplicate pairs by banded SimHash: the 64-bit signature is
     split into ``n_bands`` 16-bit bands; candidate pairs share at least
     one band (single exploded self-join, same shape as the MinHash-LSH
@@ -215,18 +254,38 @@ def simhash_near_dup(df, text_col: str = "text", max_hamming: int = 3,
     With ``max_hamming < n_bands`` the banding is pigeonhole-COMPLETE
     (k differing bits can touch at most k bands, so some band matches
     exactly), which is what makes a closed-form quadratic oracle valid.
-    At 100 TB the same guards as MinHash-LSH apply: exact-duplicate
-    groups share all bands, so pre-collapse exact fingerprints (see
-    minhash_lsh_pairs) before banding a duplicate-heavy corpus.
+
+    Skew guard: exact-duplicate texts share every band, so documents are
+    first collapsed to one representative per exact fingerprint
+    (``_exact_collapse``), the banded join runs on representatives only,
+    and pairs re-expand through the groups (``_expand_rep_pairs``) —
+    cross-group pairs inherit the reps' Hamming distance (identical
+    texts have identical signatures), within-group pairs are Hamming 0.
+    Groups over ``max_group`` surface via their representative only.
+
+    The persisted signature DataFrame from the PREVIOUS call is
+    unpersisted on each new call (bounded executor-memory footprint);
+    callers wanting immediate release can unpersist
+    ``result._persisted_sig`` after their action.
     """
+    global _LAST_SIMHASH_SIG
     from pyspark.sql import functions as F
     from pyspark.storagelevel import StorageLevel
 
-    # persist the signatures before the self-join: both join sides read
-    # them (tiny — 16 bytes/doc — vs recomputing the Python signature
-    # pass twice; at small scale AQE broadcasts, so no ReusedExchange
-    # would save us)
-    sig = simhash(df, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    if _LAST_SIMHASH_SIG is not None:
+        try:
+            _LAST_SIMHASH_SIG.unpersist(blocking=False)
+        except Exception:
+            pass
+        _LAST_SIMHASH_SIG = None
+
+    reps, members = _exact_collapse(df, text_col)
+    # persist the rep signatures before the self-join: both join sides
+    # read them (tiny — 16 bytes/doc — vs recomputing the Python
+    # signature pass twice; at small scale AQE broadcasts, so no
+    # ReusedExchange would save us)
+    sig = simhash(reps, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    _LAST_SIMHASH_SIG = sig
     bands = F.array(*[
         F.struct(
             F.lit(i).alias("bi"),
@@ -245,5 +304,10 @@ def simhash_near_dup(df, text_col: str = "text", max_hamming: int = 3,
                      F.col("b.simhash").alias("sj"))
              .distinct())
     ham = F.bit_count(F.col("si").bitwiseXOR(F.col("sj")))
-    return (cand.select("i", "j", ham.cast("int").alias("hamming"))
-                .filter(F.col("hamming") <= max_hamming))
+    rep_pairs = (cand.select("i", "j", ham.cast("int").alias("hamming"))
+                     .filter(F.col("hamming") <= max_hamming))
+    cross, within = _expand_rep_pairs(rep_pairs, members, "hamming", 0,
+                                      max_group)
+    out = cross.unionByName(within)
+    out._persisted_sig = sig
+    return out

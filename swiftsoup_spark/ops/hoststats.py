@@ -22,7 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-HOST_RE = r"https?://([^/]+)/"
+# no trailing '/': path-less URLs (https://example.com) keep their host
+HOST_RE = r"https?://([^/]+)"
 
 
 def host_url_sample(pages, k: int = 3, salt: int = 8):

@@ -63,11 +63,13 @@ class IcebergFormat:
     ``target`` is a table identifier (``catalog.db.table``)."""
 
     def overwrite_partitions(self, df, target: str, partition_col: str) -> None:
-        writer = df.writeTo(target)
-        try:
-            writer.overwritePartitions()
-        except Exception:
-            # first run: table doesn't exist yet
+        # explicit existence check — a blind try/except around
+        # overwritePartitions() would misread a real write failure
+        # (schema mismatch, permissions, catalog outage) as "first run"
+        # and mask it behind a confusing create() error
+        if df.sparkSession.catalog.tableExists(target):
+            df.writeTo(target).overwritePartitions()
+        else:
             df.writeTo(target).partitionedBy(F.col(partition_col)).create()
 
     def read(self, spark, target: str):

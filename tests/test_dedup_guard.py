@@ -47,6 +47,47 @@ def test_lsh_cross_group_pairs_expand(spark):
     assert got == [(0, 1, 1.0), (0, 2, jac), (1, 2, jac)]
 
 
+def test_lsh_large_group_rep_pairs_survive(spark):
+    """A group over max_group loses only its intra-group pairs — its
+    REPRESENTATIVE's cross-group near-dup pairs must still surface
+    (viral content keeps its near-dups)."""
+    from swiftsoup_spark.ops.dedup import minhash_lsh_pairs
+    viral = "one two three four five six seven eight"
+    near = "one two three four five six seven XDIFF"   # jaccard 7/9
+    rows = [Row(doc_id=i, text=viral) for i in range(5)]
+    rows.append(Row(doc_id=100, text=near))
+    got = sorted((r.i, r.j, round(r.jaccard, 4))
+                 for r in minhash_lsh_pairs(
+                     spark.createDataFrame(rows), threshold=0.5,
+                     max_group=3).collect())
+    jac = round(7 / 9, 4)
+    # intra-group (10 pairs) suppressed; rep (doc 0) x near-dup kept
+    assert got == [(0, 100, jac)]
+
+
+def test_simhash_near_dup_duplicate_heavy_bounded(spark):
+    """Exact-dup pre-collapse: 5k copies of one page must not explode
+    the banded join; cross-group pairs survive via the representative,
+    within-group exact dupes come back at hamming 0."""
+    from swiftsoup_spark.ops.dedup import simhash_near_dup
+    rows = [Row(doc_id=i, text="the same viral page words") for i in range(5000)]
+    rows += [Row(doc_id=90000 + i, text=f"distinct doc {i} topic {i} zz{i}")
+             for i in range(10)]
+    df = spark.createDataFrame(rows)
+    out = simhash_near_dup(df, max_hamming=3, max_group=100)
+    # within-group pairs of the oversized group are suppressed
+    assert out.filter((F.col("i") < 5000) & (F.col("j") < 5000)).count() == 0
+
+    # small groups: exact dupes expand at hamming 0, cross pairs inherit
+    rows2 = [Row(doc_id=0, text="alpha beta gamma delta"),
+             Row(doc_id=1, text="alpha beta gamma delta"),
+             Row(doc_id=9, text="completely unrelated different words here")]
+    got = sorted((r.i, r.j, r.hamming)
+                 for r in simhash_near_dup(
+                     spark.createDataFrame(rows2)).collect())
+    assert got == [(0, 1, 0)]
+
+
 def test_simhash_vectorized_matches_definition(spark):
     """numpy simhash == the per-bit scalar definition."""
     import hashlib

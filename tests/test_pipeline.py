@@ -96,36 +96,62 @@ def test_table_format_seam_resolution():
     assert isinstance(table_format_for("./rel/path"), ParquetFormat)
 
 
-def test_iceberg_format_writer_v2_surface():
-    """IcebergFormat drives the DataFrameWriterV2 API
-    (writeTo -> overwritePartitions, create-on-first-run)."""
-    from swiftsoup_spark.spark.pipeline import IcebergFormat
-
-    calls = []
-
+def _fake_iceberg_df(calls, exists, write_fails=False):
+    """DataFrameWriterV2 + catalog test double for the Iceberg seam."""
     class FakeWriter:
-        def __init__(self, exists):
-            self.exists = exists
         def overwritePartitions(self):
             calls.append("overwritePartitions")
-            if not self.exists:
-                raise RuntimeError("table not found")
+            if write_fails:
+                raise RuntimeError("snapshot commit failed")
         def partitionedBy(self, col):
             calls.append("partitionedBy")
             return self
         def create(self):
             calls.append("create")
 
+    class FakeCatalog:
+        def tableExists(self, target):
+            calls.append(f"tableExists:{target}")
+            return exists
+
+    class FakeSession:
+        catalog = FakeCatalog()
+
     class FakeDF:
-        def __init__(self, exists):
-            self.exists = exists
+        sparkSession = FakeSession()
         def writeTo(self, target):
             calls.append(f"writeTo:{target}")
-            return FakeWriter(self.exists)
+            return FakeWriter()
 
-    IcebergFormat().overwrite_partitions(FakeDF(True), "c.db.t", "bucket")
-    assert calls == ["writeTo:c.db.t", "overwritePartitions"]
+    return FakeDF()
+
+
+def test_iceberg_format_writer_v2_surface():
+    """IcebergFormat drives the DataFrameWriterV2 API: existence check
+    routes to overwritePartitions (existing) or partitionedBy+create
+    (first run)."""
+    from swiftsoup_spark.spark.pipeline import IcebergFormat
+
+    calls = []
+    IcebergFormat().overwrite_partitions(
+        _fake_iceberg_df(calls, exists=True), "c.db.t", "bucket")
+    assert calls == ["tableExists:c.db.t", "writeTo:c.db.t",
+                     "overwritePartitions"]
     calls.clear()
-    IcebergFormat().overwrite_partitions(FakeDF(False), "c.db.t", "bucket")
-    assert calls == ["writeTo:c.db.t", "overwritePartitions",
-                     "writeTo:c.db.t", "partitionedBy", "create"]
+    IcebergFormat().overwrite_partitions(
+        _fake_iceberg_df(calls, exists=False), "c.db.t", "bucket")
+    assert calls == ["tableExists:c.db.t", "writeTo:c.db.t",
+                     "partitionedBy", "create"]
+
+
+def test_iceberg_format_write_failure_not_masked():
+    """A real overwritePartitions failure on an EXISTING table must
+    propagate — not be swallowed and misread as 'first run: create'."""
+    from swiftsoup_spark.spark.pipeline import IcebergFormat
+
+    calls = []
+    with pytest.raises(RuntimeError, match="snapshot commit failed"):
+        IcebergFormat().overwrite_partitions(
+            _fake_iceberg_df(calls, exists=True, write_fails=True),
+            "c.db.t", "bucket")
+    assert "create" not in calls

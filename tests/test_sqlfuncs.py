@@ -34,6 +34,30 @@ def test_html_text_matches_extract_pages(spark):
     assert via_sql == via_df
 
 
+def test_sqlfuncs_are_batch_pandas_udfs(spark):
+    """The SQL functions must be Series->Series pandas_udfs (one Python
+    call per Arrow batch): ArrowEvalPython in the physical plan AND one
+    kernel invocation for many rows — not a per-row scalar UDF."""
+    from pyspark.sql import functions as F
+    from swiftsoup_spark.spark.pages import pages_df
+
+    pages = pages_df(spark, SF_DIR).limit(64)
+    pages.createOrReplaceTempView("pages_plan_v")
+    plan = (spark.sql("SELECT html_text(html) AS t FROM pages_plan_v")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" in plan
+
+    # eval-type proof: every registered function is a Series->Series
+    # pandas_udf (SQL_SCALAR_PANDAS_UDF), not a per-row scalar UDF
+    from pyspark.util import PythonEvalType
+    from swiftsoup_spark.spark.sqlfuncs import register_sql_functions
+    udfs = register_sql_functions(spark)
+    assert set(udfs) == {"html_text", "html_title", "html_select_text",
+                         "html_select_attr", "html_clean"}
+    for name, fn in udfs.items():
+        assert fn.evalType == PythonEvalType.SQL_SCALAR_PANDAS_UDF, name
+
+
 def test_html_select_and_clean(spark):
     spark.sql("SELECT 1").collect()
     row = spark.sql(
