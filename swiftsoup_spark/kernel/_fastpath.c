@@ -3002,6 +3002,117 @@ static PyObject *py_init_tables(PyObject *self, PyObject *args) {
     Py_RETURN_NONE;
 }
 
+/* ---- MD5 (implemented from the RFC 1321 algorithm description) ------
+ * Used by the dedup operators' portable hash family: the SimHash /
+ * MinHash kernels hash each unique word with md5 so a DuckDB oracle can
+ * replay signatures bit-exactly; this removes the per-word Python
+ * hashlib loop (the one remaining Python hot loop flagged in round 2). */
+static const uint32_t MD5_K[64] = {
+    0xd76aa478u,0xe8c7b756u,0x242070dbu,0xc1bdceeeu,
+    0xf57c0fafu,0x4787c62au,0xa8304613u,0xfd469501u,
+    0x698098d8u,0x8b44f7afu,0xffff5bb1u,0x895cd7beu,
+    0x6b901122u,0xfd987193u,0xa679438eu,0x49b40821u,
+    0xf61e2562u,0xc040b340u,0x265e5a51u,0xe9b6c7aau,
+    0xd62f105du,0x02441453u,0xd8a1e681u,0xe7d3fbc8u,
+    0x21e1cde6u,0xc33707d6u,0xf4d50d87u,0x455a14edu,
+    0xa9e3e905u,0xfcefa3f8u,0x676f02d9u,0x8d2a4c8au,
+    0xfffa3942u,0x8771f681u,0x6d9d6122u,0xfde5380cu,
+    0xa4beea44u,0x4bdecfa9u,0xf6bb4b60u,0xbebfbc70u,
+    0x289b7ec6u,0xeaa127fau,0xd4ef3085u,0x04881d05u,
+    0xd9d4d039u,0xe6db99e5u,0x1fa27cf8u,0xc4ac5665u,
+    0xf4292244u,0x432aff97u,0xab9423a7u,0xfc93a039u,
+    0x655b59c3u,0x8f0ccc92u,0xffeff47du,0x85845dd1u,
+    0x6fa87e4fu,0xfe2ce6e0u,0xa3014314u,0x4e0811a1u,
+    0xf7537e82u,0xbd3af235u,0x2ad7d2bbu,0xeb86d391u};
+static const uint8_t MD5_S[64] = {
+    7,12,17,22,7,12,17,22,7,12,17,22,7,12,17,22,
+    5, 9,14,20,5, 9,14,20,5, 9,14,20,5, 9,14,20,
+    4,11,16,23,4,11,16,23,4,11,16,23,4,11,16,23,
+    6,10,15,21,6,10,15,21,6,10,15,21,6,10,15,21};
+
+static void md5_block(uint32_t st[4], const uint8_t *p) {
+    uint32_t M[16];
+    int i;
+    for (i = 0; i < 16; i++)
+        M[i] = (uint32_t)p[4*i] | ((uint32_t)p[4*i+1] << 8) |
+               ((uint32_t)p[4*i+2] << 16) | ((uint32_t)p[4*i+3] << 24);
+    uint32_t a = st[0], b = st[1], c = st[2], d = st[3];
+    for (i = 0; i < 64; i++) {
+        uint32_t f; int g;
+        if (i < 16)      { f = (b & c) | (~b & d); g = i; }
+        else if (i < 32) { f = (d & b) | (~d & c); g = (5*i + 1) & 15; }
+        else if (i < 48) { f = b ^ c ^ d;          g = (3*i + 5) & 15; }
+        else             { f = c ^ (b | ~d);       g = (7*i) & 15; }
+        uint32_t tmp = d;
+        d = c; c = b;
+        uint32_t x = a + f + MD5_K[i] + M[g];
+        b = b + ((x << MD5_S[i]) | (x >> (32 - MD5_S[i])));
+        a = tmp;
+    }
+    st[0] += a; st[1] += b; st[2] += c; st[3] += d;
+}
+
+static void md5_digest(const uint8_t *msg, size_t len, uint8_t out[16]) {
+    uint32_t st[4] = {0x67452301u, 0xefcdab89u, 0x98badcfeu, 0x10325476u};
+    size_t i = 0;
+    int k;
+    for (; i + 64 <= len; i += 64) md5_block(st, msg + i);
+    uint8_t tail[128];
+    size_t r = len - i;
+    if (r) memcpy(tail, msg + i, r);
+    tail[r++] = 0x80;
+    size_t pad = (r <= 56) ? 64 : 128;
+    memset(tail + r, 0, pad - 8 - r);
+    uint64_t bits = (uint64_t)len << 3;
+    for (k = 0; k < 8; k++) tail[pad - 8 + k] = (uint8_t)(bits >> (8 * k));
+    md5_block(st, tail);
+    if (pad == 128) md5_block(st, tail + 64);
+    for (k = 0; k < 4; k++) {
+        out[4*k]     = (uint8_t)(st[k]);
+        out[4*k + 1] = (uint8_t)(st[k] >> 8);
+        out[4*k + 2] = (uint8_t)(st[k] >> 16);
+        out[4*k + 3] = (uint8_t)(st[k] >> 24);
+    }
+}
+
+/* batch_md5_prefix64(data: buffer, offsets: buffer, n: int,
+ *                    arr_offset: int, large: bool) -> bytes
+ *
+ * Zero-copy over an Arrow StringArray's raw buffers (same interface as
+ * batch_extract): per string, the first 8 digest bytes of md5 read
+ * big-endian — returned as n native uint64 values (numpy-frombuffer
+ * ready). This is `int.from_bytes(md5(w).digest()[:8], "big")`. */
+static PyObject *py_batch_md5_prefix64(PyObject *self, PyObject *args) {
+    Py_buffer data, offs;
+    Py_ssize_t n, arr_offset;
+    int large;
+    if (!PyArg_ParseTuple(args, "y*y*nnp", &data, &offs, &n, &arr_offset,
+                          &large))
+        return NULL;
+    const uint8_t *base = (const uint8_t *)data.buf;
+    const int32_t *o32 = (const int32_t *)offs.buf;
+    const int64_t *o64 = (const int64_t *)offs.buf;
+    uint64_t *out = PyMem_Malloc((n > 0 ? n : 1) * sizeof(uint64_t));
+    if (!out) {
+        PyBuffer_Release(&data); PyBuffer_Release(&offs);
+        return PyErr_NoMemory();
+    }
+    for (Py_ssize_t i = 0; i < n; i++) {
+        Py_ssize_t s0 = large ? o64[arr_offset + i] : o32[arr_offset + i];
+        Py_ssize_t s1 = large ? o64[arr_offset + i + 1] : o32[arr_offset + i + 1];
+        uint8_t d[16];
+        md5_digest(base + s0, (size_t)(s1 - s0), d);
+        uint64_t v = 0;
+        for (int k = 0; k < 8; k++) v = (v << 8) | d[k];
+        out[i] = v;
+    }
+    PyBuffer_Release(&data); PyBuffer_Release(&offs);
+    PyObject *r = PyBytes_FromStringAndSize((const char *)out,
+                                            n * (Py_ssize_t)sizeof(uint64_t));
+    PyMem_Free(out);
+    return r;
+}
+
 static PyMethodDef methods[] = {
     {"init_tables", py_init_tables, METH_VARARGS,
      "init tag/entity tables (once per process)"},
@@ -3009,6 +3120,8 @@ static PyMethodDef methods[] = {
      "doc_text(html) -> (text, title|None) or None on bail-out"},
     {"batch_extract", py_batch_extract, METH_VARARGS,
      "batch over raw Arrow utf8 buffers; returns arrow-ready buffers"},
+    {"batch_md5_prefix64", py_batch_md5_prefix64, METH_VARARGS,
+     "per-string uint64 md5 prefix over raw Arrow utf8 buffers"},
     {NULL, NULL, 0, NULL}
 };
 

@@ -246,6 +246,35 @@ def doc_text(html: str, scope_id: str | None = None) -> tuple[str, str] | None:
     return text, title if title is not None else ""
 
 
+def batch_md5_prefix64(col):
+    """Per-string ``int.from_bytes(md5(s).digest()[:8], "big")`` over a
+    ``pyarrow`` string array, computed in C over the raw Arrow buffers
+    (the dedup operators' portable hash family). Returns a numpy uint64
+    array, or ``None`` when the native module is unavailable / the
+    array shape is unsupported — callers then hash in Python."""
+    import numpy as np
+    import pyarrow as pa
+
+    m = get_module()
+    if m is None or not hasattr(m, "batch_md5_prefix64"):
+        return None
+    typ = col.type
+    if typ == pa.string():
+        large = False
+    elif typ == pa.large_string():
+        large = True
+    else:
+        return None
+    if col.null_count:
+        return None
+    bufs = col.buffers()          # [validity, offsets, data]
+    if len(bufs) != 3 or bufs[1] is None:
+        return None
+    data = bufs[2] if bufs[2] is not None else b""
+    raw = m.batch_md5_prefix64(data, bufs[1], len(col), col.offset, large)
+    return np.frombuffer(raw, dtype=np.uint64)
+
+
 def batch_doc_text(col, scope_id: str | None = None):
     """Batch fast path over a ``pyarrow`` string array.
 

@@ -182,12 +182,14 @@ def ngram_jaccard_pairs(df, text_col: str = "text", threshold: float = 0.5,
 
 
 def simhash(df, text_col: str = "text"):
-    """64-bit SimHash over the word multiset, vectorized with numpy
-    inside ``mapInArrow``: per batch, words are deduplicated
-    (``np.unique``), each unique word hashed ONCE (md5[:8] big-endian),
-    the digests unpacked into a (unique_words x 64) ±1 matrix
-    (``np.unpackbits``), and per-document bit sums computed with a
-    single ``np.add.reduceat`` — no per-row/per-bit Python loops.
+    """64-bit SimHash over the word multiset, fully vectorized inside
+    ``mapInArrow`` with zero per-word Python: tokenization
+    (``pc.split_pattern`` — byte-identical to ``str.split(" ")``),
+    word deduplication (``pc.dictionary_encode`` = unique + inverse
+    indices), and per-unique-word hashing (C ``batch_md5_prefix64``
+    over the raw Arrow buffers) all run in native code; the digests are
+    unpacked into a (unique_words x 64) ±1 matrix (``np.unpackbits``)
+    and per-document bit sums computed with one ``np.add.reduceat``.
 
     hash = md5-derived so the DuckDB oracle can replay it bit-exactly
     (simhash bit b is set iff sum over words of ±1 on bit b of
@@ -202,30 +204,39 @@ def simhash(df, text_col: str = "text"):
     src = df.select("doc_id", text_col)
 
     def batches(it):
-        import hashlib
-
         import numpy as np
+        import pyarrow.compute as pc
+
+        from swiftsoup_spark.kernel.fastpath import batch_md5_prefix64
 
         for batch in it:
-            texts = batch.column(text_col).to_pylist()
-            docs = [(t or "").split(" ") for t in texts]
-            counts = np.fromiter((len(d) for d in docs), dtype=np.int64,
-                                 count=len(docs))
-            allw = np.array([w for d in docs for w in d], dtype=object)
-            if len(allw):
-                uniq, inv = np.unique(allw, return_inverse=True)
-                hv = np.empty(len(uniq), dtype=np.uint64)
-                md5 = hashlib.md5
-                for i, w in enumerate(uniq):
-                    hv[i] = int.from_bytes(md5(w.encode("utf-8")).digest()[:8],
-                                           "big")
+            n_docs = batch.num_rows
+            col = pc.fill_null(batch.column(text_col), "")
+            words = pc.split_pattern(col, " ")     # == str.split(" ")
+            counts = np.asarray(pc.list_value_length(words)).astype(np.int64)
+            flat = pc.list_flatten(words)
+            if n_docs and len(flat):
+                enc = pc.dictionary_encode(flat)   # unique + inverse, in C
+                inv = np.asarray(enc.indices)
+                uniq = enc.dictionary
+                # hash each unique word ONCE — in C over the Arrow
+                # buffers (batch_md5_prefix64); Python hashlib loop only
+                # as the no-compiler fallback
+                hv = batch_md5_prefix64(uniq)
+                if hv is None:
+                    import hashlib
+                    md5 = hashlib.md5
+                    hv = np.fromiter(
+                        (int.from_bytes(md5(w.encode("utf-8")).digest()[:8],
+                                        "big") for w in uniq.to_pylist()),
+                        dtype=np.uint64, count=len(uniq))
                 # column j of the unpacked matrix is value bit (63 - j);
                 # astype('>u8') is endianness-explicit (byteswap() would
                 # only be correct on little-endian hosts)
                 bytes_be = hv.astype(">u8").view(np.uint8).reshape(-1, 8)
                 pm = np.unpackbits(bytes_be, axis=1).astype(np.int32) * 2 - 1
                 word_pm = pm[inv]
-                starts = np.zeros(len(docs), dtype=np.int64)
+                starts = np.zeros(n_docs, dtype=np.int64)
                 np.cumsum(counts[:-1], out=starts[1:])
                 acc = np.add.reduceat(word_pm, starts, axis=0)
                 vbits = (acc > 0).astype(np.uint8)
