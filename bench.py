@@ -28,6 +28,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("BENCH_REPLICATE", "128"))
 FILLER = int(os.environ.get("BENCH_FILLER", "10"))
+# FIXED task granularity across parallelism levels: resizing a cluster
+# N -> 4N does not change the job's partitioning, so the scaling runs
+# must execute the IDENTICAL task set and vary only the core count.
+# 16 partitions over the ~2.4 GB bench corpus ≈ 150 MB/task — the
+# production granularity (spark.sql.files.maxPartitionBytes ballpark).
+PARTITIONS = int(os.environ.get("BENCH_PARTITIONS", "16"))
+WARM_RUNS = int(os.environ.get("BENCH_WARM_RUNS", "3"))
+# this VM throttles 2-4x run-to-run; repeat each level's subprocess and
+# keep the best warm run (checksums must agree across ALL repeats)
+LEVEL_REPEATS = int(os.environ.get("BENCH_LEVEL_REPEATS", "2"))
 
 
 def bench_pages(spark):
@@ -53,11 +63,13 @@ def run_headline(n_cores: int):
     """Run the extraction workload on a fresh local[n] session.
     Returns (warm_seconds, cold_seconds, n_docs, total_mb, checksum).
 
-    The reported time is the best of two *warm* runs (steady-state:
-    python workers spawned, modules imported, native kernel loaded) —
-    the cold first run is reported separately. Steady-state is the
-    number that projects to a long-lived cluster job; cold start is a
-    per-executor one-off.
+    The reported time is the best of WARM_RUNS *warm* runs
+    (steady-state: python workers spawned, modules imported, native
+    kernel loaded; the cold first run is the warm-up barrier and is
+    reported separately). Steady-state is the number that projects to a
+    long-lived cluster job; cold start is a per-executor one-off. The
+    input is repartitioned to the FIXED ``PARTITIONS`` count before
+    persisting so every parallelism level runs the identical task set.
     """
     from swiftsoup_spark.kernel.fastpath import get_module
     get_module()   # ensure the native .so is fresh before workers fork
@@ -66,7 +78,7 @@ def run_headline(n_cores: int):
                       shuffle_partitions=n_cores)
     try:
         pages = bench_pages(spark)
-        pages = pages.persist()
+        pages = pages.repartition(PARTITIONS).persist()
         stats = pages.agg(F.count("*").alias("n"),
                           F.sum(F.length("html")).alias("b")).collect()[0]
         n_docs, n_bytes = stats.n, stats.b
@@ -80,12 +92,14 @@ def run_headline(n_cores: int):
                 F.expr('bit_xor(xxhash64(concat_ws("\\u0000", url, text)))')
                  .alias("checksum")).collect()[0]
             return time.time() - t0, row.checksum
-        cold, cks = one_run()
-        w1, c1 = one_run()
-        w2, c2 = one_run()
-        assert cks == c1 == c2
+        cold, cks = one_run()          # warm-up barrier (JVM + workers)
+        warms = []
+        for _ in range(WARM_RUNS):
+            w, c = one_run()
+            assert c == cks
+            warms.append(w)
         pages.unpersist()
-        return min(w1, w2), cold, n_docs, n_bytes / 1e6, cks
+        return min(warms), cold, n_docs, n_bytes / 1e6, cks
     finally:
         spark.stop()
 
@@ -208,7 +222,14 @@ def main():
     levels = sorted({int(x) for x in levels_env.split(",") if x.strip()})
     runs = {}
     for n in levels:
-        t, cold, n_docs, mb, cks = _headline_subprocess(n)
+        best = None
+        for _ in range(LEVEL_REPEATS):
+            t, cold, n_docs, mb, cks = _headline_subprocess(n)
+            if best is not None:
+                assert cks == best[4], "checksum drift across repeats"
+            if best is None or t < best[0]:
+                best = (t, cold, n_docs, mb, cks)
+        t, cold, n_docs, mb, cks = best
         runs[n] = {"sec": round(t, 3), "cold_sec": round(cold, 3),
                    "mb_per_sec": round(mb / t, 1),
                    "docs_per_sec": round(n_docs / t, 1), "checksum": cks}

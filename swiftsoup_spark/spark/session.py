@@ -28,6 +28,9 @@ def get_spark(master: str | None = None, app: str = "swiftsoup_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # HTML docs are tens of KB; keep Arrow batches ~thousands of docs
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # long-lived Python workers: daemon reuse keeps the native kernel
+        # + imports warm across tasks (explicit — it is also the default)
+        .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
