@@ -81,6 +81,7 @@ q_extract_text_misnested = _q_variant_text("misnested")
 q_extract_text_svg = _q_variant_text("svg")
 q_extract_text_pre = _q_variant_text("pre")
 q_extract_text_entities = _q_variant_text("entities")
+q_extract_text_charset = _q_variant_text("charset")
 
 
 def q_parse_error_positions(spark, sf_dir):
@@ -366,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_svg": q_extract_text_svg,
         "extract_text_pre": q_extract_text_pre,
         "extract_text_entities": q_extract_text_entities,
+        "extract_text_charset": q_extract_text_charset,
         "select_attr_entities": q_select_attr_entities,
         "parse_error_positions": q_parse_error_positions,
         "dedup_exact": q_dedup_exact,
@@ -550,6 +552,7 @@ FROM documents
         "extract_text_svg": _variant_oracle("svg"),
         "extract_text_pre": _variant_oracle("pre"),
         "extract_text_entities": _variant_oracle("entities"),
+        "extract_text_charset": _variant_oracle("charset"),
         "select_attr_entities": (
             f"SELECT {URL_SQL} AS url, '/x?a=1&b=2' AS href FROM documents"),
         "parse_error_positions": (

@@ -26,6 +26,38 @@ _WS_RUN = re.compile(r"[ \t\n\f\r\xa0]+")
 _WS_CHECK = re.compile(r"[\t\n\f\r\xa0]|  ")  # needs-normalization probe
 _ASCII_WS = " \t\n\f\r"
 
+# IANA-preferred display names for the common output charsets — the
+# values Document.set_charset writes into <meta charset> / the XML decl
+# (reference String.Encoding.displayName(); jsoup Charset.displayName()).
+_CHARSET_DISPLAY = {
+    "utf-8": "UTF-8", "utf8": "UTF-8", "utf-16": "UTF-16",
+    "utf-16le": "UTF-16LE", "utf-16be": "UTF-16BE", "utf-32": "UTF-32",
+    "ascii": "US-ASCII", "us-ascii": "US-ASCII",
+    "latin-1": "ISO-8859-1", "latin1": "ISO-8859-1", "latin_1": "ISO-8859-1",
+    "iso2022_jp": "ISO-2022-JP", "iso-2022-jp": "ISO-2022-JP",
+    "shift_jis": "Shift_JIS", "euc_jp": "EUC-JP", "gbk": "GBK",
+    "big5": "Big5", "koi8-r": "KOI8-R",
+}
+
+
+def charset_display_name(charset: str) -> str:
+    """Canonical display form of a charset token (e.g. 'utf-8' ->
+    'UTF-8', 'latin-1' -> 'ISO-8859-1', 'iso8859-2' -> 'ISO-8859-2')."""
+    key = charset.strip().lower()
+    hit = _CHARSET_DISPLAY.get(key)
+    if hit:
+        return hit
+    m = re.fullmatch(r"(?:iso[-_]?8859|cp)[-_]?(\d+)", key)
+    if m:
+        if key.startswith("cp"):
+            n = m.group(1)
+            return "windows-" + n if n.startswith("12") else "cp" + n
+        return "ISO-8859-" + m.group(1)
+    m = re.fullmatch(r"windows[-_]?(\d+)", key)
+    if m:
+        return "windows-" + m.group(1)
+    return charset.upper() if key.startswith("utf") else charset
+
 
 class Arena:
     """One document's DOM as struct-of-arrays."""
@@ -34,7 +66,7 @@ class Arena:
         "parent", "ntype", "tag", "text", "attrs", "children",
         "tags", "base_uri", "quirks", "errors", "error_list", "location",
         "selfclosing", "src_start", "src_end", "form_controls", "display_tag",
-        "out",
+        "out", "update_meta_charset",
     )
 
     def __init__(self, tags: TagRegistry | None = None, base_uri: str = "") -> None:
@@ -58,6 +90,10 @@ class Arena:
         self.location = base_uri
         self.selfclosing: set[int] = set()  # nodes whose start tag had '/>'
         self.out = None        # per-doc OutputSettings (None = default)
+        # reference Document.updateMetaCharset (Document.swift:346-372):
+        # when True, Document.set_charset syncs the <meta charset> element
+        # / XML declaration. Off per default.
+        self.update_meta_charset = False
         # form association (reference FormElement.swift): form node id ->
         # ordered list of its tracked control element ids
         self.form_controls: dict[int, list[int]] = {}
@@ -515,6 +551,13 @@ class Element(Node):
             return 0
         return [e.id for e in p.children()].index(self.id)
 
+    def append_element(self, name: str, attrs: dict | None = None) -> "Element":
+        """Create a child element and return it (reference
+        Element.appendElement, Element.swift)."""
+        nid = self.arena.new_element(name, attrs)
+        self.arena.append_child(self.id, nid)
+        return Element(self.arena, nid)
+
     # mutations
     def append_html(self, html: str) -> "Element":
         from swiftsoup_spark.kernel import mutations as M
@@ -677,6 +720,66 @@ class Document(Element):
 
     def text(self) -> str:
         return self.arena.node_text(self.id)
+
+    # -- charset (reference Document.swift:321-400) ------------------------
+    def charset(self) -> str:
+        """Current output charset (reference Document.charset())."""
+        return self.output_settings.charset
+
+    def set_charset(self, charset: str) -> "Document":
+        """Set the output charset AND sync the document's charset
+        declaration (reference Document.charset(_:), Document.swift:321):
+        enables updateMetaCharsetElement, then ensures a
+        ``<meta charset>`` (html syntax) / XML declaration (xml syntax)
+        carries the new value; obsolete ``<meta name=charset>`` elements
+        are removed."""
+        self.set_update_meta_charset(True)
+        self.output_settings.charset = charset
+        self._ensure_meta_charset_element()
+        return self
+
+    def set_update_meta_charset(self, update: bool) -> None:
+        """reference Document.updateMetaCharsetElement(_:)."""
+        self.arena.update_meta_charset = bool(update)
+
+    def update_meta_charset(self) -> bool:
+        """reference Document.updateMetaCharsetElement() getter."""
+        return self.arena.update_meta_charset
+
+    def _ensure_meta_charset_element(self) -> None:
+        """reference Document.ensureMetaCharsetElement
+        (Document.swift:379-430): update-or-create the charset element.
+        No-op unless updateMetaCharset is enabled."""
+        if not self.arena.update_meta_charset:
+            return
+        a = self.arena
+        name = charset_display_name(self.output_settings.charset)
+        if self.output_settings.syntax == "html":
+            metas = self.select("meta[charset]")
+            if metas:
+                metas[0].set_attr("charset", name)
+            else:
+                head = self.head()
+                if head is not None:
+                    mid = a.new_element("meta", {"charset": name})
+                    a.append_child(head.id, mid)
+            # obsolete <meta name=charset content=...> definitions go away
+            self.select("meta[name=charset]").remove()
+        else:  # xml syntax -> declaration node
+            kids = a.children[self.id]
+            first = kids[0] if kids else None
+            if first is not None and a.ntype[first] == XMLDECL and \
+                    (a.text[first] or "").lstrip("!?") == "xml":
+                attrs = a.attrs[first]
+                if attrs is None:
+                    attrs = {}
+                    a.attrs[first] = attrs
+                attrs["encoding"] = name
+                attrs["version"] = "1.0"
+            else:
+                did = a.new_node(XMLDECL, -1, "xml",
+                                 {"version": "1.0", "encoding": name})
+                a.insert_child(self.id, 0, did)
 
     def errors(self):
         """Positioned parse errors from the last parse (bounded; empty

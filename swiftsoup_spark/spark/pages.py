@@ -139,6 +139,20 @@ VARIANT_TEMPLATES = {
         "<circle cx=\"5\"></circle><text x=\"1\">lbl ' || doc_id ||"
         " '</text></svg><p>post ' || text || '</p></body></html>'",
         "'pre ' || doc_id || ' iconlbl ' || doc_id || ' post ' || text"),
+    # charset detection through the binary-html decode gate
+    # (api.decode_html: BOM strip on even rows, <meta charset> sniff +
+    # ISO-8859-1 decode on odd rows — reference DataUtil/Document charset
+    # handling). The only variant whose html column is BINARY; é round-
+    # trips through both encodings.
+    "charset": (
+        "CASE WHEN doc_id % 2 = 0 THEN concat(unhex('EFBBBF'), encode("
+        "'<html><head><title>B ' || doc_id || '</title></head><body>"
+        "<p>café ' || text || '</p></body></html>', 'UTF-8')) "
+        "ELSE encode('<html><head><meta charset=\"iso-8859-1\">"
+        "<title>L ' || doc_id || '</title></head><body><p>café ' || text ||"
+        " '</p></body></html>', 'ISO-8859-1') END",
+        "CASE WHEN doc_id % 2 = 0 THEN 'B ' ELSE 'L ' END || doc_id ||"
+        " ' café ' || text"),
     # entity decoding in text AND attribute values (&amp; &lt; &gt; &quot;
     # &nbsp;)
     "entities": (

@@ -103,3 +103,149 @@ def test_resolve_reference_cases():
     assert r("ftp://example.com/two/", "../one") == "ftp://example.com/one"
     assert r("ftp://example.com/one/", "./two.c") == "ftp://example.com/one/two.c"
     assert r("ftp://example.com/one/", "two.c") == "ftp://example.com/one/two.c"
+
+
+# --- meta-charset update (reference DocumentTest.swift:226-407) ------------
+
+def _html_doc_with_charset(charset: str):
+    """reference createHtmlDocument: shell + <meta charset> +
+    <meta name=charset content=...> in head."""
+    from swiftsoup_spark.clean.cleaner import _create_shell
+    from swiftsoup_spark.kernel.arena import Document
+    arena = _create_shell("")
+    doc = Document(arena, 0)
+    head = doc.head()
+    head.append_element("meta", {"charset": charset})
+    head.append_element("meta", {"name": "charset", "content": charset})
+    return doc
+
+
+def _xml_doc(version: str, charset: str, add_decl: bool):
+    """reference createXmlDocument: <root>node</root> in xml syntax,
+    optionally with a leading <?xml?> declaration."""
+    from swiftsoup_spark.kernel.arena import (
+        Arena, Document, DOCUMENT, TEXT, XMLDECL)
+    a = Arena()
+    doc_id = a.new_node(DOCUMENT)
+    doc = Document(a, doc_id)
+    root = doc.append_element("root")
+    tid = a.new_node(TEXT, -1, "node")
+    a.append_child(root.id, tid)
+    doc.output_settings.syntax = "xml"
+    if add_decl:
+        decl = a.new_node(XMLDECL, -1, "xml",
+                          {"version": version, "encoding": charset})
+        a.insert_child(doc_id, 0, decl)
+    return doc
+
+
+def test_meta_charset_update_utf8():
+    doc = _html_doc_with_charset("changeThis")
+    doc.set_update_meta_charset(True)
+    doc.set_charset("utf-8")
+    expected = ('<html>\n <head>\n  <meta charset="UTF-8" />\n </head>\n'
+                ' <body></body>\n</html>')
+    assert doc.outer_html() == expected
+    meta = doc.select("meta[charset]")[0]
+    assert doc.charset() == "utf-8"
+    assert meta.attr("charset") == "UTF-8"
+    assert doc.output_settings.charset == "utf-8"
+
+
+def test_meta_charset_update_iso_8859_2():
+    doc = _html_doc_with_charset("changeThis")
+    doc.set_update_meta_charset(True)
+    doc.set_charset("iso8859-2")
+    meta = doc.select("meta[charset]")[0]
+    assert meta.attr("charset") == "ISO-8859-2"
+
+
+def test_meta_charset_update_no_charset():
+    from swiftsoup_spark.clean.cleaner import _create_shell
+    from swiftsoup_spark.kernel.arena import Document
+    doc = Document(_create_shell(""), 0)
+    doc.set_update_meta_charset(True)
+    doc.set_charset("utf-8")
+    assert doc.select("meta[charset]")[0].attr("charset") == "UTF-8"
+    expected = ('<html>\n <head>\n  <meta charset="UTF-8" />\n </head>\n'
+                ' <body></body>\n</html>')
+    assert doc.outer_html() == expected
+
+
+def test_meta_charset_update_disabled():
+    from swiftsoup_spark.clean.cleaner import _create_shell
+    from swiftsoup_spark.kernel.arena import Document
+    doc = Document(_create_shell(""), 0)
+    assert doc.outer_html() == ('<html>\n <head></head>\n'
+                                ' <body></body>\n</html>')
+    assert len(doc.select("meta[charset]")) == 0
+    assert doc.update_meta_charset() is False
+
+
+def test_meta_charset_update_disabled_no_changes():
+    doc = _html_doc_with_charset("dontTouch")
+    expected = ('<html>\n <head>\n  <meta charset="dontTouch" />\n'
+                '  <meta name="charset" content="dontTouch" />\n </head>\n'
+                ' <body></body>\n</html>')
+    assert doc.outer_html() == expected
+    assert doc.select("meta[charset]")[0].attr("charset") == "dontTouch"
+    assert doc.select("meta[name=charset]")[0].attr("content") == "dontTouch"
+
+
+def test_meta_charset_update_enabled_after_charset_change():
+    doc = _html_doc_with_charset("dontTouch")
+    doc.set_charset("utf-8")   # set_charset itself enables the update
+    assert doc.select("meta[charset]")[0].attr("charset") == "UTF-8"
+    assert len(doc.select("meta[name=charset]")) == 0
+
+
+def test_meta_charset_update_cleanup():
+    doc = _html_doc_with_charset("dontTouch")
+    doc.set_update_meta_charset(True)
+    doc.set_charset("utf-8")
+    expected = ('<html>\n <head>\n  <meta charset="UTF-8" />\n </head>\n'
+                ' <body></body>\n</html>')
+    assert doc.outer_html() == expected
+
+
+def test_meta_charset_update_xml_utf8():
+    doc = _xml_doc("1.0", "changeThis", True)
+    doc.set_update_meta_charset(True)
+    doc.set_charset("utf-8")
+    decl = doc.child_nodes()[0]
+    assert decl.attr("encoding") == "UTF-8"
+    assert decl.attr("version") == "1.0"
+    assert doc.charset() == "utf-8"
+
+
+def test_meta_charset_update_xml_no_decl():
+    doc = _xml_doc("1.0", "none", False)
+    doc.set_update_meta_charset(True)
+    doc.set_charset("utf-8")
+    decl = doc.child_nodes()[0]
+    assert decl.attr("encoding") == "UTF-8"
+    assert decl.attr("version") == "1.0"
+    assert '<?xml version="1.0" encoding="UTF-8"?>' in doc.outer_html()
+
+
+def test_meta_charset_update_xml_disabled_no_changes():
+    doc = _xml_doc("dontTouch", "dontTouch", True)
+    decl = doc.child_nodes()[0]
+    assert decl.attr("encoding") == "dontTouch"
+    assert decl.attr("version") == "dontTouch"
+    assert '<?xml version="dontTouch" encoding="dontTouch"?>' in doc.outer_html()
+
+
+def test_meta_charset_disabled_per_default():
+    doc = _html_doc_with_charset("none")
+    assert doc.update_meta_charset() is False
+
+
+def test_charset_display_name():
+    from swiftsoup_spark.kernel.arena import charset_display_name
+    assert charset_display_name("utf-8") == "UTF-8"
+    assert charset_display_name("ascii") == "US-ASCII"
+    assert charset_display_name("latin-1") == "ISO-8859-1"
+    assert charset_display_name("iso8859-2") == "ISO-8859-2"
+    assert charset_display_name("cp1252") == "windows-1252"
+    assert charset_display_name("iso2022_jp") == "ISO-2022-JP"
