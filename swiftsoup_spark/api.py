@@ -47,8 +47,10 @@ def parse_fragment(html: str, context: str | None = "body", base_uri: str = "") 
 
 def parse_body_fragment(html: str, base_uri: str = "") -> Document:
     """Parse body HTML into a shell document (reference Parser.parseBodyFragment)."""
-    tb = HtmlTreeBuilder()
-    arena, ids = tb.parse_fragment(html, "body", base_uri)
+    from swiftsoup_spark.kernel.fastpath import build_body_fragment
+    arena = build_body_fragment(html, base_uri)
+    if arena is None:
+        arena, _ = HtmlTreeBuilder().parse_fragment(html, "body", base_uri)
     root = arena.children[0][0]  # the fragment <html> root
     frag = list(arena.children[root])
     arena.children[root] = []

@@ -52,6 +52,7 @@
 #define F_DROP       (1u<<17)
 #define F_LISTEXTRA  (1u<<18)
 #define F_AHTOHEAD   (1u<<19)  /* after-head re-enter-head set */
+#define F_FORMLISTED (1u<<20) /* FormElement-tracked control tags */
 
 #define MAXSTACK 256
 #define MAXFMT   64
@@ -87,6 +88,7 @@ static int T_p, T_li, T_br, T_a, T_form, T_head, T_body, T_html, T_title,
     T_xmp, T_iframe, T_noembed, T_button, T_option, T_optgroup, T_ruby,
     T_rp, T_rt, T_nobr, T_img, T_image, T_input, T_hr, T_dd, T_dt,
     T_base, T_basefont, T_bgsound, T_command, T_link, T_meta, T_ol, T_ul;
+static int T_frameset, T_frame, T_plaintext, T_sarcasm;
 
 static uint32_t fnv1a(const uint8_t *s, Py_ssize_t len) {
     uint32_t h = 2166136261u;
@@ -317,8 +319,9 @@ static int fz_enter(P *p) {
  * dst (cap 16), sets *adv = source chars consumed after the '&'.
  * Returns decoded length, or 0 if not a reference.
  * Mirrors entities.py _match_ref with in_attribute=False. */
-static int decode_entity(const uint8_t *s, Py_ssize_t i, Py_ssize_t n,
-                         uint8_t dst[16], Py_ssize_t *adv) {
+static int decode_entity_ex(const uint8_t *s, Py_ssize_t i, Py_ssize_t n,
+                            uint8_t dst[16], Py_ssize_t *adv,
+                            int in_attr) {
     if (i >= n) return 0;
     if (s[i] == '#') {
         Py_ssize_t j = i + 1;
@@ -381,9 +384,24 @@ static int decode_entity(const uint8_t *s, Py_ssize_t i, Py_ssize_t n,
             if (v) { memcpy(dst, v, vlen); *adv = ln + 1; return vlen; }
         }
         v = ent_lookup(g_nosemi, 511, s + i, ln, &vlen);
-        if (v) { memcpy(dst, v, vlen); *adv = ln; return vlen; }
+        if (v) {
+            if (in_attr && i + ln < n) {
+                uint8_t nx = s[i + ln];
+                /* legacy-in-attribute suppression: '&param=x' stays
+                 * literal (entities.py _match_ref) */
+                if (nx == '=' || (nx >= '0' && nx <= '9') ||
+                    (nx >= 'a' && nx <= 'z') || (nx >= 'A' && nx <= 'Z'))
+                    return 0;
+            }
+            memcpy(dst, v, vlen); *adv = ln; return vlen;
+        }
     }
     return 0;
+}
+
+static int decode_entity(const uint8_t *s, Py_ssize_t i, Py_ssize_t n,
+                         uint8_t dst[16], Py_ssize_t *adv) {
+    return decode_entity_ex(s, i, n, dst, adv, 0);
 }
 
 /* byte classes for the normalizing emitter */
@@ -2904,6 +2922,3127 @@ static PyObject *py_batch_extract(PyObject *self, PyObject *args) {
     return r;
 }
 
+/* ====================================================================
+ * Arena builder: full WHATWG tree construction in C, producing the
+ * EXACT flat-arena columns of the Python kernel (kernel/tokenizer.py +
+ * kernel/treebuilder.py + kernel/arena.py) — parent / ntype / tag /
+ * text / attrs / children / selfclosing / quirks / errors / form
+ * controls / source spans.  Unlike the streaming extractor above
+ * (which fuses parse+text and must bail on subtree-reordering
+ * repairs), this builder MATERIALIZES nodes, so adoption agency,
+ * foster parenting and frameset all run the real algorithms; it bails
+ * only on: NUL bytes, non-ASCII tag/attr names (Unicode case
+ * normalization parity), >MAXUNK distinct unknown tags, stack depth
+ * >=MAXSTACK, and the InHeadNoscript token-re-rendering branch.
+ * Byte-for-byte arena equality with HtmlTreeBuilder().parse() is
+ * enforced by tests/test_arena_build.py differential fuzzing.
+ *
+ * Reference semantics (parity anchors, same as the Python kernel):
+ *   /root/reference/Sources/HtmlTreeBuilderState.swift (23 modes)
+ *   /root/reference/Sources/HtmlTreeBuilder.swift (stack/fmt ops)
+ *   /root/reference/Sources/Tokeniser.swift, TokeniserState.swift
+ * ==================================================================== */
+
+/* python TagRegistry ids aligned with the C tag-id space */
+static int g_pyid_by_id[UNK_BASE];
+static int g_pyids_ready = 0;
+
+/* reverse tag index: C id -> name (filled by init_tables) */
+static const char *g_tagname_by_id[UNK_BASE];
+static int g_tagnamelen_by_id[UNK_BASE];
+
+static PyObject *py_init_pyids(PyObject *self, PyObject *args) {
+    PyObject *lst;
+    if (!PyArg_ParseTuple(args, "O", &lst)) return NULL;
+    Py_ssize_t n = PyList_Size(lst);
+    if (n > UNK_BASE) n = UNK_BASE;
+    for (Py_ssize_t i = 0; i < n; i++)
+        g_pyid_by_id[i] = (int)PyLong_AsLong(PyList_GetItem(lst, i));
+    g_pyids_ready = 1;
+    Py_RETURN_NONE;
+}
+
+/* ---- small int vector ---- */
+typedef struct { int *d; int len, cap; } IVec;
+
+static int iv_reserve(IVec *v, int need) {
+    if (v->len + need <= v->cap) return 1;
+    int nc = v->cap ? v->cap * 2 : 8;
+    while (nc < v->len + need) nc *= 2;
+    int *nd = (int *)PyMem_Realloc(v->d, (size_t)nc * sizeof(int));
+    if (!nd) return 0;
+    v->d = nd; v->cap = nc;
+    return 1;
+}
+static int iv_push(IVec *v, int x) {
+    if (!iv_reserve(v, 1)) return 0;
+    v->d[v->len++] = x;
+    return 1;
+}
+static int iv_insert(IVec *v, int idx, int x) {
+    if (!iv_reserve(v, 1)) return 0;
+    memmove(v->d + idx + 1, v->d + idx, (size_t)(v->len - idx) * sizeof(int));
+    v->d[idx] = x; v->len++;
+    return 1;
+}
+static void iv_remove_at(IVec *v, int idx) {
+    memmove(v->d + idx, v->d + idx + 1,
+            (size_t)(v->len - idx - 1) * sizeof(int));
+    v->len--;
+}
+static int iv_index(const IVec *v, int x) {
+    for (int i = 0; i < v->len; i++) if (v->d[i] == x) return i;
+    return -1;
+}
+static void iv_free(IVec *v) { PyMem_Free(v->d); v->d = NULL; v->len = v->cap = 0; }
+
+/* ---- node / attr records ---- */
+typedef struct {
+    int key_off, key_len;       /* into pool */
+    int val_off, val_len;       /* val_off < 0 => valueless (None) */
+} BAttr2;
+
+/* node types — MUST match kernel/arena.py */
+#define NT_DOCUMENT 0
+#define NT_ELEMENT  1
+#define NT_TEXT     2
+#define NT_DATA     3
+#define NT_COMMENT  4
+#define NT_DOCTYPE  5
+
+typedef struct {
+    int8_t ntype;
+    int tag;                     /* C tag id; >=UNK_BASE unknown; -1 none */
+    int parent;
+    int text_off, text_len;      /* -1 len => None */
+    int attr_off, attr_n;        /* into ab->attrs */
+    int src_start, src_end;      /* char offsets; -1 untracked */
+    IVec kids;
+} ANode;
+
+/* token kinds */
+#define AK_CHAR    0
+#define AK_DATA    1
+#define AK_CDATA   2
+#define AK_START   3
+#define AK_END     4
+#define AK_COMMENT 5
+#define AK_DOCTYPE 6
+#define AK_EOF     7
+
+typedef struct {
+    uint8_t kind;
+    int tag;
+    int text_off, text_len;      /* char/data/cdata/comment text; doctype name */
+    int attr_off, attr_n;
+    uint8_t sc;
+    int pub_off, pub_len, sys_off, sys_len;  /* doctype; len -1 => None */
+    uint8_t fq;
+} Tok2;
+
+/* raw modes */
+#define RM_NONE      0
+#define RM_RCDATA    1
+#define RM_RAWTEXT   2
+#define RM_SCRIPT    3
+#define RM_PLAINTEXT 4
+
+/* insertion modes — MUST match kernel/treebuilder.py ordering */
+enum {
+    M_INITIAL, M_BEFORE_HTML, M_BEFORE_HEAD, M_IN_HEAD, M_IN_HEAD_NOSCRIPT,
+    M_AFTER_HEAD, M_IN_BODY, M_TEXT, M_IN_TABLE, M_IN_TABLE_TEXT,
+    M_IN_CAPTION, M_IN_COLUMN_GROUP, M_IN_TABLE_BODY, M_IN_ROW, M_IN_CELL,
+    M_IN_SELECT, M_IN_SELECT_IN_TABLE, M_AFTER_BODY, M_IN_FRAMESET,
+    M_AFTER_FRAMESET, M_AFTER_AFTER_BODY, M_AFTER_AFTER_FRAMESET, M_FOREIGN
+};
+
+#define AB_MAXPEND 8
+#define AB_MAXTBLPEND 64
+
+typedef struct {
+    const uint8_t *s; Py_ssize_t n;
+    Py_ssize_t pos;
+    /* byte->char offset translator (monotonic queries only) */
+    Py_ssize_t conv_byte, conv_char;
+    /* decoded-text / name pool */
+    uint8_t *pool; size_t plen, pcap;
+    /* attribute store (append-only; nodes/tokens hold slices) */
+    BAttr2 *attrs; int alen, acap;
+    /* nodes */
+    ANode *nodes; int nn, ncap;
+    /* per-doc unknown-tag intern table */
+    int unk_off[MAXUNK], unk_len[MAXUNK]; int nunk;
+    /* tree-builder state */
+    IVec stack;
+    IVec fmt;                    /* node ids; -1 = marker */
+    int mode, orig_mode;
+    int head_el, form_el;        /* -1 = none */
+    int frameset_ok, foster_inserts;
+    Tok2 pend_tbl[AB_MAXTBLPEND]; int npend_tbl;   /* InTableText chars */
+    /* tokenizer state */
+    int raw_mode, raw_tag;
+    Tok2 pending[AB_MAXPEND]; int npend;
+    Py_ssize_t tok_start, tok_end;   /* byte span of current REAL token */
+    int errors;                      /* duplicate-attribute count */
+    int quirks;
+    int base_off, base_len, base_set;
+    IVec selfclosing;
+    IVec formpairs;              /* flattened (form, control) pairs */
+    int track_spans;
+    int fragment_body;   /* parse_fragment(context='body') semantics */
+    int bail;
+} AB;
+
+static void ab_bail(AB *ab) { ab->bail = 1; }
+
+static int pool_reserve(AB *ab, size_t need) {
+    if (ab->plen + need <= ab->pcap) return 1;
+    size_t nc = ab->pcap ? ab->pcap * 2 : 1024;
+    while (nc < ab->plen + need) nc *= 2;
+    uint8_t *np = (uint8_t *)PyMem_Realloc(ab->pool, nc);
+    if (!np) { ab_bail(ab); return 0; }
+    ab->pool = np; ab->pcap = nc;
+    return 1;
+}
+
+static int pool_put(AB *ab, const uint8_t *src, size_t len) {
+    if (!pool_reserve(ab, len)) return -1;
+    memcpy(ab->pool + ab->plen, src, len);
+    int off = (int)ab->plen;
+    ab->plen += len;
+    return off;
+}
+
+static int attr_push(AB *ab, BAttr2 a) {
+    if (ab->alen >= ab->acap) {
+        int nc = ab->acap ? ab->acap * 2 : 32;
+        BAttr2 *na = (BAttr2 *)PyMem_Realloc(ab->attrs,
+                                             (size_t)nc * sizeof(BAttr2));
+        if (!na) { ab_bail(ab); return 0; }
+        ab->attrs = na; ab->acap = nc;
+    }
+    ab->attrs[ab->alen++] = a;
+    return 1;
+}
+
+static int ab_new_node(AB *ab, int ntype, int tag) {
+    if (ab->nn >= ab->ncap) {
+        int nc = ab->ncap ? ab->ncap * 2 : 64;
+        ANode *nd = (ANode *)PyMem_Realloc(ab->nodes,
+                                           (size_t)nc * sizeof(ANode));
+        if (!nd) { ab_bail(ab); return 0; }
+        ab->nodes = nd; ab->ncap = nc;
+    }
+    ANode *nd = &ab->nodes[ab->nn];
+    memset(nd, 0, sizeof(ANode));
+    nd->ntype = (int8_t)ntype;
+    nd->tag = tag;
+    nd->parent = -1;
+    nd->text_off = 0; nd->text_len = -1;
+    nd->attr_off = 0; nd->attr_n = 0;
+    nd->src_start = -1; nd->src_end = -1;
+    return ab->nn++;
+}
+
+/* byte offset -> char offset (monotonically nondecreasing queries) */
+static int ab_charoff(AB *ab, Py_ssize_t byte) {
+    if (byte < ab->conv_byte) { /* shouldn't happen; recount from 0 */
+        ab->conv_byte = 0; ab->conv_char = 0;
+    }
+    const uint8_t *s = ab->s;
+    Py_ssize_t b = ab->conv_byte, c = ab->conv_char;
+    while (b < byte) {
+        if ((s[b] & 0xC0) != 0x80) c++;
+        b++;
+    }
+    ab->conv_byte = b; ab->conv_char = c;
+    return (int)c;
+}
+
+/* flags for any tag id (0 for unknown) */
+static uint32_t ab_flags(int tag) {
+    return (tag >= 0 && tag < UNK_BASE) ? g_flags_by_id[tag] : 0;
+}
+
+/* intern a tag name: known table first, then per-doc unknown table */
+static int ab_intern_tag(AB *ab, const uint8_t *name, int len) {
+    int id = tag_lookup(name, len);
+    if (id >= 0) return id;
+    for (int i = 0; i < ab->nunk; i++) {
+        if (ab->unk_len[i] == len &&
+            memcmp(ab->pool + ab->unk_off[i], name, (size_t)len) == 0)
+            return UNK_BASE + i;
+    }
+    if (ab->nunk >= MAXUNK) { ab_bail(ab); return 0; }
+    int off = pool_put(ab, name, (size_t)len);
+    if (off < 0) return 0;
+    ab->unk_off[ab->nunk] = off;
+    ab->unk_len[ab->nunk] = len;
+    return UNK_BASE + ab->nunk++;
+}
+
+/* ---- child-list operations (kernel/arena.py construction ops) ---- */
+static void ab_remove_from_parent(AB *ab, int nid) {
+    int pid = ab->nodes[nid].parent;
+    if (pid != -1) {
+        int i = iv_index(&ab->nodes[pid].kids, nid);
+        if (i >= 0) iv_remove_at(&ab->nodes[pid].kids, i);
+        ab->nodes[nid].parent = -1;
+    }
+}
+static void ab_append_child(AB *ab, int pid, int nid) {
+    if (ab->nodes[nid].parent != -1) ab_remove_from_parent(ab, nid);
+    ab->nodes[nid].parent = pid;
+    if (!iv_push(&ab->nodes[pid].kids, nid)) ab_bail(ab);
+}
+static void ab_insert_child(AB *ab, int pid, int idx, int nid) {
+    if (ab->nodes[nid].parent != -1) ab_remove_from_parent(ab, nid);
+    ab->nodes[nid].parent = pid;
+    if (!iv_insert(&ab->nodes[pid].kids, idx, nid)) ab_bail(ab);
+}
+static void ab_insert_before(AB *ab, int ref, int nid) {
+    int pid = ab->nodes[ref].parent;
+    int idx = iv_index(&ab->nodes[pid].kids, ref);
+    ab_insert_child(ab, pid, idx, nid);
+}
+
+/* ---- entity-decoding text copy (tokenizer._decode / unescape) ---- */
+static int ab_decode_run(AB *ab, Py_ssize_t a, Py_ssize_t b, int in_attr,
+                         int *out_off, int *out_len) {
+    const uint8_t *s = ab->s;
+    if (!pool_reserve(ab, (size_t)(b - a) * 4 + 16)) return 0;
+    size_t w = ab->plen;
+    Py_ssize_t i = a;
+    while (i < b) {
+        uint8_t c = s[i];
+        if (c == '&') {
+            uint8_t dbuf[16]; Py_ssize_t adv = 0;
+            int dl = decode_entity_ex(s, i + 1, b, dbuf, &adv, in_attr);
+            if (dl > 0) {
+                memcpy(ab->pool + w, dbuf, (size_t)dl);
+                w += (size_t)dl;
+                i += 1 + adv;
+                continue;
+            }
+        }
+        ab->pool[w++] = c;
+        i++;
+    }
+    *out_off = (int)ab->plen;
+    *out_len = (int)(w - ab->plen);
+    ab->plen = w;
+    return 1;
+}
+
+/* plain (undecoded) copy for RAWTEXT/script/cdata/comment content */
+static int ab_raw_run(AB *ab, Py_ssize_t a, Py_ssize_t b,
+                      int *out_off, int *out_len) {
+    int off = pool_put(ab, ab->s + a, (size_t)(b - a));
+    if (off < 0) return 0;
+    *out_off = off;
+    *out_len = (int)(b - a);
+    return 1;
+}
+
+/* is a pool span ASCII-whitespace-only ("\t\n\f\r ")? */
+static int ab_span_is_ws(AB *ab, int off, int len) {
+    const uint8_t *p = ab->pool + off;
+    for (int i = 0; i < len; i++) {
+        uint8_t c = p[i];
+        if (c != '\t' && c != '\n' && c != '\f' && c != '\r' && c != ' ')
+            return 0;
+    }
+    return 1;
+}
+
+/* =================== tokenizer (kernel/tokenizer.py) =================== */
+
+static int ab_is_alpha(uint8_t c) {
+    return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z');
+}
+static int ab_is_ws(uint8_t c) {
+    return c == '\t' || c == '\n' || c == '\f' || c == '\r' || c == ' ';
+}
+
+/* _TAGNAME_RE: [a-zA-Z][^\t\n\f\r />]* — returns name length from s[i]
+ * (first char already verified alpha), bails on non-ASCII bytes
+ * (Python str.lower() is Unicode-aware; parity risk). */
+static int ab_scan_tagname(AB *ab, Py_ssize_t i, Py_ssize_t *end) {
+    const uint8_t *s = ab->s; Py_ssize_t n = ab->n;
+    Py_ssize_t j = i + 1;
+    while (j < n) {
+        uint8_t c = s[j];
+        if (ab_is_ws(c) || c == '/' || c == '>') break;
+        if (c >= 0x80) { ab_bail(ab); return 0; }
+        j++;
+    }
+    *end = j;
+    return 1;
+}
+
+/* lowercase tag/attr name into caller buffer (ASCII only; caller
+ * bailed on non-ASCII already) */
+static void ab_lower(const uint8_t *src, int len, uint8_t *dst) {
+    for (int i = 0; i < len; i++) {
+        uint8_t c = src[i];
+        dst[i] = (c >= 'A' && c <= 'Z') ? (uint8_t)(c + 32) : c;
+    }
+}
+
+#define AB_MAXNAME 256
+
+/* tokenizer._attrs: parse attributes from position j past '>'.
+ * Fills tok->attr_off/attr_n (slices of ab->attrs), tok->sc.
+ * Returns next position; *eof set when input ended inside the tag.
+ * The attr records are ALWAYS built (duplicate detection must count
+ * errors even on end tags, mirroring the Python tokenizer); callers
+ * that discard them (end tags, raw end-tag consumption) roll back
+ * ab->alen afterwards. */
+static Py_ssize_t ab_attrs(AB *ab, Py_ssize_t j, Tok2 *tok, int capture,
+                           int *eof) {
+    capture = 1;   /* see doc above; param kept for call-site clarity */
+    const uint8_t *s = ab->s; Py_ssize_t n = ab->n;
+    int astart = ab->alen;
+    int sc = 0;
+    *eof = 0;
+    for (;;) {
+        if (ab->bail) return j;
+        while (j < n && ab_is_ws(s[j])) j++;
+        if (j >= n) { *eof = 1; break; }
+        uint8_t c = s[j];
+        if (c == '>') { j++; break; }
+        if (c == '/') {
+            if (j + 1 < n && s[j + 1] == '>') { sc = 1; j += 2; break; }
+            j++;
+            continue;
+        }
+        /* attribute name: [^\t\n\f\r />=]+ (a leading '=' joins) */
+        Py_ssize_t name_a = j, name_b;
+        if (c == '=') {
+            j++;
+            name_b = j;
+            while (j < n) {
+                uint8_t d = s[j];
+                if (ab_is_ws(d) || d == '/' || d == '>' || d == '=') break;
+                j++;
+            }
+            name_b = j;
+            /* name = "=" + rest: build in scratch below */
+        } else {
+            while (j < n) {
+                uint8_t d = s[j];
+                if (ab_is_ws(d) || d == '/' || d == '>' || d == '=') break;
+                j++;
+            }
+            name_b = j;
+        }
+        uint8_t namebuf[AB_MAXNAME + 1];
+        int nlen = 0;
+        if (c == '=') {
+            namebuf[nlen++] = '=';
+            Py_ssize_t cnt = name_b - (name_a + 1);
+            if (cnt > AB_MAXNAME - 1) { ab_bail(ab); return j; }
+            memcpy(namebuf + 1, s + name_a + 1, (size_t)cnt);
+            nlen += (int)cnt;
+        } else {
+            Py_ssize_t cnt = name_b - name_a;
+            if (cnt > AB_MAXNAME) { ab_bail(ab); return j; }
+            memcpy(namebuf, s + name_a, (size_t)cnt);
+            nlen = (int)cnt;
+        }
+        for (int q = 0; q < nlen; q++)
+            if (namebuf[q] >= 0x80) { ab_bail(ab); return j; }
+        ab_lower(namebuf, nlen, namebuf);
+        /* optional value */
+        while (j < n && ab_is_ws(s[j])) j++;
+        int val_off = -1, val_len = -1;
+        if (j < n && s[j] == '=') {
+            j++;
+            while (j < n && ab_is_ws(s[j])) j++;
+            if (j >= n) { *eof = 1; break; }
+            uint8_t q = s[j];
+            Py_ssize_t va, vb;
+            if (q == '"' || q == '\'') {
+                const uint8_t *hit = (const uint8_t *)memchr(
+                    s + j + 1, q, (size_t)(n - j - 1));
+                if (!hit) { *eof = 1; j = n; break; }
+                va = j + 1; vb = hit - s;
+                j = vb + 1;
+            } else {
+                va = j;
+                while (j < n) {
+                    uint8_t d = s[j];
+                    if (ab_is_ws(d) || d == '>') break;
+                    j++;
+                }
+                vb = j;
+            }
+            if (capture) {
+                int has_amp = memchr(s + va, '&', (size_t)(vb - va)) != NULL;
+                if (vb > va && has_amp) {
+                    if (!ab_decode_run(ab, va, vb, 1, &val_off, &val_len))
+                        return j;
+                } else {
+                    val_off = pool_put(ab, s + va, (size_t)(vb - va));
+                    if (val_off < 0) return j;
+                    val_len = (int)(vb - va);
+                }
+            } else {
+                val_off = 0; val_len = 0;
+            }
+        }
+        if (capture) {
+            /* first declaration wins (duplicate counts as error) */
+            int dup = 0;
+            for (int k = astart; k < ab->alen; k++) {
+                BAttr2 *e = &ab->attrs[k];
+                if (e->key_len == nlen &&
+                    memcmp(ab->pool + e->key_off, namebuf,
+                           (size_t)nlen) == 0) { dup = 1; break; }
+            }
+            if (dup) {
+                ab->errors++;
+            } else {
+                BAttr2 a2;
+                a2.key_off = pool_put(ab, namebuf, (size_t)nlen);
+                if (a2.key_off < 0) return j;
+                a2.key_len = nlen;
+                a2.val_off = val_off; a2.val_len = val_len;
+                if (!attr_push(ab, a2)) return j;
+            }
+        }
+    }
+    if (capture && tok) {
+        tok->attr_off = astart;
+        tok->attr_n = ab->alen - astart;
+        tok->sc = (uint8_t)sc;
+    }
+    return j;
+}
+
+/* case-insensitive search for "</" + tagname; returns content end and
+ * close pos (or -1) — tokenizer._find_close */
+static void ab_find_close(AB *ab, Py_ssize_t i, const uint8_t *tag,
+                          int taglen, Py_ssize_t *content_end,
+                          Py_ssize_t *close_pos) {
+    const uint8_t *s = ab->s; Py_ssize_t n = ab->n;
+    Py_ssize_t pos = i;
+    for (;;) {
+        const uint8_t *hit = (const uint8_t *)memchr(s + pos, '<',
+                                                     (size_t)(n - pos));
+        if (!hit) { *content_end = n; *close_pos = -1; return; }
+        Py_ssize_t k = hit - s;
+        if (k + 1 < n && s[k + 1] == '/') {
+            if (k + 2 + taglen <= n) {
+                int ok = 1;
+                for (int q = 0; q < taglen; q++) {
+                    uint8_t c = s[k + 2 + q];
+                    if (c >= 'A' && c <= 'Z') c += 32;
+                    if (c != tag[q]) { ok = 0; break; }
+                }
+                if (ok) {
+                    Py_ssize_t after = k + 2 + taglen;
+                    if (after >= n || ab_is_ws(s[after]) ||
+                        s[after] == '/' || s[after] == '>') {
+                        *content_end = k; *close_pos = k;
+                        return;
+                    }
+                }
+            }
+        }
+        pos = k + 1;
+    }
+}
+
+/* tokenizer._find_breakout: next '<'+ascii-alpha at/after i */
+static Py_ssize_t ab_find_breakout(AB *ab, Py_ssize_t i) {
+    const uint8_t *s = ab->s; Py_ssize_t n = ab->n;
+    Py_ssize_t j = i;
+    for (;;) {
+        const uint8_t *hit = (const uint8_t *)memchr(s + j, '<',
+                                                     (size_t)(n - j));
+        if (!hit) return -1;
+        j = hit - s;
+        if (j + 1 >= n) return -1;
+        if (ab_is_alpha(s[j + 1])) return j;
+        j++;
+    }
+}
+
+/* tokenizer._script_end: ScriptData escaped/double-escaped scanning */
+static int ab_ci_starts(const uint8_t *s, Py_ssize_t n, Py_ssize_t i,
+                        const char *lit) {
+    for (; *lit; lit++, i++) {
+        if (i >= n) return 0;
+        uint8_t c = s[i];
+        if (c >= 'A' && c <= 'Z') c += 32;
+        if (c != (uint8_t)*lit) return 0;
+    }
+    return 1;
+}
+
+static void ab_script_end(AB *ab, Py_ssize_t i, Py_ssize_t *content_end,
+                          Py_ssize_t *close_pos) {
+    const uint8_t *s = ab->s; Py_ssize_t n = ab->n;
+    int state = 0; /* 0 plain, 1 escaped, 2 double-escaped */
+    Py_ssize_t pos = i;
+    while (pos < n) {
+        uint8_t c = s[pos];
+        if (c != '<' && c != '-') { pos++; continue; }
+        if (c == '<') {
+            if (ab_ci_starts(s, n, pos, "<!--")) {
+                if (state == 0) state = 1;
+                pos += 4;
+                continue;
+            }
+            if (ab_ci_starts(s, n, pos, "</script")) {
+                Py_ssize_t after = pos + 8;
+                if (after >= n || ab_is_ws(s[after]) || s[after] == '/' ||
+                    s[after] == '>') {
+                    if (state == 0 || state == 1) {
+                        *content_end = pos; *close_pos = pos;
+                        return;
+                    }
+                    state = 1;   /* double-escaped: back to escaped */
+                    pos += 8;
+                    continue;
+                }
+                pos++;
+                continue;
+            }
+            if (ab_ci_starts(s, n, pos, "<script")) {
+                Py_ssize_t after = pos + 7;
+                if (after >= n || ab_is_ws(s[after]) || s[after] == '/' ||
+                    s[after] == '>') {
+                    if (state == 1) state = 2;
+                    pos += 7;
+                    continue;
+                }
+            }
+            pos++;
+        } else { /* '-' */
+            if (pos + 2 < n && s[pos + 1] == '-' && s[pos + 2] == '>') {
+                if (state == 1 || state == 2) state = 0;
+                pos += 3;
+                continue;
+            }
+            pos++;
+        }
+    }
+    *content_end = n; *close_pos = -1;
+}
+
+/* forward decls */
+static int ab_read(AB *ab, Tok2 *tok);
+static int ab_tag_open(AB *ab, Tok2 *tok);
+
+static int ab_pending_shift(AB *ab, Tok2 *tok) {
+    *tok = ab->pending[0];
+    memmove(ab->pending, ab->pending + 1,
+            (size_t)(ab->npend - 1) * sizeof(Tok2));
+    ab->npend--;
+    return 1;
+}
+
+static int ab_pending_append(AB *ab, Tok2 t) {
+    if (ab->npend >= AB_MAXPEND) { ab_bail(ab); return 0; }
+    ab->pending[ab->npend++] = t;
+    return 1;
+}
+
+static int ab_pending_prepend(AB *ab, Tok2 t) {
+    if (ab->npend >= AB_MAXPEND) { ab_bail(ab); return 0; }
+    memmove(ab->pending + 1, ab->pending,
+            (size_t)ab->npend * sizeof(Tok2));
+    ab->pending[0] = t;
+    ab->npend++;
+    return 1;
+}
+
+static Tok2 ab_mk_end(int tag) {
+    Tok2 t; memset(&t, 0, sizeof(t));
+    t.kind = AK_END; t.tag = tag;
+    return t;
+}
+static Tok2 ab_mk_start(int tag) {
+    Tok2 t; memset(&t, 0, sizeof(t));
+    t.kind = AK_START; t.tag = tag;
+    return t;
+}
+
+/* tokenizer._read_raw */
+static int ab_read_raw(AB *ab, Tok2 *tok) {
+    const uint8_t *s = ab->s; Py_ssize_t n = ab->n;
+    int mode = ab->raw_mode, tag = ab->raw_tag;
+    ab->raw_mode = RM_NONE;
+    Py_ssize_t i = ab->pos;
+    memset(tok, 0, sizeof(Tok2));
+    if (mode == RM_PLAINTEXT) {
+        ab->pos = n;
+        if (i < n) {
+            tok->kind = AK_DATA;
+            if (!ab_raw_run(ab, i, n, &tok->text_off, &tok->text_len))
+                return 0;
+            return 1;
+        }
+        tok->kind = AK_EOF;
+        return 1;
+    }
+    /* resolve the raw tag's name bytes */
+    const uint8_t *tname; int tlen;
+    if (tag < UNK_BASE) {
+        tname = (const uint8_t *)g_tagname_by_id[tag];
+        tlen = g_tagnamelen_by_id[tag];
+        if (!tname) { ab_bail(ab); return 0; }
+    } else {
+        int u = tag - UNK_BASE;
+        tlen = ab->unk_len[u];
+        tname = ab->pool + ab->unk_off[u];
+        if (tlen > MAXTAGLEN) { ab_bail(ab); return 0; }
+    }
+    Py_ssize_t end, close;
+    if (mode == RM_SCRIPT) {
+        ab_script_end(ab, i, &end, &close);
+    } else {
+        ab_find_close(ab, i, tname, tlen, &end, &close);
+        if (close < 0 && mode == RM_RCDATA) {
+            /* breakout: synthesize the end tag before the next '<'+alpha */
+            Py_ssize_t bj = ab_find_breakout(ab, i);
+            if (bj >= 0) {
+                ab->pos = bj;
+                if (!ab_pending_append(ab, ab_mk_end(tag))) return 0;
+                if (bj > i) {
+                    tok->kind = AK_CHAR;
+                    if (!ab_decode_run(ab, i, bj, 0, &tok->text_off,
+                                       &tok->text_len))
+                        return 0;
+                    return 1;
+                }
+                return ab_pending_shift(ab, tok);
+            }
+        }
+    }
+    Py_ssize_t text_a = i, text_b = end;
+    if (close >= 0) {
+        /* consume the whole </tag ...> end tag */
+        Py_ssize_t j = close + 2;
+        if (j < n && ab_is_alpha(s[j])) {
+            Py_ssize_t nm_end;
+            if (!ab_scan_tagname(ab, j, &nm_end)) return 0;
+            j = nm_end;
+        }
+        int eof = 0;
+        int asave = ab->alen;
+        j = ab_attrs(ab, j, NULL, 0, &eof);
+        ab->alen = asave;   /* end-tag attrs parsed (dup errors counted) then discarded */
+        if (ab->bail) return 0;
+        ab->pos = eof ? n : j;
+        if (!ab_pending_append(ab, ab_mk_end(tag))) return 0;
+    } else {
+        ab->pos = n;
+    }
+    if (text_b > text_a) {
+        if (mode == RM_RCDATA) {
+            tok->kind = AK_CHAR;
+            if (!ab_decode_run(ab, text_a, text_b, 0, &tok->text_off,
+                               &tok->text_len))
+                return 0;
+        } else {
+            tok->kind = AK_DATA;
+            if (!ab_raw_run(ab, text_a, text_b, &tok->text_off,
+                            &tok->text_len))
+                return 0;
+        }
+        return 1;
+    }
+    if (ab->npend) return ab_pending_shift(ab, tok);
+    tok->kind = AK_EOF;
+    return 1;
+}
+
+/* tokenizer._comment (after '<!--') */
+static int ab_comment(AB *ab, Py_ssize_t i, Tok2 *tok) {
+    const uint8_t *s = ab->s; Py_ssize_t n = ab->n;
+    memset(tok, 0, sizeof(Tok2));
+    tok->kind = AK_COMMENT;
+    if (i < n && s[i] == '>') {
+        ab->pos = i + 1;
+        tok->text_off = 0; tok->text_len = 0;
+        return 1;
+    }
+    if (i + 1 < n && s[i] == '-' && s[i + 1] == '>') {
+        ab->pos = i + 2;
+        tok->text_off = 0; tok->text_len = 0;
+        return 1;
+    }
+    /* find "-->" and "--!>" */
+    Py_ssize_t p1 = -1, p2 = -1;
+    for (Py_ssize_t k = i; k + 2 < n; k++) {
+        const uint8_t *hit = (const uint8_t *)memchr(s + k, '-',
+                                                     (size_t)(n - k - 2));
+        if (!hit) break;
+        k = hit - s;
+        if (s[k + 1] == '-') {
+            if (s[k + 2] == '>') { p1 = k; break; }
+            if (k + 3 < n && s[k + 2] == '!' && s[k + 3] == '>') {
+                if (p2 < 0) p2 = k;
+            }
+        }
+    }
+    Py_ssize_t a = i, b;
+    if (p2 >= 0 && (p1 < 0 || p2 < p1)) {
+        ab->pos = p2 + 4;
+        b = p2;
+    } else if (p1 >= 0) {
+        ab->pos = p1 + 3;
+        b = p1;
+    } else {
+        ab->pos = n;
+        b = n;
+        /* trailing "--!" at EOF stripped */
+        if (b - a >= 3 && s[b - 3] == '-' && s[b - 2] == '-' &&
+            s[b - 1] == '!')
+            b -= 3;
+    }
+    /* comment-start-dash: single leading '-' (not '--') consumed */
+    if (b - a >= 1 && s[a] == '-' && !(b - a >= 2 && s[a + 1] == '-'))
+        a += 1;
+    if (!ab_raw_run(ab, a, b, &tok->text_off, &tok->text_len)) return 0;
+    return 1;
+}
+
+/* tokenizer._bogus_comment (from position i) */
+static int ab_bogus_comment(AB *ab, Py_ssize_t i, Tok2 *tok) {
+    const uint8_t *s = ab->s; Py_ssize_t n = ab->n;
+    memset(tok, 0, sizeof(Tok2));
+    tok->kind = AK_COMMENT;
+    const uint8_t *hit = (const uint8_t *)memchr(s + i, '>',
+                                                 (size_t)(n - i));
+    Py_ssize_t b;
+    if (!hit) { b = n; ab->pos = n; }
+    else { b = hit - s; ab->pos = b + 1; }
+    if (!ab_raw_run(ab, i, b, &tok->text_off, &tok->text_len)) return 0;
+    return 1;
+}
+
+/* tokenizer._doctype (after "<!doctype") */
+static int ab_doctype(AB *ab, Py_ssize_t i, Tok2 *tok) {
+    const uint8_t *s = ab->s; Py_ssize_t n = ab->n;
+    memset(tok, 0, sizeof(Tok2));
+    tok->kind = AK_DOCTYPE;
+    tok->pub_len = -1; tok->sys_len = -1;
+    Py_ssize_t j = i;
+    while (j < n && ab_is_ws(s[j])) j++;
+    if (j >= n || s[j] == '>') {
+        ab->pos = (j >= n) ? n : j + 1;
+        tok->text_off = 0; tok->text_len = 0;
+        tok->fq = 1;
+        return 1;
+    }
+    /* name: [^\t\n\f\r >]+ lowered (ASCII; non-ASCII bails — Unicode
+     * case normalization parity with Python str.lower()) */
+    Py_ssize_t na = j;
+    while (j < n && !ab_is_ws(s[j]) && s[j] != '>') j++;
+    {
+        Py_ssize_t len = j - na;
+        if (!pool_reserve(ab, (size_t)len)) return 0;
+        int off = (int)ab->plen;
+        for (Py_ssize_t q = 0; q < len; q++) {
+            uint8_t c = s[na + q];
+            if (c >= 0x80) { ab_bail(ab); return 0; }
+            if (c >= 'A' && c <= 'Z') c += 32;
+            ab->pool[ab->plen++] = c;
+        }
+        tok->text_off = off; tok->text_len = (int)len;
+    }
+    while (j < n && ab_is_ws(s[j])) j++;
+    if (j < n && s[j] != '>') {
+        /* PUBLIC / SYSTEM keyword */
+        uint8_t kw[6]; int kn = 0;
+        for (Py_ssize_t q = j; q < n && kn < 6; q++, kn++) {
+            uint8_t c = s[q];
+            if (c >= 'A' && c <= 'Z') c += 32;
+            kw[kn] = c;
+        }
+        Py_ssize_t j2 = j + 6;
+        int is_public = (kn == 6 && memcmp(kw, "public", 6) == 0);
+        int is_system = (kn == 6 && memcmp(kw, "system", 6) == 0);
+        if (is_public || is_system) {
+            /* quoted(j2) twice for public, once for system */
+            int first_off = -1, first_len = -1;
+            int second_off = -1, second_len = -1;
+            for (int round = 0; round < (is_public ? 2 : 1); round++) {
+                Py_ssize_t q = j2;
+                while (q < n && ab_is_ws(s[q])) q++;
+                if (q < n && (s[q] == '"' || s[q] == '\'')) {
+                    uint8_t quote = s[q];
+                    const uint8_t *h2 = (const uint8_t *)memchr(
+                        s + q + 1, quote, (size_t)(n - q - 1));
+                    Py_ssize_t va = q + 1, vb;
+                    if (!h2) { vb = n; j2 = n; }
+                    else { vb = h2 - s; j2 = vb + 1; }
+                    int off = pool_put(ab, s + va, (size_t)(vb - va));
+                    if (off < 0) return 0;
+                    if (round == 0) { first_off = off; first_len = (int)(vb - va); }
+                    else { second_off = off; second_len = (int)(vb - va); }
+                } else {
+                    j2 = q;
+                    break;
+                }
+            }
+            if (is_public) {
+                tok->pub_off = first_off; tok->pub_len = first_len;
+                tok->sys_off = second_off; tok->sys_len = second_len;
+                if (first_len < 0) tok->fq = 1;
+            } else {
+                tok->sys_off = first_off; tok->sys_len = first_len;
+                if (first_len < 0) tok->fq = 1;
+            }
+            j = j2;
+        } else {
+            tok->fq = 1;
+            /* j unchanged: find '>' from here (python j stays) */
+        }
+    }
+    {
+        const uint8_t *hit = (const uint8_t *)memchr(s + j, '>',
+                                                     (size_t)(n - j));
+        if (!hit) { ab->pos = n; tok->fq = 1; }
+        else ab->pos = (hit - s) + 1;
+    }
+    return 1;
+}
+
+/* tokenizer._markup_decl (after "<!") */
+static int ab_markup_decl(AB *ab, Py_ssize_t i, Tok2 *tok) {
+    const uint8_t *s = ab->s; Py_ssize_t n = ab->n;
+    if (i + 1 < n && s[i] == '-' && s[i + 1] == '-')
+        return ab_comment(ab, i + 2, tok);
+    if (ab_ci_starts(s, n, i, "doctype"))
+        return ab_doctype(ab, i + 7, tok);
+    if (i + 6 < n && memcmp(s + i, "[CDATA[", 7) == 0) {
+        memset(tok, 0, sizeof(Tok2));
+        tok->kind = AK_CDATA;
+        Py_ssize_t a = i + 7, b = -1;
+        for (Py_ssize_t k = a; k + 2 < n; k++) {
+            const uint8_t *hit = (const uint8_t *)memchr(
+                s + k, ']', (size_t)(n - k - 2));
+            if (!hit) break;
+            k = hit - s;
+            if (s[k + 1] == ']' && s[k + 2] == '>') { b = k; break; }
+        }
+        if (b < 0) { ab->pos = n; b = n; }
+        else ab->pos = b + 3;
+        if (!ab_raw_run(ab, a, b, &tok->text_off, &tok->text_len)) return 0;
+        return 1;
+    }
+    return ab_bogus_comment(ab, i, tok);
+}
+
+/* tokenizer._end_tag (after "</"); returns 1 token, 0 err, -1 skipped */
+static int ab_end_tag(AB *ab, Py_ssize_t i, Tok2 *tok) {
+    const uint8_t *s = ab->s; Py_ssize_t n = ab->n;
+    if (i >= n) {
+        ab->pos = n;
+        memset(tok, 0, sizeof(Tok2));
+        tok->kind = AK_CHAR;
+        tok->text_off = pool_put(ab, (const uint8_t *)"</", 2);
+        if (tok->text_off < 0) return 0;
+        tok->text_len = 2;
+        return 1;
+    }
+    uint8_t c = s[i];
+    if (c == '>') {
+        ab->pos = i + 1;
+        return -1;   /* '</>' ignored */
+    }
+    if (!ab_is_alpha(c))
+        return ab_bogus_comment(ab, i, tok);
+    Py_ssize_t nm_end;
+    if (!ab_scan_tagname(ab, i, &nm_end)) return 0;
+    int nlen = (int)(nm_end - i);
+    if (nlen > AB_MAXNAME) { ab_bail(ab); return 0; }
+    uint8_t namebuf[AB_MAXNAME];
+    ab_lower(s + i, nlen, namebuf);
+    int eof = 0;
+    int asave = ab->alen;
+    Py_ssize_t j = ab_attrs(ab, nm_end, NULL, 0, &eof);
+    ab->alen = asave;
+    if (ab->bail) return 0;
+    memset(tok, 0, sizeof(Tok2));
+    if (eof) {
+        ab->pos = n;
+        tok->kind = AK_EOF;
+        return 1;
+    }
+    ab->pos = j;
+    tok->kind = AK_END;
+    tok->tag = ab_intern_tag(ab, namebuf, nlen);
+    if (ab->bail) return 0;
+    return 1;
+}
+
+/* tokenizer._tag_open; returns 1 token, 0 err/bail, -1 skipped ('</>') */
+static int ab_tag_open(AB *ab, Tok2 *tok) {
+    const uint8_t *s = ab->s; Py_ssize_t n = ab->n;
+    Py_ssize_t i = ab->pos + 1;
+    uint8_t c = s[i];
+    if (c == '!') return ab_markup_decl(ab, i + 1, tok);
+    if (c == '/') return ab_end_tag(ab, i + 1, tok);
+    if (c == '?') return ab_bogus_comment(ab, i, tok);
+    /* start tag */
+    Py_ssize_t nm_end;
+    if (!ab_scan_tagname(ab, i, &nm_end)) return 0;
+    int nlen = (int)(nm_end - i);
+    if (nlen > AB_MAXNAME) { ab_bail(ab); return 0; }
+    uint8_t namebuf[AB_MAXNAME];
+    ab_lower(s + i, nlen, namebuf);
+    memset(tok, 0, sizeof(Tok2));
+    int eof = 0;
+    Py_ssize_t j = ab_attrs(ab, nm_end, tok, 1, &eof);
+    if (ab->bail) return 0;
+    if (eof) {
+        ab->pos = n;
+        memset(tok, 0, sizeof(Tok2));
+        tok->kind = AK_EOF;   /* unterminated tag at EOF dropped */
+        return 1;
+    }
+    ab->pos = j;
+    tok->kind = AK_START;
+    tok->tag = ab_intern_tag(ab, namebuf, nlen);
+    if (ab->bail) return 0;
+    return 1;
+}
+
+/* tokenizer._data */
+static int ab_data(AB *ab, Tok2 *tok) {
+    const uint8_t *s = ab->s; Py_ssize_t n = ab->n;
+    Py_ssize_t pos = ab->pos, start = pos;
+    for (;;) {
+        const uint8_t *hit = (const uint8_t *)memchr(s + pos, '<',
+                                                     (size_t)(n - pos));
+        if (!hit) {
+            ab->pos = n;
+            if (start < n) {
+                memset(tok, 0, sizeof(Tok2));
+                tok->kind = AK_CHAR;
+                return ab_decode_run(ab, start, n, 0, &tok->text_off,
+                                     &tok->text_len);
+            }
+            memset(tok, 0, sizeof(Tok2));
+            tok->kind = AK_EOF;
+            return 1;
+        }
+        Py_ssize_t lt = hit - s;
+        uint8_t nxt = (lt + 1 < n) ? s[lt + 1] : 0;
+        if (nxt && (ab_is_alpha(nxt) || nxt == '!' || nxt == '/' ||
+                    nxt == '?')) {
+            if (lt > start) {
+                ab->pos = lt;
+                memset(tok, 0, sizeof(Tok2));
+                tok->kind = AK_CHAR;
+                return ab_decode_run(ab, start, lt, 0, &tok->text_off,
+                                     &tok->text_len);
+            }
+            ab->pos = lt;
+            int r = ab_tag_open(ab, tok);
+            if (r == 1) return 1;
+            if (r == 0) return 0;
+            /* '</>' skipped: restart text run */
+            pos = start = ab->pos;
+            continue;
+        }
+        pos = lt + 1;   /* literal '<' stays in the text run */
+    }
+}
+
+/* tokenizer.read */
+static int ab_read(AB *ab, Tok2 *tok) {
+    ab->tok_start = ab->pos;
+    if (ab->npend) {
+        ab->tok_end = ab->pos;
+        return ab_pending_shift(ab, tok);
+    }
+    int r;
+    if (ab->raw_mode != RM_NONE)
+        r = ab_read_raw(ab, tok);
+    else
+        r = ab_data(ab, tok);
+    ab->tok_end = ab->pos;
+    return r;
+}
+
+/* ============== tree construction (kernel/treebuilder.py) ============== */
+
+static int b_cur(AB *ab) {
+    return ab->stack.len ? ab->stack.d[ab->stack.len - 1] : -1;
+}
+static int b_cur_tag(AB *ab) {
+    int c = b_cur(ab);
+    return c >= 0 ? ab->nodes[c].tag : -1;
+}
+static int b_node_tag(AB *ab, int nid) { return ab->nodes[nid].tag; }
+
+static int iv_rindex(const IVec *v, int x) {
+    for (int i = v->len - 1; i >= 0; i--) if (v->d[i] == x) return i;
+    return -1;
+}
+
+static void b_remove_from_stack(AB *ab, int nid) {
+    int i = iv_rindex(&ab->stack, nid);
+    if (i >= 0) iv_remove_at(&ab->stack, i);
+}
+static int b_on_stack(AB *ab, int nid) {
+    return iv_rindex(&ab->stack, nid) >= 0;
+}
+static int b_above_on_stack(AB *ab, int nid) {   /* -1 = None */
+    int i = iv_rindex(&ab->stack, nid);
+    if (i < 0) return -1;
+    return i > 0 ? ab->stack.d[i - 1] : -1;
+}
+static void b_insert_on_stack_after(AB *ab, int after, int nid) {
+    int i = iv_rindex(&ab->stack, after);
+    if (!iv_insert(&ab->stack, i + 1, nid)) ab_bail(ab);
+}
+static void b_replace_on_stack(AB *ab, int out, int inn) {
+    for (int i = 0; i < ab->stack.len; i++)
+        if (ab->stack.d[i] == out) { ab->stack.d[i] = inn; return; }
+}
+
+/* treebuilder._foster_parent */
+static void b_foster_parent(AB *ab, int nid) {
+    int last_table = -1, lt_idx = -1;
+    for (int i = ab->stack.len - 1; i >= 0; i--) {
+        if (ab->nodes[ab->stack.d[i]].tag == T_table) {
+            last_table = ab->stack.d[i]; lt_idx = i;
+            break;
+        }
+    }
+    if (last_table != -1) {
+        if (ab->nodes[last_table].parent != -1)
+            ab_insert_before(ab, last_table, nid);
+        else
+            ab_append_child(ab, ab->stack.d[lt_idx - 1], nid);
+    } else {
+        ab_append_child(ab, ab->stack.d[0], nid);
+    }
+}
+
+/* treebuilder._insert_node (span record + foster dispatch) */
+static void b_insert_node(AB *ab, int nid) {
+    if (ab->track_spans) {
+        ab->nodes[nid].src_start = ab_charoff(ab, ab->tok_start);
+        ab->nodes[nid].src_end = ab_charoff(ab, ab->tok_end);
+    }
+    int pid;
+    if (!ab->stack.len) {
+        pid = 0;   /* doc */
+    } else {
+        int ct = b_cur_tag(ab);
+        if (ab->foster_inserts &&
+            (ct == T_table || ct == T_tbody || ct == T_tfoot ||
+             ct == T_thead || ct == T_tr)) {
+            b_foster_parent(ab, nid);
+            return;
+        }
+        pid = ab->stack.d[ab->stack.len - 1];
+    }
+    ab->nodes[nid].parent = pid;
+    if (!iv_push(&ab->nodes[pid].kids, nid)) ab_bail(ab);
+}
+
+/* first <base href> wins (treebuilder._maybe_base) */
+static void b_maybe_base(AB *ab, int tag, int aoff, int an) {
+    if (tag != T_base || ab->base_set || !an) return;
+    for (int i = aoff; i < aoff + an; i++) {
+        BAttr2 *a = &ab->attrs[i];
+        if (a->key_len == 4 &&
+            memcmp(ab->pool + a->key_off, "href", 4) == 0) {
+            if (a->val_len > 0) {   /* truthy value only */
+                ab->base_off = a->val_off;
+                ab->base_len = a->val_len;
+                ab->base_set = 1;
+            }
+            return;
+        }
+    }
+}
+
+static void b_track_form_control(AB *ab, int tag, int el) {
+    if (ab->form_el == -1) return;
+    if (!(ab_flags(tag) & F_FORMLISTED)) return;
+    if (!iv_push(&ab->formpairs, ab->form_el)) { ab_bail(ab); return; }
+    if (!iv_push(&ab->formpairs, el)) ab_bail(ab);
+}
+
+static int b_insert_elem(AB *ab, int tag, int aoff, int an) {
+    int el = ab_new_node(ab, NT_ELEMENT, tag);
+    if (ab->bail) return 0;
+    ab->nodes[el].attr_off = aoff; ab->nodes[el].attr_n = an;
+    b_insert_node(ab, el);
+    if (ab->stack.len >= MAXSTACK) { ab_bail(ab); return el; }
+    if (!iv_push(&ab->stack, el)) ab_bail(ab);
+    b_maybe_base(ab, tag, aoff, an);
+    b_track_form_control(ab, tag, el);
+    return el;
+}
+
+static int b_insert_empty(AB *ab, int tag, int aoff, int an, int sc) {
+    int el = ab_new_node(ab, NT_ELEMENT, tag);
+    if (ab->bail) return 0;
+    ab->nodes[el].attr_off = aoff; ab->nodes[el].attr_n = an;
+    b_insert_node(ab, el);
+    if (sc) { if (!iv_push(&ab->selfclosing, el)) ab_bail(ab); }
+    b_maybe_base(ab, tag, aoff, an);
+    b_track_form_control(ab, tag, el);
+    return el;
+}
+
+/* treebuilder.insert_from_token: self-closing inserts empty, pushes,
+ * and queues its own end tag at the FRONT of the tokenizer pending */
+static int b_insert_from_token(AB *ab, Tok2 *t) {
+    if (t->sc) {
+        int el = b_insert_empty(ab, t->tag, t->attr_off, t->attr_n, 1);
+        if (ab->bail) return el;
+        if (ab->stack.len >= MAXSTACK) { ab_bail(ab); return el; }
+        if (!iv_push(&ab->stack, el)) ab_bail(ab);
+        ab_pending_prepend(ab, ab_mk_end(t->tag));
+        return el;
+    }
+    return b_insert_elem(ab, t->tag, t->attr_off, t->attr_n);
+}
+
+static void b_insert_char_tok(AB *ab, Tok2 *t, int ntype) {
+    int nid = ab_new_node(ab, ntype, -1);
+    if (ab->bail) return;
+    ab->nodes[nid].text_off = t->text_off;
+    ab->nodes[nid].text_len = t->text_len;
+    b_insert_node(ab, nid);
+}
+
+/* insert a constant string as a TEXT node (InHeadNoscript parity) */
+static void b_insert_char_lit(AB *ab, const char *lit) {
+    int off = pool_put(ab, (const uint8_t *)lit, strlen(lit));
+    if (off < 0) return;
+    int nid = ab_new_node(ab, NT_TEXT, -1);
+    if (ab->bail) return;
+    ab->nodes[nid].text_off = off;
+    ab->nodes[nid].text_len = (int)strlen(lit);
+    b_insert_node(ab, nid);
+}
+
+static void b_insert_comment(AB *ab, Tok2 *t) {
+    int nid = ab_new_node(ab, NT_COMMENT, -1);
+    if (ab->bail) return;
+    ab->nodes[nid].text_off = t->text_off;
+    ab->nodes[nid].text_len = t->text_len;
+    b_insert_node(ab, nid);
+}
+
+/* comment attached to a fixed parent (Initial/BeforeHtml/AfterAfter*) */
+static void b_append_comment_to(AB *ab, Tok2 *t, int pid) {
+    int nid = ab_new_node(ab, NT_COMMENT, -1);
+    if (ab->bail) return;
+    ab->nodes[nid].text_off = t->text_off;
+    ab->nodes[nid].text_len = t->text_len;
+    ab_append_child(ab, pid, nid);
+}
+
+/* ---- scopes (treebuilder._in_scope family) ---- */
+#define SCOPE_NONE   0
+#define SCOPE_BUTTON 1
+#define SCOPE_LIST   2
+
+static int b_in_scope_x(AB *ab, int tag, int extra) {
+    int lo = ab->stack.len - 100;
+    if (lo < 0) lo = 0;
+    for (int i = ab->stack.len - 1; i >= lo; i--) {
+        int t = ab->nodes[ab->stack.d[i]].tag;
+        if (t == tag) return 1;
+        uint32_t f = ab_flags(t);
+        if (f & F_SCOPEBASE) return 0;
+        if (extra == SCOPE_BUTTON && t == T_button) return 0;
+        if (extra == SCOPE_LIST && (f & F_LISTEXTRA)) return 0;
+    }
+    return 0;
+}
+static int b_in_scope(AB *ab, int tag) {
+    return b_in_scope_x(ab, tag, SCOPE_NONE);
+}
+static int b_in_button_scope(AB *ab, int tag) {
+    return b_in_scope_x(ab, tag, SCOPE_BUTTON);
+}
+static int b_in_list_scope(AB *ab, int tag) {
+    return b_in_scope_x(ab, tag, SCOPE_LIST);
+}
+static int b_headings_in_scope(AB *ab) {
+    int lo = ab->stack.len - 100;
+    if (lo < 0) lo = 0;
+    for (int i = ab->stack.len - 1; i >= lo; i--) {
+        int t = ab->nodes[ab->stack.d[i]].tag;
+        uint32_t f = ab_flags(t);
+        if (f & F_HEADING) return 1;
+        if (f & F_SCOPEBASE) return 0;
+    }
+    return 0;
+}
+static int b_in_table_scope(AB *ab, int tag) {
+    for (int i = ab->stack.len - 1; i >= 0; i--) {
+        int t = ab->nodes[ab->stack.d[i]].tag;
+        if (t == tag) return 1;
+        if (t == T_html || t == T_table) return 0;
+    }
+    return 0;
+}
+static int b_in_select_scope(AB *ab, int tag) {
+    for (int i = ab->stack.len - 1; i >= 0; i--) {
+        int t = ab->nodes[ab->stack.d[i]].tag;
+        if (t == tag) return 1;
+        if (t != T_optgroup && t != T_option) return 0;
+    }
+    return 0;
+}
+
+static void b_pop_to_close(AB *ab, int tag) {
+    while (ab->stack.len) {
+        int el = ab->stack.d[--ab->stack.len];
+        if (ab->nodes[el].tag == tag) break;
+    }
+}
+static void b_pop_to_close_headings(AB *ab) {
+    while (ab->stack.len) {
+        int el = ab->stack.d[--ab->stack.len];
+        if (ab_flags(ab->nodes[el].tag) & F_HEADING) break;
+    }
+}
+static void b_clear_stack_to_table_context(AB *ab) {
+    while (ab->stack.len) {
+        int t = b_cur_tag(ab);
+        if (t == T_table || t == T_html) break;
+        ab->stack.len--;
+    }
+}
+static void b_clear_stack_to_table_body_context(AB *ab) {
+    while (ab->stack.len) {
+        int t = b_cur_tag(ab);
+        if (t == T_tbody || t == T_tfoot || t == T_thead || t == T_html)
+            break;
+        ab->stack.len--;
+    }
+}
+static void b_clear_stack_to_table_row_context(AB *ab) {
+    while (ab->stack.len) {
+        int t = b_cur_tag(ab);
+        if (t == T_tr || t == T_html) break;
+        ab->stack.len--;
+    }
+}
+
+/* reference quirk: no exclude => NO-OP (treebuilder line 348) */
+static void b_gen_implied(AB *ab, int exclude_tag) {
+    if (exclude_tag < 0) return;
+    while (ab->stack.len) {
+        int t = b_cur_tag(ab);
+        if (t == exclude_tag || !(ab_flags(t) & F_IMPLIED)) return;
+        ab->stack.len--;
+    }
+}
+
+/* ---- active formatting list (marker = -1) ---- */
+
+/* order-insensitive attr-dict equality (Python dict ==) */
+static int b_attrs_eq(AB *ab, int a, int b) {
+    ANode *na = &ab->nodes[a], *nb = &ab->nodes[b];
+    if (na->attr_n != nb->attr_n) return 0;
+    for (int i = 0; i < na->attr_n; i++) {
+        BAttr2 *x = &ab->attrs[na->attr_off + i];
+        int found = 0;
+        for (int j = 0; j < nb->attr_n; j++) {
+            BAttr2 *y = &ab->attrs[nb->attr_off + j];
+            if (x->key_len != y->key_len ||
+                memcmp(ab->pool + x->key_off, ab->pool + y->key_off,
+                       (size_t)x->key_len) != 0)
+                continue;
+            found = 1;
+            if (x->val_len < 0 && y->val_len < 0) break;
+            if (x->val_len < 0 || y->val_len < 0) return 0;
+            if (x->val_len != y->val_len ||
+                memcmp(ab->pool + x->val_off, ab->pool + y->val_off,
+                       (size_t)x->val_len) != 0)
+                return 0;
+            break;
+        }
+        if (!found) return 0;
+    }
+    return 1;
+}
+
+/* treebuilder.push_fmt (Noah's ark, exact eviction) */
+static void b_push_fmt(AB *ab, int el) {
+    int num_seen = 0;
+    for (int pos = ab->fmt.len - 1; pos >= 0; pos--) {
+        int e = ab->fmt.d[pos];
+        if (e == -1) break;
+        if (ab->nodes[e].tag == ab->nodes[el].tag && b_attrs_eq(ab, e, el))
+            num_seen++;
+        if (num_seen == 3) { iv_remove_at(&ab->fmt, pos); break; }
+    }
+    if (ab->fmt.len >= MAXFMT * 4) { ab_bail(ab); return; }
+    if (!iv_push(&ab->fmt, el)) ab_bail(ab);
+}
+
+static int b_last_fmt(AB *ab) {   /* -2 = empty-list None */
+    return ab->fmt.len ? ab->fmt.d[ab->fmt.len - 1] : -2;
+}
+static int b_get_active_fmt(AB *ab, int tag) {   /* -1 = None */
+    for (int i = ab->fmt.len - 1; i >= 0; i--) {
+        int e = ab->fmt.d[i];
+        if (e == -1) break;
+        if (ab->nodes[e].tag == tag) return e;
+    }
+    return -1;
+}
+static void b_remove_fmt(AB *ab, int el) {
+    for (int i = ab->fmt.len - 1; i >= 0; i--) {
+        if (ab->fmt.d[i] == el) { iv_remove_at(&ab->fmt, i); return; }
+    }
+}
+static void b_replace_fmt(AB *ab, int out, int inn) {
+    for (int i = 0; i < ab->fmt.len; i++)
+        if (ab->fmt.d[i] == out) { ab->fmt.d[i] = inn; return; }
+}
+static int b_in_fmt(AB *ab, int el) {
+    return iv_index(&ab->fmt, el) >= 0;
+}
+static void b_clear_fmt_to_marker(AB *ab) {
+    while (ab->fmt.len) {
+        if (ab->fmt.d[--ab->fmt.len] == -1) break;
+    }
+}
+static void b_insert_marker(AB *ab) {
+    if (ab->fmt.len >= MAXFMT * 4) { ab_bail(ab); return; }
+    if (!iv_push(&ab->fmt, -1)) ab_bail(ab);
+}
+
+/* treebuilder.reconstruct_fmt */
+static void b_reconstruct_fmt(AB *ab) {
+    int last = b_last_fmt(ab);
+    if (last == -2 || last == -1 || b_on_stack(ab, last)) return;
+    /* (marker at top: Python `last is None` -> return) */
+    int size = ab->fmt.len;
+    int pos = size - 1;
+    int skip = 0;
+    int entry = last;
+    for (;;) {
+        if (pos == 0) { skip = 1; break; }
+        pos -= 1;
+        entry = ab->fmt.d[pos];
+        if (entry == -1 || b_on_stack(ab, entry)) break;
+    }
+    for (;;) {
+        if (ab->bail) return;
+        if (!skip) {
+            pos += 1;
+            entry = ab->fmt.d[pos];
+        }
+        skip = 0;
+        int new_el = b_insert_elem(ab, ab->nodes[entry].tag,
+                                   ab->nodes[entry].attr_off,
+                                   ab->nodes[entry].attr_n);
+        ab->fmt.d[pos] = new_el;
+        if (pos == size - 1) break;
+    }
+}
+
+/* treebuilder._reset_insertion_mode (full-document parses only) */
+static void b_reset_insertion_mode(AB *ab) {
+    for (int i = ab->stack.len - 1; i >= 0; i--) {
+        int t = ab->nodes[ab->stack.d[i]].tag;
+        int last = (i == 0);
+        if (t == T_select) { ab->mode = M_IN_SELECT; return; }
+        if ((t == T_td || t == T_th) && !last) { ab->mode = M_IN_CELL; return; }
+        if (t == T_tr) { ab->mode = M_IN_ROW; return; }
+        if (t == T_tbody || t == T_thead || t == T_tfoot) {
+            ab->mode = M_IN_TABLE_BODY; return;
+        }
+        if (t == T_caption) { ab->mode = M_IN_CAPTION; return; }
+        if (t == T_colgroup) { ab->mode = M_IN_COLUMN_GROUP; return; }
+        if (t == T_table) { ab->mode = M_IN_TABLE; return; }
+        if (t == T_head) { ab->mode = M_IN_BODY; return; }
+        if (t == T_body) { ab->mode = M_IN_BODY; return; }
+        if (t == T_frameset) { ab->mode = M_IN_FRAMESET; return; }
+        if (last && ab->fragment_body) {
+            /* fragment context 'body' overrides the root's own name
+             * (treebuilder._reset_insertion_mode frag_context) */
+            ab->mode = M_IN_BODY;
+            return;
+        }
+        if (t == T_html) { ab->mode = M_BEFORE_HEAD; return; }
+        if (last) { ab->mode = M_IN_BODY; return; }
+    }
+    ab->mode = M_IN_BODY;
+}
+
+/* merge token attrs onto an existing element (html/body attr merge:
+ * setdefault semantics — existing keys keep their value and order,
+ * missing keys append).  Copy-on-write: the node gets a fresh slice. */
+static void b_merge_attrs(AB *ab, int nid, int aoff, int an) {
+    if (!an) return;
+    ANode *nd = &ab->nodes[nid];
+    int old_off = nd->attr_off, old_n = nd->attr_n;
+    int new_off = ab->alen;
+    for (int i = 0; i < old_n; i++) {
+        if (!attr_push(ab, ab->attrs[old_off + i])) return;
+    }
+    for (int i = aoff; i < aoff + an; i++) {
+        BAttr2 *x = &ab->attrs[i];
+        int present = 0;
+        for (int j = 0; j < old_n; j++) {
+            BAttr2 *y = &ab->attrs[new_off + j];
+            if (x->key_len == y->key_len &&
+                memcmp(ab->pool + x->key_off, ab->pool + y->key_off,
+                       (size_t)x->key_len) == 0) { present = 1; break; }
+        }
+        if (!present) { if (!attr_push(ab, *x)) return; }
+    }
+    nd->attr_off = new_off;
+    nd->attr_n = ab->alen - new_off;
+}
+
+static int bprocess(AB *ab, Tok2 *t, int mode);
+
+/* treebuilder._any_other_end_tag */
+static int b_any_other_end_tag(AB *ab, int tag) {
+    for (int i = ab->stack.len - 1; i >= 0; i--) {
+        int el = ab->stack.d[i];
+        int n = ab->nodes[el].tag;
+        if (n == tag) {
+            b_gen_implied(ab, tag);
+            b_pop_to_close(ab, tag);
+            break;
+        }
+        if (ab_flags(n) & F_SPECIAL) return 0;
+    }
+    return 1;
+}
+
+/* treebuilder._adoption_agency (8/3/64, no bookmark — reference
+ * HtmlTreeBuilderState.swift:1060-1161 deviations preserved) */
+static int b_adoption_agency(AB *ab, int tag) {
+    for (int outer = 0; outer < 8; outer++) {
+        if (ab->bail) return 1;
+        int fmt_el = b_get_active_fmt(ab, tag);
+        if (fmt_el == -1) return b_any_other_end_tag(ab, tag);
+        if (!b_on_stack(ab, fmt_el)) {
+            b_remove_fmt(ab, fmt_el);
+            return b_any_other_end_tag(ab, tag);
+        }
+        if (!b_in_scope(ab, ab->nodes[fmt_el].tag)) return 0;
+        int furthest = -1, common_ancestor = -1, seen = 0;
+        int size = ab->stack.len < 64 ? ab->stack.len : 64;
+        for (int si = 0; si < size; si++) {
+            int el = ab->stack.d[si];
+            if (el == fmt_el) {
+                common_ancestor = (si > 0) ? ab->stack.d[si - 1] : -1;
+                seen = 1;
+            } else if (seen && (ab_flags(ab->nodes[el].tag) & F_SPECIAL)) {
+                furthest = el;
+                break;
+            }
+        }
+        if (furthest == -1) {
+            b_pop_to_close(ab, ab->nodes[fmt_el].tag);
+            b_remove_fmt(ab, fmt_el);
+            return 1;
+        }
+        int node = furthest, last_node = furthest;
+        for (int inner = 0; inner < 3; inner++) {
+            if (node != -1 && b_on_stack(ab, node))
+                node = b_above_on_stack(ab, node);
+            if (node != -1 && !b_in_fmt(ab, node)) {
+                b_remove_from_stack(ab, node);
+                continue;
+            }
+            if (node == fmt_el) break;
+            int repl = ab_new_node(ab, NT_ELEMENT, ab->nodes[node].tag);
+            if (ab->bail) return 1;
+            ab->nodes[repl].attr_off = ab->nodes[node].attr_off;
+            ab->nodes[repl].attr_n = ab->nodes[node].attr_n;
+            b_replace_fmt(ab, node, repl);
+            b_replace_on_stack(ab, node, repl);
+            node = repl;
+            if (ab->nodes[last_node].parent != -1)
+                ab_remove_from_parent(ab, last_node);
+            ab_append_child(ab, node, last_node);
+            last_node = node;
+        }
+        if (common_ancestor != -1 &&
+            (ab->nodes[common_ancestor].tag == T_table ||
+             ab->nodes[common_ancestor].tag == T_tbody ||
+             ab->nodes[common_ancestor].tag == T_tfoot ||
+             ab->nodes[common_ancestor].tag == T_thead ||
+             ab->nodes[common_ancestor].tag == T_tr)) {
+            if (ab->nodes[last_node].parent != -1)
+                ab_remove_from_parent(ab, last_node);
+            b_foster_parent(ab, last_node);
+        } else {
+            if (ab->nodes[last_node].parent != -1)
+                ab_remove_from_parent(ab, last_node);
+            if (common_ancestor == -1) { ab_bail(ab); return 1; }
+            ab_append_child(ab, common_ancestor, last_node);
+        }
+        int adopter = ab_new_node(ab, NT_ELEMENT, tag);
+        if (ab->bail) return 1;
+        ab->nodes[adopter].attr_off = ab->nodes[fmt_el].attr_off;
+        ab->nodes[adopter].attr_n = ab->nodes[fmt_el].attr_n;
+        /* move all children of furthest into adopter (snapshot order) */
+        {
+            IVec snap = ab->nodes[furthest].kids;
+            IVec fresh; memset(&fresh, 0, sizeof(fresh));
+            ab->nodes[furthest].kids = fresh;
+            for (int i = 0; i < snap.len; i++) {
+                int ch = snap.d[i];
+                ab->nodes[ch].parent = -1;   /* detached by snapshot */
+                ab_append_child(ab, adopter, ch);
+            }
+            iv_free(&snap);
+        }
+        ab_append_child(ab, furthest, adopter);
+        b_remove_fmt(ab, fmt_el);
+        b_remove_from_stack(ab, fmt_el);
+        b_insert_on_stack_after(ab, furthest, adopter);
+    }
+    return 1;
+}
+
+/* ===================== insertion modes ===================== */
+
+static int b_tok_is_ws(AB *ab, Tok2 *t) {
+    return ab_span_is_ws(ab, t->text_off, t->text_len);
+}
+
+static int b_initial(AB *ab, Tok2 *t) {
+    switch (t->kind) {
+    case AK_CHAR:
+        if (b_tok_is_ws(ab, t)) return 1;
+        break;
+    case AK_COMMENT:
+        b_append_comment_to(ab, t, 0);
+        return 1;
+    case AK_DOCTYPE: {
+        int d = ab_new_node(ab, NT_DOCTYPE, -1);
+        if (ab->bail) return 1;
+        ab->nodes[d].text_off = t->text_off;
+        ab->nodes[d].text_len = t->text_len;
+        /* attrs {"publicid": pub or "", "systemid": sys or ""} */
+        int aoff = ab->alen;
+        BAttr2 a;
+        a.key_off = pool_put(ab, (const uint8_t *)"publicid", 8);
+        a.key_len = 8;
+        if (t->pub_len >= 0) { a.val_off = t->pub_off; a.val_len = t->pub_len; }
+        else { a.val_off = a.key_off; a.val_len = 0; }
+        attr_push(ab, a);
+        a.key_off = pool_put(ab, (const uint8_t *)"systemid", 8);
+        a.key_len = 8;
+        if (t->sys_len >= 0) { a.val_off = t->sys_off; a.val_len = t->sys_len; }
+        else { a.val_off = a.key_off; a.val_len = 0; }
+        attr_push(ab, a);
+        ab->nodes[d].attr_off = aoff;
+        ab->nodes[d].attr_n = ab->alen - aoff;
+        ab_append_child(ab, 0, d);
+        if (t->fq) ab->quirks = 1;
+        ab->mode = M_BEFORE_HTML;
+        return 1;
+    }
+    default:
+        break;
+    }
+    ab->mode = M_BEFORE_HTML;
+    return bprocess(ab, t, -1);
+}
+
+static int b_before_html(AB *ab, Tok2 *t) {
+    switch (t->kind) {
+    case AK_DOCTYPE:
+        return 1;
+    case AK_COMMENT:
+        b_append_comment_to(ab, t, 0);
+        return 1;
+    case AK_CHAR:
+        if (b_tok_is_ws(ab, t)) return 1;
+        break;
+    case AK_START:
+        if (t->tag == T_html) {
+            int el = ab_new_node(ab, NT_ELEMENT, T_html);
+            if (ab->bail) return 1;
+            ab->nodes[el].attr_off = t->attr_off;
+            ab->nodes[el].attr_n = t->attr_n;
+            ab_append_child(ab, 0, el);
+            iv_push(&ab->stack, el);
+            ab->mode = M_BEFORE_HEAD;
+            return 1;
+        }
+        break;
+    case AK_END:
+        if (t->tag != T_head && t->tag != T_body && t->tag != T_html &&
+            t->tag != T_br)
+            return 1;
+        break;
+    default:
+        break;
+    }
+    {
+        int el = ab_new_node(ab, NT_ELEMENT, T_html);
+        if (ab->bail) return 1;
+        ab_append_child(ab, 0, el);
+        iv_push(&ab->stack, el);
+        ab->mode = M_BEFORE_HEAD;
+        return bprocess(ab, t, -1);
+    }
+}
+
+static int b_before_head(AB *ab, Tok2 *t) {
+    switch (t->kind) {
+    case AK_CHAR:
+        if (b_tok_is_ws(ab, t)) return 1;
+        break;
+    case AK_COMMENT:
+        b_insert_comment(ab, t);
+        return 1;
+    case AK_DOCTYPE:
+        return 1;
+    case AK_START:
+        if (t->tag == T_html) return bprocess(ab, t, M_IN_BODY);
+        if (t->tag == T_head) {
+            ab->head_el = b_insert_elem(ab, T_head, t->attr_off, t->attr_n);
+            ab->mode = M_IN_HEAD;
+            return 1;
+        }
+        break;
+    case AK_END:
+        if (t->tag != T_head && t->tag != T_body && t->tag != T_html &&
+            t->tag != T_br)
+            return 1;
+        break;
+    default:
+        break;
+    }
+    ab->head_el = b_insert_elem(ab, T_head, 0, 0);
+    ab->mode = M_IN_HEAD;
+    return bprocess(ab, t, -1);
+}
+
+/* rcdata/rawtext/script element helper: the `sc` variant synthesizes
+ * its own end tag (TEXT mode then immediately pops) */
+static int b_raw_element(AB *ab, Tok2 *t, int raw_mode) {
+    if (t->sc) {
+        b_insert_from_token(ab, t);
+        ab->orig_mode = ab->mode;
+        ab->mode = M_TEXT;
+        return 1;
+    }
+    b_insert_elem(ab, t->tag, t->attr_off, t->attr_n);
+    ab->raw_mode = raw_mode;
+    ab->raw_tag = t->tag;
+    ab->orig_mode = ab->mode;
+    ab->mode = M_TEXT;
+    return 1;
+}
+
+static int b_in_head(AB *ab, Tok2 *t) {
+    switch (t->kind) {
+    case AK_CHAR:
+        if (b_tok_is_ws(ab, t)) { b_insert_char_tok(ab, t, NT_TEXT); return 1; }
+        break;
+    case AK_COMMENT:
+        b_insert_comment(ab, t);
+        return 1;
+    case AK_DOCTYPE:
+        return 1;
+    case AK_START: {
+        int g = t->tag;
+        if (g == T_html) return bprocess(ab, t, M_IN_BODY);
+        if (g == T_base || g == T_basefont || g == T_bgsound ||
+            g == T_command || g == T_link || g == T_meta) {
+            b_insert_empty(ab, g, t->attr_off, t->attr_n, t->sc);
+            return 1;
+        }
+        if (g == T_title) return b_raw_element(ab, t, RM_RCDATA);
+        if (g == T_noframes || g == T_style)
+            return b_raw_element(ab, t, RM_RAWTEXT);
+        if (g == T_noscript) {
+            b_insert_elem(ab, g, t->attr_off, t->attr_n);
+            ab->mode = M_IN_HEAD_NOSCRIPT;
+            return 1;
+        }
+        if (g == T_script) return b_raw_element(ab, t, RM_SCRIPT);
+        if (g == T_head) return 1;
+        break;
+    }
+    case AK_END:
+        if (t->tag == T_head) {
+            ab->stack.len--;
+            ab->mode = M_AFTER_HEAD;
+            return 1;
+        }
+        if (t->tag == T_body || t->tag == T_html || t->tag == T_br)
+            break;   /* fall through to anything-else */
+        return 1;
+    default:
+        break;
+    }
+    ab->stack.len--;
+    ab->mode = M_AFTER_HEAD;
+    return bprocess(ab, t, -1);
+}
+
+static int b_in_head_noscript(AB *ab, Tok2 *t) {
+    switch (t->kind) {
+    case AK_DOCTYPE:
+        return 1;
+    case AK_START:
+        if (t->tag == T_html) return bprocess(ab, t, M_IN_BODY);
+        if (t->tag == T_basefont || t->tag == T_bgsound ||
+            t->tag == T_link || t->tag == T_meta ||
+            t->tag == T_noframes || t->tag == T_style)
+            return bprocess(ab, t, M_IN_HEAD);
+        if (t->tag == T_head || t->tag == T_noscript) return 0;
+        /* anything-else: the token's string rendering becomes TEXT.
+         * attribute re-rendering needs escape() — bail for parity */
+        if (t->attr_n) { ab_bail(ab); return 1; }
+        {
+            const char *nm;
+            int nl;
+            char buf[AB_MAXNAME + 4];
+            if (t->tag < UNK_BASE) {
+                nm = g_tagname_by_id[t->tag];
+                nl = g_tagnamelen_by_id[t->tag];
+            } else {
+                nm = (const char *)(ab->pool + ab->unk_off[t->tag - UNK_BASE]);
+                nl = ab->unk_len[t->tag - UNK_BASE];
+            }
+            if (!nm || nl > AB_MAXNAME) { ab_bail(ab); return 1; }
+            buf[0] = '<';
+            memcpy(buf + 1, nm, (size_t)nl);
+            buf[1 + nl] = '>';
+            buf[2 + nl] = 0;
+            b_insert_char_lit(ab, buf);
+        }
+        return 1;
+    case AK_END:
+        if (t->tag == T_noscript) {
+            ab->stack.len--;
+            ab->mode = M_IN_HEAD;
+            return 1;
+        }
+        if (t->tag == T_br) {
+            b_insert_char_lit(ab, "</br>");
+            return 1;
+        }
+        return 0;
+    case AK_CHAR:
+        if (b_tok_is_ws(ab, t)) return bprocess(ab, t, M_IN_HEAD);
+        b_insert_char_tok(ab, t, NT_TEXT);
+        return 1;
+    case AK_COMMENT:
+        return bprocess(ab, t, M_IN_HEAD);
+    case AK_EOF:
+        b_insert_char_lit(ab, "EOF");   /* Swift String(describing:) parity */
+        return 1;
+    default:
+        b_insert_char_tok(ab, t, NT_TEXT);
+        return 1;
+    }
+}
+
+static int b_after_head(AB *ab, Tok2 *t) {
+    switch (t->kind) {
+    case AK_CHAR:
+        if (b_tok_is_ws(ab, t)) { b_insert_char_tok(ab, t, NT_TEXT); return 1; }
+        break;
+    case AK_COMMENT:
+        b_insert_comment(ab, t);
+        return 1;
+    case AK_DOCTYPE:
+        return 1;
+    case AK_START: {
+        int g = t->tag;
+        if (g == T_html) return bprocess(ab, t, M_IN_BODY);
+        if (g == T_body) {
+            b_insert_elem(ab, T_body, t->attr_off, t->attr_n);
+            ab->frameset_ok = 0;
+            ab->mode = M_IN_BODY;
+            return 1;
+        }
+        if (g == T_frameset) {
+            b_insert_elem(ab, T_frameset, t->attr_off, t->attr_n);
+            ab->mode = M_IN_FRAMESET;
+            return 1;
+        }
+        if (ab_flags(g) & F_AHTOHEAD) {
+            if (ab->head_el != -1) {
+                if (ab->stack.len >= MAXSTACK) { ab_bail(ab); return 1; }
+                iv_push(&ab->stack, ab->head_el);
+                int r = bprocess(ab, t, M_IN_HEAD);
+                b_remove_from_stack(ab, ab->head_el);
+                return r;
+            }
+            return bprocess(ab, t, M_IN_HEAD);
+        }
+        if (g == T_head) return 1;
+        break;
+    }
+    case AK_END:
+        if (t->tag != T_body && t->tag != T_html) return 1;
+        break;
+    default:
+        break;
+    }
+    b_insert_elem(ab, T_body, 0, 0);
+    ab->frameset_ok = 1;
+    ab->mode = M_IN_BODY;
+    return bprocess(ab, t, -1);
+}
+
+/* ------------------------------- InBody ------------------------------- */
+
+static int b_in_body_start(AB *ab, Tok2 *t) {
+    int g = t->tag;
+    uint32_t f = ab_flags(g);
+    if (g == T_html) {
+        if (ab->stack.len)
+            b_merge_attrs(ab, ab->stack.d[0], t->attr_off, t->attr_n);
+        return 1;
+    }
+    if (f & F_TOHEAD) return bprocess(ab, t, M_IN_HEAD);
+    if (g == T_body) {
+        ab->frameset_ok = 0;
+        if (ab->stack.len >= 2 &&
+            ab->nodes[ab->stack.d[1]].tag == T_body)
+            b_merge_attrs(ab, ab->stack.d[1], t->attr_off, t->attr_n);
+        return 1;
+    }
+    if (g == T_frameset) {
+        if (ab->stack.len < 2 ||
+            ab->nodes[ab->stack.d[1]].tag != T_body || !ab->frameset_ok)
+            return 0;
+        ab_remove_from_parent(ab, ab->stack.d[1]);
+        while (ab->stack.len > 1) ab->stack.len--;
+        b_insert_elem(ab, T_frameset, t->attr_off, t->attr_n);
+        ab->mode = M_IN_FRAMESET;
+        return 1;
+    }
+    if (f & F_PCLOSER) {
+        if (b_in_button_scope(ab, T_p)) {
+            Tok2 e = ab_mk_end(T_p);
+            bprocess(ab, &e, -1);
+        }
+        b_insert_from_token(ab, t);
+        return 1;
+    }
+    if (f & F_HEADING) {
+        if (b_in_button_scope(ab, T_p)) {
+            Tok2 e = ab_mk_end(T_p);
+            bprocess(ab, &e, -1);
+        }
+        if (ab_flags(b_cur_tag(ab)) & F_HEADING) ab->stack.len--;
+        b_insert_from_token(ab, t);
+        return 1;
+    }
+    if (g == T_pre || g == T_listing) {
+        if (b_in_button_scope(ab, T_p)) {
+            Tok2 e = ab_mk_end(T_p);
+            bprocess(ab, &e, -1);
+        }
+        b_insert_from_token(ab, t);
+        ab->frameset_ok = 0;
+        return 1;
+    }
+    if (g == T_form) {
+        if (ab->form_el != -1) return 0;
+        if (b_in_button_scope(ab, T_p)) {
+            Tok2 e = ab_mk_end(T_p);
+            bprocess(ab, &e, -1);
+        }
+        ab->form_el = b_insert_from_token(ab, t);
+        return 1;
+    }
+    if (g == T_li) {
+        ab->frameset_ok = 0;
+        for (int i = ab->stack.len - 1; i >= 0; i--) {
+            int n = ab->nodes[ab->stack.d[i]].tag;
+            if (n == T_li) {
+                Tok2 e = ab_mk_end(T_li);
+                bprocess(ab, &e, -1);
+                break;
+            }
+            uint32_t nf = ab_flags(n);
+            if ((nf & F_SPECIAL) && !(nf & F_LIBREAK)) break;
+        }
+        if (b_in_button_scope(ab, T_p)) {
+            Tok2 e = ab_mk_end(T_p);
+            bprocess(ab, &e, -1);
+        }
+        b_insert_from_token(ab, t);
+        return 1;
+    }
+    if (f & F_DDDT) {
+        ab->frameset_ok = 0;
+        for (int i = ab->stack.len - 1; i >= 0; i--) {
+            int n = ab->nodes[ab->stack.d[i]].tag;
+            if (ab_flags(n) & F_DDDT) {
+                Tok2 e = ab_mk_end(n);
+                bprocess(ab, &e, -1);
+                break;
+            }
+            uint32_t nf = ab_flags(n);
+            if ((nf & F_SPECIAL) && !(nf & F_LIBREAK)) break;
+        }
+        if (b_in_button_scope(ab, T_p)) {
+            Tok2 e = ab_mk_end(T_p);
+            bprocess(ab, &e, -1);
+        }
+        b_insert_from_token(ab, t);
+        return 1;
+    }
+    if (g == T_plaintext) {
+        if (b_in_button_scope(ab, T_p)) {
+            Tok2 e = ab_mk_end(T_p);
+            bprocess(ab, &e, -1);
+        }
+        b_insert_elem(ab, g, t->attr_off, t->attr_n);
+        ab->raw_mode = RM_PLAINTEXT;
+        ab->raw_tag = g;
+        return 1;
+    }
+    if (g == T_button) {
+        if (b_in_button_scope(ab, T_button)) {
+            Tok2 e = ab_mk_end(T_button);
+            bprocess(ab, &e, -1);
+            return bprocess(ab, t, -1);
+        }
+        b_reconstruct_fmt(ab);
+        b_insert_from_token(ab, t);
+        ab->frameset_ok = 0;
+        return 1;
+    }
+    if (g == T_a) {
+        if (b_get_active_fmt(ab, T_a) != -1) {
+            Tok2 e = ab_mk_end(T_a);
+            bprocess(ab, &e, -1);
+            int rem = b_get_active_fmt(ab, T_a);
+            if (rem != -1) {
+                b_remove_fmt(ab, rem);
+                b_remove_from_stack(ab, rem);
+            }
+        }
+        b_reconstruct_fmt(ab);
+        int el = b_insert_from_token(ab, t);
+        b_push_fmt(ab, el);
+        return 1;
+    }
+    /* NOTE: nobr is a member of FORMATTERS, so the Python kernel's
+     * dedicated nobr branch (treebuilder.py:880-887) is unreachable —
+     * the formatter branch handles it.  Mirrored exactly. */
+    if (f & F_FORMATTER) {
+        b_reconstruct_fmt(ab);
+        int el = b_insert_from_token(ab, t);
+        b_push_fmt(ab, el);
+        return 1;
+    }
+    if (f & F_APPLET) {
+        b_reconstruct_fmt(ab);
+        b_insert_from_token(ab, t);
+        b_insert_marker(ab);
+        ab->frameset_ok = 0;
+        return 1;
+    }
+    if (g == T_table) {
+        if (ab->quirks != 1 && b_in_button_scope(ab, T_p)) {
+            Tok2 e = ab_mk_end(T_p);
+            bprocess(ab, &e, -1);
+        }
+        b_insert_from_token(ab, t);
+        ab->frameset_ok = 0;
+        ab->mode = M_IN_TABLE;
+        return 1;
+    }
+    if (f & F_EMPTYFMT) {
+        b_reconstruct_fmt(ab);
+        b_insert_empty(ab, g, t->attr_off, t->attr_n, t->sc);
+        ab->frameset_ok = 0;
+        return 1;
+    }
+    if (g == T_input) {
+        b_reconstruct_fmt(ab);
+        b_insert_empty(ab, g, t->attr_off, t->attr_n, t->sc);
+        /* frameset_ok stays only for <input type=hidden> */
+        int hidden = 0;
+        for (int i = t->attr_off; i < t->attr_off + t->attr_n; i++) {
+            BAttr2 *a = &ab->attrs[i];
+            if (a->key_len == 4 &&
+                memcmp(ab->pool + a->key_off, "type", 4) == 0) {
+                if (a->val_len == 6) {
+                    uint8_t low[6];
+                    ab_lower(ab->pool + a->val_off, 6, low);
+                    if (memcmp(low, "hidden", 6) == 0) hidden = 1;
+                }
+                break;
+            }
+        }
+        if (!hidden) ab->frameset_ok = 0;
+        return 1;
+    }
+    if (f & F_MEDIA) {
+        b_insert_empty(ab, g, t->attr_off, t->attr_n, t->sc);
+        return 1;
+    }
+    if (g == T_hr) {
+        if (b_in_button_scope(ab, T_p)) {
+            Tok2 e = ab_mk_end(T_p);
+            bprocess(ab, &e, -1);
+        }
+        b_insert_empty(ab, g, t->attr_off, t->attr_n, t->sc);
+        ab->frameset_ok = 0;
+        return 1;
+    }
+    if (g == T_image) {
+        Tok2 img = *t;
+        img.tag = T_img;
+        return bprocess(ab, &img, -1);
+    }
+    if (g == T_textarea) {
+        if (t->sc) {
+            b_insert_from_token(ab, t);
+            ab->orig_mode = ab->mode;
+            ab->mode = M_TEXT;
+            return 1;
+        }
+        b_insert_elem(ab, g, t->attr_off, t->attr_n);
+        ab->raw_mode = RM_RCDATA;
+        ab->raw_tag = g;
+        ab->frameset_ok = 0;
+        ab->orig_mode = ab->mode;
+        ab->mode = M_TEXT;
+        return 1;
+    }
+    if (g == T_xmp) {
+        if (b_in_button_scope(ab, T_p)) {
+            Tok2 e = ab_mk_end(T_p);
+            bprocess(ab, &e, -1);
+        }
+        b_reconstruct_fmt(ab);
+        ab->frameset_ok = 0;
+        return b_raw_element(ab, t, RM_RAWTEXT);
+    }
+    if (g == T_iframe) {
+        ab->frameset_ok = 0;
+        return b_raw_element(ab, t, RM_RAWTEXT);
+    }
+    if (g == T_noembed) {
+        return b_raw_element(ab, t, RM_RAWTEXT);
+    }
+    if (g == T_select) {
+        b_reconstruct_fmt(ab);
+        b_insert_from_token(ab, t);
+        ab->frameset_ok = 0;
+        if (ab->mode == M_IN_TABLE || ab->mode == M_IN_CAPTION ||
+            ab->mode == M_IN_TABLE_BODY || ab->mode == M_IN_ROW ||
+            ab->mode == M_IN_CELL)
+            ab->mode = M_IN_SELECT_IN_TABLE;
+        else
+            ab->mode = M_IN_SELECT;
+        return 1;
+    }
+    if (g == T_optgroup || g == T_option) {
+        if (b_cur_tag(ab) == T_option) {
+            Tok2 e = ab_mk_end(T_option);
+            bprocess(ab, &e, -1);
+        }
+        b_reconstruct_fmt(ab);
+        b_insert_from_token(ab, t);
+        return 1;
+    }
+    if (g == T_rp || g == T_rt) {
+        if (b_in_scope(ab, T_ruby)) {
+            b_gen_implied(ab, -1);   /* reference no-op quirk */
+            b_insert_from_token(ab, t);
+        }
+        return 1;
+    }
+    if (f & F_DROP) return 0;
+    b_reconstruct_fmt(ab);
+    b_insert_from_token(ab, t);
+    return 1;
+}
+
+static int b_in_body_end(AB *ab, Tok2 *t) {
+    int g = t->tag;
+    uint32_t f = ab_flags(g);
+    if (f & F_FORMATTER) return b_adoption_agency(ab, g);
+    if (g == T_body) {
+        if (!b_in_scope(ab, T_body)) return 0;
+        ab->mode = M_AFTER_BODY;
+        return 1;
+    }
+    if (g == T_html) {
+        Tok2 e = ab_mk_end(T_body);
+        if (bprocess(ab, &e, -1)) return bprocess(ab, t, M_AFTER_BODY);
+        return 1;
+    }
+    if (f & F_ENDCLOSER) {
+        if (!b_in_scope(ab, g)) return 0;
+        b_gen_implied(ab, -1);
+        b_pop_to_close(ab, g);
+        return 1;
+    }
+    if (g == T_form) {
+        int current_form = ab->form_el;
+        ab->form_el = -1;
+        if (current_form == -1 || !b_in_scope(ab, g)) return 0;
+        b_gen_implied(ab, -1);
+        b_remove_from_stack(ab, current_form);
+        return 1;
+    }
+    if (g == T_p) {
+        if (!b_in_button_scope(ab, T_p)) {
+            Tok2 st = ab_mk_start(T_p);
+            bprocess(ab, &st, -1);
+            return bprocess(ab, t, -1);
+        }
+        b_gen_implied(ab, T_p);
+        b_pop_to_close(ab, T_p);
+        return 1;
+    }
+    if (g == T_li) {
+        if (!b_in_list_scope(ab, T_li)) return 0;
+        b_gen_implied(ab, T_li);
+        b_pop_to_close(ab, T_li);
+        return 1;
+    }
+    if (f & F_DDDT) {
+        if (!b_in_scope(ab, g)) return 0;
+        b_gen_implied(ab, g);
+        b_pop_to_close(ab, g);
+        return 1;
+    }
+    if (f & F_HEADING) {
+        if (!b_headings_in_scope(ab)) return 0;
+        b_gen_implied(ab, g);
+        b_pop_to_close_headings(ab);
+        return 1;
+    }
+    if (g == T_sarcasm) return b_any_other_end_tag(ab, g);
+    if (f & F_APPLET) {
+        if (!b_in_scope(ab, g)) return 0;
+        b_gen_implied(ab, -1);
+        b_pop_to_close(ab, g);
+        b_clear_fmt_to_marker(ab);
+        return 1;
+    }
+    if (g == T_br) return 0;
+    return b_any_other_end_tag(ab, g);
+}
+
+static int b_in_body(AB *ab, Tok2 *t) {
+    switch (t->kind) {
+    case AK_CHAR:
+        /* NUL char tokens cannot occur: NUL input bails upfront and
+         * numeric entity 0 decodes to U+FFFD */
+        b_reconstruct_fmt(ab);
+        b_insert_char_tok(ab, t, NT_TEXT);
+        if (ab->frameset_ok && !b_tok_is_ws(ab, t)) ab->frameset_ok = 0;
+        return 1;
+    case AK_DATA:
+        b_reconstruct_fmt(ab);
+        b_insert_char_tok(ab, t, NT_DATA);
+        return 1;
+    case AK_COMMENT:
+        b_insert_comment(ab, t);
+        return 1;
+    case AK_DOCTYPE:
+        return 1;
+    case AK_START:
+        return b_in_body_start(ab, t);
+    case AK_END:
+        return b_in_body_end(ab, t);
+    case AK_EOF:
+        return 1;
+    }
+    return 1;
+}
+
+static int b_text(AB *ab, Tok2 *t) {
+    switch (t->kind) {
+    case AK_CHAR:
+        b_insert_char_tok(ab, t, NT_TEXT);
+        return 1;
+    case AK_DATA:
+        b_insert_char_tok(ab, t, NT_DATA);
+        return 1;
+    case AK_EOF:
+        ab->stack.len--;
+        ab->mode = ab->orig_mode;
+        return bprocess(ab, t, -1);
+    case AK_END:
+        ab->stack.len--;
+        ab->mode = ab->orig_mode;
+        return 1;
+    }
+    return 1;
+}
+
+/* ------------------------------- tables ------------------------------- */
+
+static int b_in_table_anything_else(AB *ab, Tok2 *t) {
+    ab->foster_inserts = 1;
+    int r = bprocess(ab, t, M_IN_BODY);
+    ab->foster_inserts = 0;
+    return r;
+}
+
+static int b_in_table(AB *ab, Tok2 *t) {
+    switch (t->kind) {
+    case AK_CHAR:
+    case AK_DATA:
+        ab->npend_tbl = 0;
+        ab->orig_mode = ab->mode;
+        ab->mode = M_IN_TABLE_TEXT;
+        return bprocess(ab, t, -1);
+    case AK_COMMENT:
+        b_insert_comment(ab, t);
+        return 1;
+    case AK_DOCTYPE:
+        return 0;
+    case AK_START: {
+        int g = t->tag;
+        if (g == T_caption) {
+            b_clear_stack_to_table_context(ab);
+            b_insert_marker(ab);
+            b_insert_elem(ab, g, t->attr_off, t->attr_n);
+            ab->mode = M_IN_CAPTION;
+            return 1;
+        }
+        if (g == T_colgroup) {
+            b_clear_stack_to_table_context(ab);
+            b_insert_elem(ab, g, t->attr_off, t->attr_n);
+            ab->mode = M_IN_COLUMN_GROUP;
+            return 1;
+        }
+        if (g == T_col) {
+            Tok2 cg = ab_mk_start(T_colgroup);
+            if (bprocess(ab, &cg, -1)) return bprocess(ab, t, -1);
+            return 0;
+        }
+        if (g == T_tbody || g == T_tfoot || g == T_thead) {
+            b_clear_stack_to_table_context(ab);
+            b_insert_elem(ab, g, t->attr_off, t->attr_n);
+            ab->mode = M_IN_TABLE_BODY;
+            return 1;
+        }
+        if (g == T_td || g == T_th || g == T_tr) {
+            Tok2 tb = ab_mk_start(T_tbody);
+            if (bprocess(ab, &tb, -1)) return bprocess(ab, t, -1);
+            return 0;
+        }
+        if (g == T_table) {
+            Tok2 e = ab_mk_end(T_table);
+            if (bprocess(ab, &e, -1)) return bprocess(ab, t, -1);
+            return 1;
+        }
+        if (g == T_style || g == T_script)
+            return bprocess(ab, t, M_IN_HEAD);
+        if (g == T_input) {
+            int hidden = 0;
+            for (int i = t->attr_off; i < t->attr_off + t->attr_n; i++) {
+                BAttr2 *a = &ab->attrs[i];
+                if (a->key_len == 4 &&
+                    memcmp(ab->pool + a->key_off, "type", 4) == 0) {
+                    if (a->val_len == 6) {
+                        uint8_t low[6];
+                        ab_lower(ab->pool + a->val_off, 6, low);
+                        if (memcmp(low, "hidden", 6) == 0) hidden = 1;
+                    }
+                    break;
+                }
+            }
+            if (!hidden) return b_in_table_anything_else(ab, t);
+            b_insert_empty(ab, g, t->attr_off, t->attr_n, t->sc);
+            return 1;
+        }
+        if (g == T_form) {
+            if (ab->form_el != -1) return 0;
+            ab->form_el = b_insert_empty(ab, g, t->attr_off, t->attr_n,
+                                         t->sc);
+            return 1;
+        }
+        return b_in_table_anything_else(ab, t);
+    }
+    case AK_END: {
+        int g = t->tag;
+        if (g == T_table) {
+            if (!b_in_table_scope(ab, g)) return 0;
+            b_pop_to_close(ab, T_table);
+            b_reset_insertion_mode(ab);
+            return 1;
+        }
+        if (g == T_body || g == T_caption || g == T_col ||
+            g == T_colgroup || g == T_html || g == T_tbody || g == T_td ||
+            g == T_tfoot || g == T_th || g == T_thead || g == T_tr)
+            return 0;
+        return b_in_table_anything_else(ab, t);
+    }
+    case AK_EOF:
+        return 1;
+    }
+    return b_in_table_anything_else(ab, t);
+}
+
+static int b_in_table_text(AB *ab, Tok2 *t) {
+    if (t->kind == AK_CHAR || t->kind == AK_DATA) {
+        if (ab->npend_tbl >= AB_MAXTBLPEND) { ab_bail(ab); return 1; }
+        ab->pend_tbl[ab->npend_tbl++] = *t;
+        return 1;
+    }
+    if (ab->npend_tbl) {
+        int all_ws = 1;
+        for (int i = 0; i < ab->npend_tbl; i++) {
+            if (!ab_span_is_ws(ab, ab->pend_tbl[i].text_off,
+                               ab->pend_tbl[i].text_len)) {
+                all_ws = 0;
+                break;
+            }
+        }
+        if (!all_ws) {
+            for (int i = 0; i < ab->npend_tbl; i++) {
+                Tok2 p = ab->pend_tbl[i];
+                ab->foster_inserts = 1;
+                bprocess(ab, &p, M_IN_BODY);
+                ab->foster_inserts = 0;
+            }
+        } else {
+            for (int i = 0; i < ab->npend_tbl; i++)
+                b_insert_char_tok(ab, &ab->pend_tbl[i], NT_TEXT);
+        }
+        ab->npend_tbl = 0;
+    }
+    ab->mode = ab->orig_mode;
+    return bprocess(ab, t, -1);
+}
+
+static int b_in_caption(AB *ab, Tok2 *t) {
+    if (t->kind == AK_END && t->tag == T_caption) {
+        if (!b_in_table_scope(ab, t->tag)) return 0;
+        b_gen_implied(ab, -1);
+        b_pop_to_close(ab, T_caption);
+        b_clear_fmt_to_marker(ab);
+        ab->mode = M_IN_TABLE;
+        return 1;
+    }
+    if ((t->kind == AK_START &&
+         (t->tag == T_caption || t->tag == T_col || t->tag == T_colgroup ||
+          t->tag == T_tbody || t->tag == T_td || t->tag == T_tfoot ||
+          t->tag == T_th || t->tag == T_thead || t->tag == T_tr)) ||
+        (t->kind == AK_END && t->tag == T_table)) {
+        Tok2 e = ab_mk_end(T_caption);
+        if (bprocess(ab, &e, -1)) return bprocess(ab, t, -1);
+        return 1;
+    }
+    if (t->kind == AK_END &&
+        (t->tag == T_body || t->tag == T_col || t->tag == T_colgroup ||
+         t->tag == T_html || t->tag == T_tbody || t->tag == T_td ||
+         t->tag == T_tfoot || t->tag == T_th || t->tag == T_thead ||
+         t->tag == T_tr))
+        return 0;
+    return bprocess(ab, t, M_IN_BODY);
+}
+
+static int b_in_column_group(AB *ab, Tok2 *t) {
+    switch (t->kind) {
+    case AK_CHAR:
+        if (b_tok_is_ws(ab, t)) { b_insert_char_tok(ab, t, NT_TEXT); return 1; }
+        break;
+    case AK_COMMENT:
+        b_insert_comment(ab, t);
+        return 1;
+    case AK_DOCTYPE:
+        return 1;
+    case AK_START:
+        if (t->tag == T_html) return bprocess(ab, t, M_IN_BODY);
+        if (t->tag == T_col) {
+            b_insert_empty(ab, t->tag, t->attr_off, t->attr_n, t->sc);
+            return 1;
+        }
+        break;
+    case AK_END:
+        if (t->tag == T_colgroup) {
+            if (b_cur_tag(ab) == T_html) return 0;
+            ab->stack.len--;
+            ab->mode = M_IN_TABLE;
+            return 1;
+        }
+        if (t->tag == T_col) return 0;
+        break;
+    case AK_EOF:
+        if (b_cur_tag(ab) == T_html) return 1;
+        break;
+    default:
+        break;
+    }
+    if (b_cur_tag(ab) == T_html) return 0;
+    ab->stack.len--;
+    ab->mode = M_IN_TABLE;
+    return bprocess(ab, t, -1);
+}
+
+static int b_exit_table_body(AB *ab, Tok2 *t) {
+    if (!(b_in_table_scope(ab, T_tbody) || b_in_table_scope(ab, T_thead) ||
+          b_in_table_scope(ab, T_tfoot)))
+        return 0;
+    b_clear_stack_to_table_body_context(ab);
+    Tok2 e = ab_mk_end(b_cur_tag(ab));
+    bprocess(ab, &e, -1);
+    return bprocess(ab, t, -1);
+}
+
+static int b_in_table_body(AB *ab, Tok2 *t) {
+    switch (t->kind) {
+    case AK_START: {
+        int g = t->tag;
+        if (g == T_tr) {
+            b_clear_stack_to_table_body_context(ab);
+            b_insert_elem(ab, g, t->attr_off, t->attr_n);
+            ab->mode = M_IN_ROW;
+            return 1;
+        }
+        if (g == T_th || g == T_td) {
+            Tok2 tr = ab_mk_start(T_tr);
+            if (bprocess(ab, &tr, -1)) return bprocess(ab, t, -1);
+            return 0;
+        }
+        if (g == T_caption || g == T_col || g == T_colgroup ||
+            g == T_tbody || g == T_tfoot || g == T_thead)
+            return b_exit_table_body(ab, t);
+        return bprocess(ab, t, M_IN_TABLE);
+    }
+    case AK_END: {
+        int g = t->tag;
+        if (g == T_tbody || g == T_tfoot || g == T_thead) {
+            if (!b_in_table_scope(ab, g)) return 0;
+            b_clear_stack_to_table_body_context(ab);
+            ab->stack.len--;
+            ab->mode = M_IN_TABLE;
+            return 1;
+        }
+        if (g == T_table) return b_exit_table_body(ab, t);
+        if (g == T_body || g == T_caption || g == T_col ||
+            g == T_colgroup || g == T_html || g == T_td || g == T_th ||
+            g == T_tr)
+            return 0;
+        return bprocess(ab, t, M_IN_TABLE);
+    }
+    default:
+        return bprocess(ab, t, M_IN_TABLE);
+    }
+}
+
+static int b_handle_missing_tr(AB *ab, Tok2 *t) {
+    Tok2 e = ab_mk_end(T_tr);
+    if (bprocess(ab, &e, -1)) return bprocess(ab, t, -1);
+    return 0;
+}
+
+static int b_in_row(AB *ab, Tok2 *t) {
+    switch (t->kind) {
+    case AK_START: {
+        int g = t->tag;
+        if (g == T_th || g == T_td) {
+            b_clear_stack_to_table_row_context(ab);
+            b_insert_elem(ab, g, t->attr_off, t->attr_n);
+            ab->mode = M_IN_CELL;
+            b_insert_marker(ab);
+            return 1;
+        }
+        if (g == T_caption || g == T_col || g == T_colgroup ||
+            g == T_tbody || g == T_tfoot || g == T_thead || g == T_tr)
+            return b_handle_missing_tr(ab, t);
+        return bprocess(ab, t, M_IN_TABLE);
+    }
+    case AK_END: {
+        int g = t->tag;
+        if (g == T_tr) {
+            if (!b_in_table_scope(ab, g)) return 0;
+            b_clear_stack_to_table_row_context(ab);
+            ab->stack.len--;
+            ab->mode = M_IN_TABLE_BODY;
+            return 1;
+        }
+        if (g == T_table) return b_handle_missing_tr(ab, t);
+        if (g == T_tbody || g == T_tfoot || g == T_thead) {
+            if (!b_in_table_scope(ab, g)) return 0;
+            Tok2 e = ab_mk_end(T_tr);
+            bprocess(ab, &e, -1);
+            return bprocess(ab, t, -1);
+        }
+        if (g == T_body || g == T_caption || g == T_col ||
+            g == T_colgroup || g == T_html || g == T_td || g == T_th)
+            return 0;
+        return bprocess(ab, t, M_IN_TABLE);
+    }
+    default:
+        return bprocess(ab, t, M_IN_TABLE);
+    }
+}
+
+static void b_close_cell(AB *ab) {
+    Tok2 e = ab_mk_end(b_in_table_scope(ab, T_td) ? T_td : T_th);
+    bprocess(ab, &e, -1);
+}
+
+static int b_in_cell(AB *ab, Tok2 *t) {
+    if (t->kind == AK_END) {
+        int g = t->tag;
+        if (g == T_td || g == T_th) {
+            if (!b_in_table_scope(ab, g)) {
+                ab->mode = M_IN_ROW;
+                return 0;
+            }
+            b_gen_implied(ab, -1);
+            b_pop_to_close(ab, g);
+            b_clear_fmt_to_marker(ab);
+            ab->mode = M_IN_ROW;
+            return 1;
+        }
+        if (g == T_body || g == T_caption || g == T_col ||
+            g == T_colgroup || g == T_html)
+            return 0;
+        if (g == T_table || g == T_tbody || g == T_tfoot || g == T_thead ||
+            g == T_tr) {
+            if (!b_in_table_scope(ab, g)) return 0;
+            b_close_cell(ab);
+            return bprocess(ab, t, -1);
+        }
+        return bprocess(ab, t, M_IN_BODY);
+    }
+    if (t->kind == AK_START &&
+        (t->tag == T_caption || t->tag == T_col || t->tag == T_colgroup ||
+         t->tag == T_tbody || t->tag == T_td || t->tag == T_tfoot ||
+         t->tag == T_th || t->tag == T_thead || t->tag == T_tr)) {
+        if (!(b_in_table_scope(ab, T_td) || b_in_table_scope(ab, T_th)))
+            return 0;
+        b_close_cell(ab);
+        return bprocess(ab, t, -1);
+    }
+    return bprocess(ab, t, M_IN_BODY);
+}
+
+static int b_in_select(AB *ab, Tok2 *t) {
+    switch (t->kind) {
+    case AK_CHAR:
+        b_insert_char_tok(ab, t, NT_TEXT);
+        return 1;
+    case AK_COMMENT:
+        b_insert_comment(ab, t);
+        return 1;
+    case AK_DOCTYPE:
+        return 0;
+    case AK_START: {
+        int g = t->tag;
+        if (g == T_html) return bprocess(ab, t, M_IN_BODY);
+        if (g == T_option) {
+            if (b_cur_tag(ab) == T_option) {
+                Tok2 e = ab_mk_end(T_option);
+                bprocess(ab, &e, -1);
+            }
+            b_insert_elem(ab, g, t->attr_off, t->attr_n);
+            return 1;
+        }
+        if (g == T_optgroup) {
+            if (b_cur_tag(ab) == T_option) {
+                Tok2 e = ab_mk_end(T_option);
+                bprocess(ab, &e, -1);
+            }
+            if (b_cur_tag(ab) == T_optgroup) {
+                Tok2 e = ab_mk_end(T_optgroup);
+                bprocess(ab, &e, -1);
+            }
+            b_insert_elem(ab, g, t->attr_off, t->attr_n);
+            return 1;
+        }
+        if (g == T_select) {
+            Tok2 e = ab_mk_end(T_select);
+            return bprocess(ab, &e, -1);
+        }
+        if (g == T_input || g == T_keygen || g == T_textarea) {
+            if (!b_in_select_scope(ab, T_select)) return 0;
+            Tok2 e = ab_mk_end(T_select);
+            bprocess(ab, &e, -1);
+            return bprocess(ab, t, -1);
+        }
+        if (g == T_script) return bprocess(ab, t, M_IN_HEAD);
+        return 0;
+    }
+    case AK_END: {
+        int g = t->tag;
+        if (g == T_optgroup) {
+            if (b_cur_tag(ab) == T_option && ab->stack.len >= 2 &&
+                ab->nodes[ab->stack.d[ab->stack.len - 2]].tag == T_optgroup) {
+                Tok2 e = ab_mk_end(T_option);
+                bprocess(ab, &e, -1);
+            }
+            if (b_cur_tag(ab) == T_optgroup) ab->stack.len--;
+            return 1;
+        }
+        if (g == T_option) {
+            if (b_cur_tag(ab) == T_option) ab->stack.len--;
+            return 1;
+        }
+        if (g == T_select) {
+            if (!b_in_select_scope(ab, g)) return 0;
+            b_pop_to_close(ab, g);
+            b_reset_insertion_mode(ab);
+            return 1;
+        }
+        return 0;
+    }
+    case AK_EOF:
+        return 1;
+    default:
+        return 0;
+    }
+}
+
+static int b_in_select_in_table(AB *ab, Tok2 *t) {
+    if ((t->kind == AK_START || t->kind == AK_END) &&
+        (t->tag == T_caption || t->tag == T_table || t->tag == T_tbody ||
+         t->tag == T_tfoot || t->tag == T_thead || t->tag == T_tr ||
+         t->tag == T_td || t->tag == T_th)) {
+        if (t->kind == AK_END && !b_in_table_scope(ab, t->tag)) return 0;
+        Tok2 e = ab_mk_end(T_select);
+        bprocess(ab, &e, -1);
+        return bprocess(ab, t, -1);
+    }
+    return bprocess(ab, t, M_IN_SELECT);
+}
+
+static int b_after_body(AB *ab, Tok2 *t) {
+    switch (t->kind) {
+    case AK_CHAR:
+        if (b_tok_is_ws(ab, t)) return bprocess(ab, t, M_IN_BODY);
+        break;
+    case AK_COMMENT:
+        /* comment after body attaches to <html> */
+        b_append_comment_to(ab, t,
+                            ab->stack.len ? ab->stack.d[0] : 0);
+        return 1;
+    case AK_DOCTYPE:
+        return 0;
+    case AK_START:
+        if (t->tag == T_html) return bprocess(ab, t, M_IN_BODY);
+        break;
+    case AK_END:
+        if (t->tag == T_html) {
+            ab->mode = M_AFTER_AFTER_BODY;
+            return 1;
+        }
+        break;
+    case AK_EOF:
+        return 1;
+    default:
+        break;
+    }
+    ab->mode = M_IN_BODY;
+    return bprocess(ab, t, -1);
+}
+
+static int b_in_frameset(AB *ab, Tok2 *t) {
+    switch (t->kind) {
+    case AK_CHAR:
+        if (b_tok_is_ws(ab, t)) { b_insert_char_tok(ab, t, NT_TEXT); return 1; }
+        return 0;
+    case AK_COMMENT:
+        b_insert_comment(ab, t);
+        return 1;
+    case AK_DOCTYPE:
+        return 0;
+    case AK_START:
+        if (t->tag == T_html) return bprocess(ab, t, M_IN_BODY);
+        if (t->tag == T_frameset) {
+            b_insert_elem(ab, t->tag, t->attr_off, t->attr_n);
+            return 1;
+        }
+        if (t->tag == T_frame) {
+            b_insert_empty(ab, t->tag, t->attr_off, t->attr_n, t->sc);
+            return 1;
+        }
+        if (t->tag == T_noframes) return bprocess(ab, t, M_IN_HEAD);
+        return 0;
+    case AK_END:
+        if (t->tag == T_frameset) {
+            if (b_cur_tag(ab) == T_html) return 0;
+            ab->stack.len--;
+            if (!ab->fragment_body && b_cur_tag(ab) != T_frameset)
+                ab->mode = M_AFTER_FRAMESET;
+            return 1;
+        }
+        return 0;
+    case AK_EOF:
+        return 1;
+    default:
+        return 0;
+    }
+}
+
+static int b_after_frameset(AB *ab, Tok2 *t) {
+    switch (t->kind) {
+    case AK_CHAR:
+        if (b_tok_is_ws(ab, t)) { b_insert_char_tok(ab, t, NT_TEXT); return 1; }
+        return 0;
+    case AK_COMMENT:
+        b_insert_comment(ab, t);
+        return 1;
+    case AK_DOCTYPE:
+        return 0;
+    case AK_START:
+        if (t->tag == T_html) return bprocess(ab, t, M_IN_BODY);
+        if (t->tag == T_noframes) return bprocess(ab, t, M_IN_HEAD);
+        return 0;
+    case AK_END:
+        if (t->tag == T_html) {
+            ab->mode = M_AFTER_AFTER_FRAMESET;
+            return 1;
+        }
+        return 0;
+    case AK_EOF:
+        return 1;
+    default:
+        return 0;
+    }
+}
+
+static int b_after_after_body(AB *ab, Tok2 *t) {
+    if (t->kind == AK_COMMENT) {
+        b_append_comment_to(ab, t, 0);
+        return 1;
+    }
+    if (t->kind == AK_DOCTYPE ||
+        (t->kind == AK_CHAR && b_tok_is_ws(ab, t)) ||
+        (t->kind == AK_START && t->tag == T_html))
+        return bprocess(ab, t, M_IN_BODY);
+    if (t->kind == AK_EOF) return 1;
+    ab->mode = M_IN_BODY;
+    return bprocess(ab, t, -1);
+}
+
+static int b_after_after_frameset(AB *ab, Tok2 *t) {
+    if (t->kind == AK_COMMENT) {
+        b_append_comment_to(ab, t, 0);
+        return 1;
+    }
+    if (t->kind == AK_DOCTYPE ||
+        (t->kind == AK_CHAR && b_tok_is_ws(ab, t)) ||
+        (t->kind == AK_START && t->tag == T_html))
+        return bprocess(ab, t, M_IN_BODY);
+    if (t->kind == AK_EOF) return 1;
+    if (t->kind == AK_START && t->tag == T_noframes)
+        return bprocess(ab, t, M_IN_HEAD);
+    return 0;
+}
+
+static int bprocess(AB *ab, Tok2 *t, int mode) {
+    if (ab->bail) return 1;
+    Tok2 conv;
+    if (t->kind == AK_CDATA) {
+        /* reference (pre-CDataNode jsoup): CDATA -> plain text token */
+        conv = *t;
+        conv.kind = AK_CHAR;
+        t = &conv;
+    }
+    int m = (mode < 0) ? ab->mode : mode;
+    switch (m) {
+    case M_INITIAL:              return b_initial(ab, t);
+    case M_BEFORE_HTML:          return b_before_html(ab, t);
+    case M_BEFORE_HEAD:          return b_before_head(ab, t);
+    case M_IN_HEAD:              return b_in_head(ab, t);
+    case M_IN_HEAD_NOSCRIPT:     return b_in_head_noscript(ab, t);
+    case M_AFTER_HEAD:           return b_after_head(ab, t);
+    case M_IN_BODY:              return b_in_body(ab, t);
+    case M_TEXT:                 return b_text(ab, t);
+    case M_IN_TABLE:             return b_in_table(ab, t);
+    case M_IN_TABLE_TEXT:        return b_in_table_text(ab, t);
+    case M_IN_CAPTION:           return b_in_caption(ab, t);
+    case M_IN_COLUMN_GROUP:      return b_in_column_group(ab, t);
+    case M_IN_TABLE_BODY:        return b_in_table_body(ab, t);
+    case M_IN_ROW:               return b_in_row(ab, t);
+    case M_IN_CELL:              return b_in_cell(ab, t);
+    case M_IN_SELECT:            return b_in_select(ab, t);
+    case M_IN_SELECT_IN_TABLE:   return b_in_select_in_table(ab, t);
+    case M_AFTER_BODY:           return b_after_body(ab, t);
+    case M_IN_FRAMESET:          return b_in_frameset(ab, t);
+    case M_AFTER_FRAMESET:       return b_after_frameset(ab, t);
+    case M_AFTER_AFTER_BODY:     return b_after_after_body(ab, t);
+    case M_AFTER_AFTER_FRAMESET: return b_after_after_frameset(ab, t);
+    default:                     return bprocess(ab, t, M_IN_BODY);
+    }
+}
+
+/* ================= driver + Python conversion ================= */
+
+static void ab_free(AB *ab) {
+    for (int i = 0; i < ab->nn; i++) iv_free(&ab->nodes[i].kids);
+    PyMem_Free(ab->nodes);
+    PyMem_Free(ab->pool);
+    PyMem_Free(ab->attrs);
+    iv_free(&ab->stack);
+    iv_free(&ab->fmt);
+    iv_free(&ab->selfclosing);
+    iv_free(&ab->formpairs);
+}
+
+static PyObject *ab_unicode(AB *ab, int off, int len) {
+    return PyUnicode_DecodeUTF8((const char *)ab->pool + off, len, "strict");
+}
+
+/* build the Python result tuple (arena columns) */
+static PyObject *ab_to_python(AB *ab) {
+    int nn = ab->nn;
+    PyObject *parent = NULL, *ntype = NULL, *tag = NULL, *text = NULL,
+             *attrs = NULL, *children = NULL, *selfc = NULL,
+             *formpairs = NULL, *unk_nodes = NULL, *base = NULL,
+             *src_s = NULL, *src_e = NULL, *result = NULL;
+    parent = PyList_New(nn);
+    ntype = PyList_New(nn);
+    tag = PyList_New(nn);
+    text = PyList_New(nn);
+    attrs = PyList_New(nn);
+    children = PyList_New(nn);
+    unk_nodes = PyList_New(0);
+    if (!parent || !ntype || !tag || !text || !attrs || !children ||
+        !unk_nodes)
+        goto fail;
+    for (int i = 0; i < nn; i++) {
+        ANode *nd = &ab->nodes[i];
+        PyObject *o;
+        o = PyLong_FromLong(nd->parent);
+        if (!o) goto fail;
+        PyList_SET_ITEM(parent, i, o);
+        o = PyLong_FromLong(nd->ntype);
+        if (!o) goto fail;
+        PyList_SET_ITEM(ntype, i, o);
+        /* tag id: python registry id, or the NAME for per-doc unknowns */
+        if (nd->tag < 0) {
+            o = PyLong_FromLong(-1);
+        } else if (nd->tag < UNK_BASE) {
+            o = PyLong_FromLong(g_pyid_by_id[nd->tag]);
+        } else {
+            int u = nd->tag - UNK_BASE;
+            o = ab_unicode(ab, ab->unk_off[u], ab->unk_len[u]);
+            if (o) {
+                PyObject *ix = PyLong_FromLong(i);
+                if (!ix || PyList_Append(unk_nodes, ix) < 0) {
+                    Py_XDECREF(ix);
+                    Py_DECREF(o);
+                    goto fail;
+                }
+                Py_DECREF(ix);
+            }
+        }
+        if (!o) goto fail;
+        PyList_SET_ITEM(tag, i, o);
+        if (nd->text_len >= 0) {
+            o = ab_unicode(ab, nd->text_off, nd->text_len);
+            if (!o) goto fail;
+        } else {
+            o = Py_None;
+            Py_INCREF(o);
+        }
+        PyList_SET_ITEM(text, i, o);
+        if (nd->attr_n > 0) {
+            PyObject *d = PyDict_New();
+            if (!d) goto fail;
+            for (int k = 0; k < nd->attr_n; k++) {
+                BAttr2 *a = &ab->attrs[nd->attr_off + k];
+                PyObject *key = ab_unicode(ab, a->key_off, a->key_len);
+                if (!key) { Py_DECREF(d); goto fail; }
+                PyUnicode_InternInPlace(&key);
+                PyObject *val;
+                if (a->val_len < 0) {
+                    val = Py_None;
+                    Py_INCREF(val);
+                } else {
+                    val = ab_unicode(ab, a->val_off, a->val_len);
+                    if (!val) { Py_DECREF(key); Py_DECREF(d); goto fail; }
+                }
+                int rc = PyDict_SetItem(d, key, val);
+                Py_DECREF(key);
+                Py_DECREF(val);
+                if (rc < 0) { Py_DECREF(d); goto fail; }
+            }
+            o = d;
+        } else {
+            o = Py_None;
+            Py_INCREF(o);
+        }
+        PyList_SET_ITEM(attrs, i, o);
+        PyObject *kl = PyList_New(nd->kids.len);
+        if (!kl) goto fail;
+        for (int k = 0; k < nd->kids.len; k++) {
+            PyObject *c = PyLong_FromLong(nd->kids.d[k]);
+            if (!c) { Py_DECREF(kl); goto fail; }
+            PyList_SET_ITEM(kl, k, c);
+        }
+        PyList_SET_ITEM(children, i, kl);
+    }
+    selfc = PyList_New(ab->selfclosing.len);
+    if (!selfc) goto fail;
+    for (int i = 0; i < ab->selfclosing.len; i++) {
+        PyObject *o = PyLong_FromLong(ab->selfclosing.d[i]);
+        if (!o) goto fail;
+        PyList_SET_ITEM(selfc, i, o);
+    }
+    formpairs = PyList_New(ab->formpairs.len);
+    if (!formpairs) goto fail;
+    for (int i = 0; i < ab->formpairs.len; i++) {
+        PyObject *o = PyLong_FromLong(ab->formpairs.d[i]);
+        if (!o) goto fail;
+        PyList_SET_ITEM(formpairs, i, o);
+    }
+    if (ab->base_set) {
+        base = ab_unicode(ab, ab->base_off, ab->base_len);
+        if (!base) goto fail;
+    } else {
+        base = Py_None;
+        Py_INCREF(base);
+    }
+    if (ab->track_spans) {
+        src_s = PyList_New(nn);
+        src_e = PyList_New(nn);
+        if (!src_s || !src_e) goto fail;
+        for (int i = 0; i < nn; i++) {
+            PyObject *a = PyLong_FromLong(ab->nodes[i].src_start);
+            PyObject *b = PyLong_FromLong(ab->nodes[i].src_end);
+            if (!a || !b) { Py_XDECREF(a); Py_XDECREF(b); goto fail; }
+            PyList_SET_ITEM(src_s, i, a);
+            PyList_SET_ITEM(src_e, i, b);
+        }
+    } else {
+        src_s = Py_None; Py_INCREF(src_s);
+        src_e = Py_None; Py_INCREF(src_e);
+    }
+    /* numpy-ready buffers: DFS order (i32) + parent (i64) +
+     * ntype (i8) + tag (i32) — the selector Ctx maps these zero-copy
+     * instead of re-walking/re-boxing the Python lists per select */
+    {
+        int32_t *ordbuf = (int32_t *)PyMem_Malloc((size_t)nn * 4);
+        int64_t *pbuf = (int64_t *)PyMem_Malloc((size_t)nn * 8);
+        int8_t *tbuf = (int8_t *)PyMem_Malloc((size_t)nn);
+        int32_t *gbuf = (int32_t *)PyMem_Malloc((size_t)nn * 4);
+        int *dfs = (int *)PyMem_Malloc((size_t)(nn + 1) * sizeof(int));
+        PyObject *npy = NULL;
+        if (ordbuf && pbuf && tbuf && gbuf && dfs) {
+            int top = 0, w = 0;
+            dfs[top++] = 0;
+            while (top) {
+                int nid = dfs[--top];
+                ordbuf[w++] = nid;
+                IVec *k = &ab->nodes[nid].kids;
+                for (int i = k->len - 1; i >= 0; i--) {
+                    if (top > nn) break;   /* cycle guard */
+                    dfs[top++] = k->d[i];
+                }
+            }
+            for (int i = 0; i < nn; i++) {
+                ANode *nd = &ab->nodes[i];
+                pbuf[i] = nd->parent;
+                tbuf[i] = nd->ntype;
+                if (nd->tag < 0) gbuf[i] = -1;
+                else if (nd->tag < UNK_BASE) gbuf[i] = g_pyid_by_id[nd->tag];
+                else gbuf[i] = -2 - (nd->tag - UNK_BASE);  /* patched in hydrator */
+            }
+            npy = Py_BuildValue(
+                "(iy#y#y#y#)", w,
+                (const char *)ordbuf, (Py_ssize_t)(w * 4),
+                (const char *)pbuf, (Py_ssize_t)(nn * 8),
+                (const char *)tbuf, (Py_ssize_t)nn,
+                (const char *)gbuf, (Py_ssize_t)(nn * 4));
+        }
+        PyMem_Free(ordbuf); PyMem_Free(pbuf); PyMem_Free(tbuf);
+        PyMem_Free(gbuf); PyMem_Free(dfs);
+        if (!npy) { npy = Py_None; Py_INCREF(npy); }
+        result = Py_BuildValue(
+            "(OOOOOOOiiOOOOOO)",
+            parent, ntype, tag, text, attrs, children, selfc,
+            ab->quirks, ab->errors, base, formpairs, src_s, src_e,
+            unk_nodes, npy);
+        Py_DECREF(npy);
+    }
+fail:
+    Py_XDECREF(parent); Py_XDECREF(ntype); Py_XDECREF(tag);
+    Py_XDECREF(text); Py_XDECREF(attrs); Py_XDECREF(children);
+    Py_XDECREF(selfc); Py_XDECREF(formpairs); Py_XDECREF(base);
+    Py_XDECREF(src_s); Py_XDECREF(src_e); Py_XDECREF(unk_nodes);
+    return result;
+}
+
+/* build_arena(html: str, track_spans: int) -> tuple | None (bail) */
+static PyObject *py_build_arena(PyObject *self, PyObject *args) {
+    const char *html;
+    Py_ssize_t n;
+    int track_spans, fragment_body = 0;
+    if (!PyArg_ParseTuple(args, "s#i|i", &html, &n, &track_spans,
+                          &fragment_body))
+        return NULL;
+    if (!g_ready || !g_pyids_ready) Py_RETURN_NONE;
+    if (memchr(html, 0, (size_t)n) != NULL)
+        Py_RETURN_NONE;   /* NUL handling -> Python kernel */
+
+    AB stack_ab;
+    AB *ab = &stack_ab;
+    memset(ab, 0, sizeof(AB));
+    ab->s = (const uint8_t *)html;
+    ab->n = n;
+    ab->head_el = -1;
+    ab->form_el = -1;
+    ab->frameset_ok = 1;
+    ab->mode = M_INITIAL;
+    ab->orig_mode = M_INITIAL;
+    ab->track_spans = track_spans;
+    ab->fragment_body = fragment_body;
+    ab_new_node(ab, NT_DOCUMENT, -1);   /* doc = node 0 */
+    if (ab->bail) { ab_free(ab); Py_RETURN_NONE; }
+    if (fragment_body) {
+        /* treebuilder.parse_fragment(context='body'): an <html> root
+         * holds the fragment; insertion starts in InBody */
+        int root = ab_new_node(ab, NT_ELEMENT, T_html);
+        if (ab->bail) { ab_free(ab); Py_RETURN_NONE; }
+        ab_append_child(ab, 0, root);
+        iv_push(&ab->stack, root);
+        ab->mode = M_IN_BODY;
+    }
+
+    long guard = 0, guard_max = 4 * (long)n + 4096;
+    for (;;) {
+        Tok2 t;
+        if (!ab_read(ab, &t) || ab->bail) break;
+        bprocess(ab, &t, -1);
+        if (ab->bail) break;
+        if (t.kind == AK_EOF) break;
+        if (++guard > guard_max) { ab_bail(ab); break; }
+    }
+    if (ab->bail || PyErr_Occurred()) {
+        PyErr_Clear();
+        ab_free(ab);
+        Py_RETURN_NONE;
+    }
+    PyObject *r = ab_to_python(ab);
+    ab_free(ab);
+    if (!r) {
+        PyErr_Clear();
+        Py_RETURN_NONE;
+    }
+    return r;
+}
+
 /* init_tables(tags: list[(bytes, int)], semi: list[(bytes, bytes)],
  *             nosemi: list[(bytes, bytes)], max_ent_name: int) */
 static PyObject *py_init_tables(PyObject *self, PyObject *args) {
@@ -2952,6 +6091,8 @@ static PyObject *py_init_tables(PyObject *self, PyObject *args) {
         while (g_tags[h].name) h = (h + 1) & 2047;
         g_tags[h].name = np; g_tags[h].len = (int)nl; g_tags[h].id = (int)i;
         g_flags_by_id[i] = (uint32_t)fl;
+        g_tagname_by_id[i] = np;
+        g_tagnamelen_by_id[i] = (int)nl;
         np += nl; *np++ = 0;
     }
     g_nknown = (int)ntags;
@@ -2989,6 +6130,8 @@ static PyObject *py_init_tables(PyObject *self, PyObject *args) {
     R(T_col,"col"); R(T_tbody,"tbody"); R(T_thead,"thead");
     R(T_tfoot,"tfoot"); R(T_tr,"tr"); R(T_td,"td"); R(T_th,"th");
     R(T_select,"select"); R(T_keygen,"keygen");
+    R(T_frameset,"frameset"); R(T_frame,"frame");
+    R(T_plaintext,"plaintext"); R(T_sarcasm,"sarcasm");
 #undef R
 
     /* byte classes */
@@ -3122,6 +6265,10 @@ static PyMethodDef methods[] = {
      "batch over raw Arrow utf8 buffers; returns arrow-ready buffers"},
     {"batch_md5_prefix64", py_batch_md5_prefix64, METH_VARARGS,
      "per-string uint64 md5 prefix over raw Arrow utf8 buffers"},
+    {"init_pyids", py_init_pyids, METH_VARARGS,
+     "python TagRegistry ids aligned with the C tag table"},
+    {"build_arena", py_build_arena, METH_VARARGS,
+     "build_arena(html, track_spans) -> arena columns tuple | None"},
     {NULL, NULL, 0, NULL}
 };
 

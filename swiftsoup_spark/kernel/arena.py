@@ -66,7 +66,7 @@ class Arena:
         "parent", "ntype", "tag", "text", "attrs", "children",
         "tags", "base_uri", "quirks", "errors", "error_list", "location",
         "selfclosing", "src_start", "src_end", "form_controls", "display_tag",
-        "out", "update_meta_charset",
+        "out", "update_meta_charset", "np_cols",
     )
 
     def __init__(self, tags: TagRegistry | None = None, base_uri: str = "") -> None:
@@ -94,6 +94,10 @@ class Arena:
         # when True, Document.set_charset syncs the <meta charset> element
         # / XML declaration. Off per default.
         self.update_meta_charset = False
+        # C-builder fast columns: (order_i32, parent_i64, ntype_i8,
+        # tag_i32) numpy views consumed by select.evaluators.Ctx;
+        # invalidated on any structural mutation
+        self.np_cols = None
         # form association (reference FormElement.swift): form node id ->
         # ordered list of its tracked control element ids
         self.form_controls: dict[int, list[int]] = {}
@@ -105,6 +109,7 @@ class Arena:
     # -- construction ----------------------------------------------------------
     def new_node(self, ntype: int, tag: int = -1, text: str | None = None,
                  attrs: dict | None = None) -> int:
+        self.np_cols = None
         nid = len(self.parent)
         self.parent.append(-1)
         self.ntype.append(ntype)
@@ -120,12 +125,14 @@ class Arena:
         return self.new_node(ELEMENT, self.tags.intern(name), None, attrs)
 
     def append_child(self, pid: int, nid: int) -> None:
+        self.np_cols = None
         if self.parent[nid] != -1:
             self.remove_from_parent(nid)
         self.parent[nid] = pid
         self.children[pid].append(nid)
 
     def insert_child(self, pid: int, index: int, nid: int) -> None:
+        self.np_cols = None
         if self.parent[nid] != -1:
             self.remove_from_parent(nid)
         self.parent[nid] = pid
@@ -136,6 +143,7 @@ class Arena:
         self.insert_child(pid, self.children[pid].index(ref), nid)
 
     def remove_from_parent(self, nid: int) -> None:
+        self.np_cols = None
         pid = self.parent[nid]
         if pid != -1:
             self.children[pid].remove(nid)

@@ -57,6 +57,7 @@ F_LIBREAK = 1 << 16
 F_DROP = 1 << 17
 F_LISTEXTRA = 1 << 18
 F_AHTOHEAD = 1 << 19
+F_FORMLISTED = 1 << 20
 
 # constructs the streaming pass cannot mirror -> per-document fallback.
 # svg/math are NOT here: the reference (and therefore the Python kernel)
@@ -86,6 +87,9 @@ def _tag_table() -> list[tuple[bytes, int]]:
     names |= TB.IMPLIED_END_TAGS | TB.IN_BODY_START_DROP
     names |= set(TB.SCOPE_BASE) | BAIL_TAGS | AFTERHEAD_TOHEAD
     names |= {"image", "ruby", "ol", "ul", "nobr", "noscript"}
+    # arena-builder dispatch extras (well-known ids resolved at C init)
+    names |= {"sarcasm", "frame", "frameset", "plaintext", "listing",
+              "keygen", "col", "colgroup", "caption", "optgroup", "option"}
 
     block = set(TG.BLOCK_TAGS)
     out = []
@@ -131,6 +135,8 @@ def _tag_table() -> list[tuple[bytes, int]]:
             f |= F_LISTEXTRA
         if name in AFTERHEAD_TOHEAD:
             f |= F_AHTOHEAD
+        if name in TB.HtmlTreeBuilder.FORM_LISTED:
+            f |= F_FORMLISTED
         out.append((name.encode(), f))
     return out
 
@@ -212,7 +218,12 @@ def get_module():
         semi = [(k.encode(), v.encode("utf-8")) for k, v in ENT_SEMI.items()]
         nosemi = [(k.encode(), v.encode("utf-8"))
                   for k, v in ENT_NOSEMI.items()]
-        m.init_tables(_tag_table(), semi, nosemi, _MAX_NAME)
+        table = _tag_table()
+        m.init_tables(table, semi, nosemi, _MAX_NAME)
+        if hasattr(m, "init_pyids"):
+            from swiftsoup_spark.kernel.tags import GLOBAL_TAGS
+            m.init_pyids([GLOBAL_TAGS.intern(nm.decode())
+                          for nm, _ in table])
         _mod = m
     except Exception:
         _mod = None
@@ -244,6 +255,83 @@ def doc_text(html: str, scope_id: str | None = None) -> tuple[str, str] | None:
         return None
     text, title = r
     return text, title if title is not None else ""
+
+
+def build_arena(html: str, base_uri: str = "", track_spans: bool = False):
+    """Full DOM build via the C arena builder, or ``None`` -> use the
+    Python kernel (``HtmlTreeBuilder().parse``).
+
+    The C builder materializes the same flat arena the Python tree
+    builder produces — parent/ntype/tag/text/attrs/children/
+    selfclosing/quirks/errors/form_controls (+ src spans when
+    requested) are list-for-list, dict-for-dict identical (enforced by
+    tests/test_arena_build.py differential fuzzing). It bails (returns
+    None) on NUL bytes, non-ASCII tag/attr names, >64 distinct unknown
+    tags, >=256 stack depth, and the InHeadNoscript token-re-rendering
+    branch; HTML default ParseSettings only."""
+    return _build(html, base_uri, track_spans, False)
+
+
+def build_body_fragment(html: str, base_uri: str = ""):
+    """C-built equivalent of ``HtmlTreeBuilder().parse_fragment(html,
+    'body')``: the arena's ``<html>`` root (children[0][0]) holds the
+    fragment. None -> Python kernel."""
+    return _build(html, base_uri, True, True)
+
+
+def _build(html: str, base_uri: str, track_spans: bool, fragment: bool):
+    m = get_module()
+    if m is None or not hasattr(m, "build_arena"):
+        return None
+    try:
+        r = m.build_arena(html, 1 if track_spans else 0, 1 if fragment else 0)
+    except Exception:
+        return None
+    if r is None:
+        return None
+    (parent, ntype, tag, text, attrs, children, selfc, quirks, errors,
+     base_href, formpairs, src_s, src_e, unk_nodes, npy) = r
+    from swiftsoup_spark.kernel.arena import Arena
+    a = Arena(None, base_uri)
+    if unk_nodes:
+        reg = a.tags
+        for i in unk_nodes:
+            tag[i] = reg.intern(tag[i])
+    a.parent = parent
+    a.ntype = ntype
+    a.tag = tag
+    a.text = text
+    a.attrs = attrs
+    a.children = children
+    if track_spans:
+        a.src_start = src_s
+        a.src_end = src_e
+    else:
+        a.src_start = [-1] * len(parent)
+        a.src_end = [-1] * len(parent)
+    a.selfclosing = set(selfc)
+    for k in range(0, len(formpairs), 2):
+        a.form_controls.setdefault(formpairs[k], []).append(formpairs[k + 1])
+    if base_href is not None:
+        from swiftsoup_spark.clean.whitelist import resolve_url
+        a.base_uri = resolve_url(base_uri, base_href) or base_href
+    a.quirks = quirks
+    a.errors = errors
+    if npy is not None and not fragment:
+        # zero-copy selector columns (Ctx fast init); fragment parses
+        # get restructured by the caller, so their order is stale
+        import numpy as np
+        w, ob, pb, tb_, gb = npy
+        order_arr = np.frombuffer(ob, dtype=np.int32)[:w]
+        parent_arr = np.frombuffer(pb, dtype=np.int64)
+        ntype_arr = np.frombuffer(tb_, dtype=np.int8)
+        tag_arr = np.frombuffer(gb, dtype=np.int32)
+        if unk_nodes:
+            tag_arr = tag_arr.copy()
+            for i in unk_nodes:
+                tag_arr[i] = tag[i]
+        a.np_cols = (order_arr, parent_arr, ntype_arr, tag_arr)
+    return a
 
 
 def batch_md5_prefix64(col):

@@ -124,6 +124,7 @@ def set_html(arena: Arena, nid: int, html: str) -> None:
 
 
 def set_tag_name(arena: Arena, nid: int, name: str) -> None:
+    arena.np_cols = None   # tag column is mirrored in the fast columns
     arena.tag[nid] = arena.tags.intern(name.lower())
 
 

@@ -11,17 +11,21 @@ from swiftsoup_spark.select.evaluators import Ctx
 from swiftsoup_spark.select.queryparser import parse_query
 
 
+def _sweep(ctx, mask) -> list[int]:
+    if ctx.order_arr is not None:
+        return ctx.order_arr[mask[ctx.order_arr]].tolist()
+    return [nid for nid in ctx.order if mask[nid]]
+
+
 def select(arena, root: int, css: str) -> list[int]:
     ev = parse_query(css)
     ctx = Ctx(arena, root)
-    mask = ev.mask(ctx)
-    return [nid for nid in ctx.order if mask[nid]]
+    return _sweep(ctx, ev.mask(ctx))
 
 
 def select_eval(arena, root: int, ev) -> list[int]:
     ctx = Ctx(arena, root)
-    mask = ev.mask(ctx)
-    return [nid for nid in ctx.order if mask[nid]]
+    return _sweep(ctx, ev.mask(ctx))
 
 
 def node_matches(arena, nid: int, css: str) -> bool:

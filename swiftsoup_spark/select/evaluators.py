@@ -25,8 +25,25 @@ class Ctx:
         self.root = root
         n = len(arena.parent)
         self.n = n
+        cols = arena.np_cols
+        if cols is not None and root == 0:
+            # C-builder fast init: order/parent/ntype/tag arrive as
+            # ready numpy views — no per-node Python walk or re-boxing
+            order_arr, self.parent, self.ntype, self.tag = cols
+            self.order_arr = order_arr
+            self.order = order_arr.tolist()
+            if len(order_arr) == n:
+                in_sub = np.ones(n, dtype=bool)   # no orphaned nodes
+            else:
+                in_sub = np.zeros(n, dtype=bool)
+                in_sub[order_arr] = True
+            self.in_sub = in_sub
+            self.is_elem = in_sub & (self.ntype == ELEMENT)
+            self._cache = {}
+            return
         order = [root] + arena.descendants(root)
         self.order = order
+        self.order_arr = None
         in_sub = np.zeros(n, dtype=bool)
         in_sub[order] = True
         self.in_sub = in_sub
@@ -229,8 +246,15 @@ class Id(Evaluator):
         self.id = idv
 
     def mask(self, ctx: Ctx) -> np.ndarray:
-        vals = ctx.attr_vals("id")
-        m = np.fromiter((v == self.id for v in vals), dtype=bool, count=ctx.n)
+        # single pass over doc order, no intermediate column: ids are
+        # sparse, so direct set-bits beat a full fromiter compare
+        m = np.zeros(ctx.n, dtype=bool)
+        attrs = ctx.arena.attrs
+        idv = self.id
+        for nid in ctx.order:
+            a = attrs[nid]
+            if a is not None and a.get("id") == idv:
+                m[nid] = True
         return ctx.is_elem & m
 
 
@@ -239,11 +263,15 @@ class Class(Evaluator):
         self.cls = cls  # lowercase
 
     def mask(self, ctx: Ctx) -> np.ndarray:
-        vals = ctx.attr_vals("class")
+        m = np.zeros(ctx.n, dtype=bool)
+        attrs = ctx.arena.attrs
         c = self.cls
-        m = np.fromiter(
-            (v is not None and c in v.lower().split() for v in vals),
-            dtype=bool, count=ctx.n)
+        for nid in ctx.order:
+            a = attrs[nid]
+            if a is not None:
+                v = a.get("class")
+                if v is not None and c in v.lower().split():
+                    m[nid] = True
         return ctx.is_elem & m
 
 

@@ -31,6 +31,16 @@ def _to_str(v) -> str:
     return v
 
 
+def fast_parse(tb, s: str, track_spans: bool = False):
+    """Full DOM build for the selector/clean/metrics operators: the C
+    arena builder (kernel/fastpath.build_arena, byte-identical to the
+    Python kernel, differential-fuzzed) with per-document fallback to
+    ``tb.parse`` on bail-out."""
+    from swiftsoup_spark.kernel.fastpath import build_arena
+    arena = build_arena(s, track_spans=track_spans)
+    return arena if arena is not None else tb.parse(s)
+
+
 def apply_kernel(df, row_fn, out_fields, in_col="html", keep_cols=("url",),
                  track_spans=False):
     """Generic Arrow-batched kernel stage.
@@ -79,7 +89,7 @@ def select_over(df, css: str, mode: str = "text", out_col: str = "vals",
         from swiftsoup_spark.kernel.serializer import serialize
         from swiftsoup_spark.select.engine import select as sel
 
-        arena = tb.parse(s)
+        arena = fast_parse(tb, s)
         ids = sel(arena, 0, css)
         if attr_key is not None:
             return ([(arena.attrs[i] or {}).get(attr_key) or "" for i in ids],)
@@ -103,7 +113,7 @@ def select_count_over(df, css: str, out_col: str = "n",
     """-> (keep_cols..., out_col: int) matches per document."""
     def row(tb, s):
         from swiftsoup_spark.select.engine import select as sel
-        return (len(sel(tb.parse(s), 0, css)),)
+        return (len(sel(fast_parse(tb, s), 0, css)),)
 
     return apply_kernel(df, row, [T.StructField(out_col, T.IntegerType())],
                         in_col=in_col, keep_cols=keep_cols)
@@ -115,7 +125,7 @@ def spans_over(df, css: str, out_col: str = "spans",
     spans of selector matches (char offsets into the input)."""
     def row(tb, s):
         from swiftsoup_spark.select.engine import select as sel
-        arena = tb.parse(s)
+        arena = fast_parse(tb, s, track_spans=True)
         ids = sel(arena, 0, css)
         return ([{"node": i, "start": arena.src_start[i],
                   "end": arena.src_end[i]} for i in ids],)
@@ -140,7 +150,7 @@ def metrics_over(df, in_col: str = "html", keep_cols=("url",)):
     """-> (keep_cols..., n_nodes, parse_errors) exact parse metrics
     (full DOM build; no fast path by construction)."""
     def row(tb, s):
-        arena = tb.parse(s)
+        arena = fast_parse(tb, s)
         return (len(arena.parent) - 1, arena.errors)
 
     return apply_kernel(
