@@ -6043,6 +6043,254 @@ static PyObject *py_build_arena(PyObject *self, PyObject *args) {
     return r;
 }
 
+
+/* ============ arena-based text extraction (2nd-tier fast path) ============
+ * When the STREAMING extractor bails (true adoption-agency runs, Noah's
+ * ark, scope-inside-foster...), the arena builder above still handles the
+ * document natively: build the tree, then walk it with Arena.node_text
+ * semantics.  Only the builder's own (much rarer) bails fall through to
+ * the Python kernel. Byte-identity contract: == Arena.node_text(root) /
+ * Document.title() (tests/test_arena_build.py::test_arena_doc_text_*). */
+
+typedef struct { uint8_t *d; size_t len, cap; } BBuf;
+
+static int bb_put(BBuf *b, const uint8_t *src, size_t n) {
+    if (b->len + n > b->cap) {
+        size_t nc = b->cap ? b->cap * 2 : 256;
+        while (nc < b->len + n) nc *= 2;
+        uint8_t *nd = (uint8_t *)PyMem_Realloc(b->d, nc);
+        if (!nd) return 0;
+        b->d = nd; b->cap = nc;
+    }
+    memcpy(b->d + b->len, src, n);
+    b->len += n;
+    return 1;
+}
+static int bb_putc(BBuf *b, uint8_t c) { return bb_put(b, &c, 1); }
+
+/* is pool[i] the start of a text-whitespace char ([\t\n\f\r \xa0])?
+ * returns its byte length (1 or 2) or 0 */
+static int an_ws_at(const uint8_t *p, size_t i, size_t n) {
+    uint8_t c = p[i];
+    if (c == '\t' || c == '\n' || c == '\f' || c == '\r' || c == ' ')
+        return 1;
+    if (c == 0xC2 && i + 1 < n && p[i + 1] == 0xA0) return 2;
+    return 0;
+}
+
+/* Arena.node_text over the C arena (kernel/arena.py:193-249) */
+static int an_node_text(AB *ab, int root, BBuf *out) {
+    int *stack = (int *)PyMem_Malloc((size_t)(ab->nn + 1) * sizeof(int));
+    if (!stack) return 0;
+    int top = 0;
+    stack[top++] = root;
+    int nonempty = 0, last_space = 0;
+    size_t start_len = out->len;
+    while (top) {
+        int nid = stack[--top];
+        ANode *nd = &ab->nodes[nid];
+        if (nd->ntype == NT_TEXT) {
+            if (nd->text_len <= 0) continue;
+            const uint8_t *raw = ab->pool + nd->text_off;
+            size_t rn = (size_t)nd->text_len;
+            int preserve = 0;
+            int pid = nd->parent;
+            if (pid >= 0 && ab->nodes[pid].ntype == NT_ELEMENT) {
+                if (ab_flags(ab->nodes[pid].tag) & F_PRESERVE) preserve = 1;
+                else {
+                    int gp = ab->nodes[pid].parent;
+                    if (gp >= 0 && ab->nodes[gp].ntype == NT_ELEMENT &&
+                        (ab_flags(ab->nodes[gp].tag) & F_PRESERVE))
+                        preserve = 1;
+                }
+            }
+            if (preserve) {
+                if (!bb_put(out, raw, rn)) { PyMem_Free(stack); return 0; }
+                nonempty = 1;
+                last_space = raw[rn - 1] == ' ';
+            } else {
+                size_t i = 0;
+                int wrote = 0;
+                /* leading ws-run: single space unless dropped */
+                int w = an_ws_at(raw, 0, rn);
+                if (w) {
+                    while (i < rn && (w = an_ws_at(raw, i, rn)) != 0) i += w;
+                    if (nonempty && !last_space) {
+                        if (!bb_putc(out, ' ')) { PyMem_Free(stack); return 0; }
+                        wrote = 1;
+                        last_space = 1;
+                    }
+                }
+                while (i < rn) {
+                    w = an_ws_at(raw, i, rn);
+                    if (w) {
+                        while (i < rn && (w = an_ws_at(raw, i, rn)) != 0)
+                            i += w;
+                        if (!bb_putc(out, ' ')) { PyMem_Free(stack); return 0; }
+                        wrote = 1;
+                        last_space = 1;
+                    } else {
+                        size_t a = i;
+                        while (i < rn && !an_ws_at(raw, i, rn)) i++;
+                        if (!bb_put(out, raw + a, i - a)) {
+                            PyMem_Free(stack); return 0;
+                        }
+                        wrote = 1;
+                        last_space = 0;
+                    }
+                }
+                if (wrote) nonempty = 1;
+            }
+            continue;
+        }
+        if (nd->ntype == NT_ELEMENT) {
+            uint32_t f = ab_flags(nd->tag);
+            if (nonempty && !last_space && ((f & F_BLOCK) || nd->tag == T_br)) {
+                if (!bb_putc(out, ' ')) { PyMem_Free(stack); return 0; }
+                last_space = 1;
+            }
+        }
+        for (int k = nd->kids.len - 1; k >= 0; k--)
+            stack[top++] = nd->kids.d[k];
+    }
+    PyMem_Free(stack);
+    /* final strip of ASCII ws (not nbsp) on the span we appended */
+    size_t a = start_len, b = out->len;
+    while (a < b) {
+        uint8_t c = out->d[a];
+        if (c=='\t'||c=='\n'||c=='\f'||c=='\r'||c==' ') a++; else break;
+    }
+    while (b > a) {
+        uint8_t c = out->d[b - 1];
+        if (c=='\t'||c=='\n'||c=='\f'||c=='\r'||c==' ') b--; else break;
+    }
+    if (a > start_len) memmove(out->d + start_len, out->d + a, b - a);
+    out->len = start_len + (b - a);
+    return 1;
+}
+
+/* first node (DFS) matching: tag, or id attr value; -1 = none */
+static int an_find_first(AB *ab, int want_tag, const uint8_t *idv,
+                         int idlen) {
+    int *stack = (int *)PyMem_Malloc((size_t)(ab->nn + 1) * sizeof(int));
+    if (!stack) return -1;
+    int top = 0;
+    stack[top++] = 0;
+    int found = -1;
+    while (top) {
+        int nid = stack[--top];
+        ANode *nd = &ab->nodes[nid];
+        if (nd->ntype == NT_ELEMENT) {
+            if (idv == NULL) {
+                if (nd->tag == want_tag) { found = nid; break; }
+            } else {
+                for (int k = 0; k < nd->attr_n; k++) {
+                    BAttr2 *a = &ab->attrs[nd->attr_off + k];
+                    if (a->key_len == 2 &&
+                        ab->pool[a->key_off] == 'i' &&
+                        ab->pool[a->key_off + 1] == 'd') {
+                        if (a->val_len == idlen &&
+                            (idlen == 0 ||
+                             memcmp(ab->pool + a->val_off, idv,
+                                    (size_t)idlen) == 0))
+                            found = nid;
+                        break;
+                    }
+                }
+                if (found >= 0) break;
+            }
+        }
+        for (int k = nd->kids.len - 1; k >= 0; k--)
+            stack[top++] = nd->kids.d[k];
+    }
+    PyMem_Free(stack);
+    return found;
+}
+
+/* arena_doc_text(html, scope_id|None) -> (text, title) | None */
+static PyObject *py_arena_doc_text(PyObject *self, PyObject *args) {
+    const char *html, *scope = NULL;
+    Py_ssize_t n, scope_len = 0;
+    if (!PyArg_ParseTuple(args, "s#|z#", &html, &n, &scope, &scope_len))
+        return NULL;
+    if (!g_ready || !g_pyids_ready) Py_RETURN_NONE;
+    if (memchr(html, 0, (size_t)n) != NULL) Py_RETURN_NONE;
+
+    AB stack_ab;
+    AB *ab = &stack_ab;
+    memset(ab, 0, sizeof(AB));
+    ab->s = (const uint8_t *)html;
+    ab->n = n;
+    ab->head_el = -1;
+    ab->form_el = -1;
+    ab->frameset_ok = 1;
+    ab->mode = M_INITIAL;
+    ab->orig_mode = M_INITIAL;
+    ab_new_node(ab, NT_DOCUMENT, -1);
+    long guard = 0, guard_max = 4 * (long)n + 4096;
+    for (;;) {
+        Tok2 t;
+        if (!ab_read(ab, &t) || ab->bail) break;
+        bprocess(ab, &t, -1);
+        if (ab->bail) break;
+        if (t.kind == AK_EOF) break;
+        if (++guard > guard_max) { ab_bail(ab); break; }
+    }
+    if (ab->bail || PyErr_Occurred()) {
+        PyErr_Clear();
+        ab_free(ab);
+        Py_RETURN_NONE;
+    }
+    BBuf text; memset(&text, 0, sizeof(text));
+    BBuf title; memset(&title, 0, sizeof(title));
+    int ok = 1;
+    if (scope && scope_len > 0) {
+        int el = an_find_first(ab, -1, (const uint8_t *)scope,
+                               (int)scope_len);
+        if (el >= 0) ok = an_node_text(ab, el, &text);
+    } else {
+        ok = an_node_text(ab, 0, &text);
+    }
+    if (ok) {
+        int tl = an_find_first(ab, T_title, NULL, 0);
+        if (tl >= 0) {
+            BBuf tmp; memset(&tmp, 0, sizeof(tmp));
+            ok = an_node_text(ab, tl, &tmp);
+            if (ok) {
+                /* _WS_RUN collapse (incl nbsp) + ASCII strip */
+                size_t i = 0;
+                int pend = 0, started = 0;
+                while (i < tmp.len && ok) {
+                    int w = an_ws_at(tmp.d, i, tmp.len);
+                    if (w) { pend = 1; i += w; continue; }
+                    if (pend && started) ok = bb_putc(&title, ' ');
+                    pend = 0;
+                    ok = ok && bb_putc(&title, tmp.d[i]);
+                    started = 1;
+                    i++;
+                }
+            }
+            PyMem_Free(tmp.d);
+        }
+    }
+    PyObject *r = NULL;
+    if (ok) {
+        PyObject *to = PyUnicode_DecodeUTF8((const char *)text.d,
+                                            (Py_ssize_t)text.len, "strict");
+        PyObject *io = PyUnicode_DecodeUTF8((const char *)title.d,
+                                            (Py_ssize_t)title.len, "strict");
+        if (to && io) r = PyTuple_Pack(2, to, io);
+        Py_XDECREF(to); Py_XDECREF(io);
+    }
+    PyMem_Free(text.d); PyMem_Free(title.d);
+    ab_free(ab);
+    if (!r) {
+        PyErr_Clear();
+        Py_RETURN_NONE;
+    }
+    return r;
+}
+
 /* init_tables(tags: list[(bytes, int)], semi: list[(bytes, bytes)],
  *             nosemi: list[(bytes, bytes)], max_ent_name: int) */
 static PyObject *py_init_tables(PyObject *self, PyObject *args) {
@@ -6269,6 +6517,8 @@ static PyMethodDef methods[] = {
      "python TagRegistry ids aligned with the C tag table"},
     {"build_arena", py_build_arena, METH_VARARGS,
      "build_arena(html, track_spans) -> arena columns tuple | None"},
+    {"arena_doc_text", py_arena_doc_text, METH_VARARGS,
+     "arena-built (text, title) for streaming-bail documents"},
     {NULL, NULL, 0, NULL}
 };
 

@@ -251,10 +251,23 @@ def doc_text(html: str, scope_id: str | None = None) -> tuple[str, str] | None:
     if m is None:
         return None
     r = m.doc_text(html, scope_id)
+    if r is None and hasattr(m, "arena_doc_text"):
+        # 2nd tier: streaming bail -> materialize the arena in C and
+        # walk node_text there (real adoption agency / foster / ark)
+        r = m.arena_doc_text(html, scope_id)
     if r is None:
         return None
     text, title = r
     return text, title if title is not None else ""
+
+
+def arena_doc_text(html: str, scope_id: str | None = None):
+    """(text, title) via the C arena builder only (the streaming-bail
+    fallback tier), or None -> full Python kernel."""
+    m = get_module()
+    if m is None or not hasattr(m, "arena_doc_text"):
+        return None
+    return m.arena_doc_text(html, scope_id)
 
 
 def build_arena(html: str, base_uri: str = "", track_spans: bool = False):

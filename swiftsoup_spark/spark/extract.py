@@ -201,7 +201,7 @@ def extract_pages(pages_df, css_scope: str | None = None, keep_cols: tuple = (),
         from swiftsoup_spark.kernel.arena import Document
         from swiftsoup_spark.select.engine import select as sel
         from swiftsoup_spark.kernel.fastpath import (
-            batch_doc_text, doc_text, scope_to_id)
+            arena_doc_text, batch_doc_text, doc_text, scope_to_id)
 
         scope_id = scope_to_id(css_scope)
         use_fast = (css_scope is None or scope_id is not None) and not metrics
@@ -218,7 +218,13 @@ def extract_pages(pages_df, css_scope: str | None = None, keep_cols: tuple = (),
                         texts = text_arr.to_pylist()
                         titles = title_arr.to_pylist()
                         for i in bail_idx:
-                            arena = tb.parse(_to_str(htmls[i].as_py()))
+                            s = _to_str(htmls[i].as_py())
+                            # tier 2: C arena build + C node_text walk
+                            r2 = arena_doc_text(s, scope_id)
+                            if r2 is not None:
+                                texts[i], titles[i] = r2
+                                continue
+                            arena = tb.parse(s)
                             if css_scope:
                                 mm = sel(arena, 0, css_scope)
                                 texts[i] = arena.node_text(mm[0]) if mm else ""

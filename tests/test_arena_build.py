@@ -301,3 +301,75 @@ def test_reference_fixture_docs():
     ]
     for d in docs:
         compare(d)
+
+
+# --- arena-based doc_text (the streaming-bail second tier) -----------------
+
+def _py_text_title(html):
+    from swiftsoup_spark.kernel.arena import Document
+    a = HtmlTreeBuilder(track_spans=False).parse(html)
+    return a.node_text(0), Document(a, 0).title()
+
+
+def test_arena_doc_text_matches_kernel():
+    cases = CURATED + [
+        "<b><div>real adoption</b></div>",
+        "<b>" * 4 + "ark",
+        "<b><i><u>deep</b> mis</i> nest</u>",
+        "<table><b>fost<tr><td>cell</b></td></tr></table>",
+        "<title>  T&amp;T\n\txx  </title><pre>  keep\nme </pre>",
+        "<div id=m>scoped <b>text</b></div><p>outside</p>",
+    ]
+    checked = 0
+    for html in cases:
+        r = fp.arena_doc_text(html)
+        if r is None:
+            continue
+        assert r == _py_text_title(html), html
+        checked += 1
+    assert checked >= len(cases) - 4
+
+
+def test_arena_doc_text_scoped():
+    from swiftsoup_spark.select.engine import select as sel
+    cases = [
+        ('<html><body><div id="m"><h1>H</h1><p>one</p></div>noise</body></html>', "m"),
+        ('<p id="m">  lead <b>b</b> tail  </p>after', "m"),
+        ('<div id="m"><div id="m">inner</div>outer</div>', "m"),
+        ('<p>no match here</p>', "zzz"),
+    ]
+    for html, scope in cases:
+        r = fp.arena_doc_text(html, scope)
+        assert r is not None
+        a = HtmlTreeBuilder(track_spans=False).parse(html)
+        mm = sel(a, 0, f"#{scope}")
+        expected = a.node_text(mm[0]) if mm else ""
+        assert r[0] == expected, (html, scope)
+
+
+def test_arena_doc_text_fuzz():
+    rng = random.Random(616)
+    accepted = 0
+    n = 2500
+    for _ in range(n):
+        html = rand_doc(rng)
+        r = fp.arena_doc_text(html)
+        if r is None:
+            continue
+        assert r == _py_text_title(html), html
+        accepted += 1
+    assert accepted >= n * 0.97, (accepted, n)
+
+
+def test_streaming_bail_classes_covered_by_arena_tier():
+    """The streaming extractor's historical bail classes (true
+    adoption-agency runs, Noah's-ark evictions, misnest repairs) must
+    ride the arena tier when streaming bails — never Python."""
+    for html in ["<b><div>real adoption</b></div>",
+                 "<b>" * 4 + "ark",
+                 "<b class=x><b class=x><b class=x><b class=x>noah</b>",
+                 "<b><i><u>deep</b> mis</i> nest</u>",
+                 "<div><b>x<p>y</b>z</p></div>"]:
+        r = fp.arena_doc_text(html)
+        assert r is not None, f"arena tier bailed on {html!r}"
+        assert r == _py_text_title(html)
