@@ -172,18 +172,33 @@ def kernel_scaling(levels=(2, 8, 32), min_secs=2.0):
             "input_mb": round(nbytes / 1e6, 1)}
 
 
+QUERY_REPEATS = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
+
+
 def run_query_timings():
+    """Steady-state per-query timings: one untimed warm-up job spawns
+    the Python workers / loads the native kernel / warms the planner,
+    then each query reports the best of QUERY_REPEATS runs (this VM
+    throttles 2-4x run-to-run; a single cold sample mixes session
+    churn into the engine number)."""
     import __spark_entry__ as E
     from swiftsoup_spark.spark.session import get_spark
     spark = get_spark(master=f"local[{CPUS}]", app="bench-queries",
                       shuffle_partitions=CPUS)
     timings = {}
     try:
-        for name, fn in E.queries().items():
-            t0 = time.time()
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+        qs = E.queries()
+        first = next(iter(qs.values()))
+        first(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        for name, fn in qs.items():
+            best = None
+            for _ in range(QUERY_REPEATS):
+                t0 = time.time()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                if best is None or dt < best:
+                    best = dt
+            timings[name] = round(best, 3)
     finally:
         spark.stop()
     return timings
