@@ -3264,20 +3264,49 @@ static int ab_is_ws(uint8_t c) {
     return c == '\t' || c == '\n' || c == '\f' || c == '\r' || c == ' ';
 }
 
-/* _TAGNAME_RE: [a-zA-Z][^\t\n\f\r />]* — returns name length from s[i]
- * (first char already verified alpha), bails on non-ASCII bytes
- * (Python str.lower() is Unicode-aware; parity risk). */
+/* _TAGNAME_RE: [a-zA-Z][^\t\n\f\r />]* — returns name length from
+ * s[i] (first char already verified alpha); non-ASCII bytes are part
+ * of the name (normalized later via the exact Python str.lower()). */
 static int ab_scan_tagname(AB *ab, Py_ssize_t i, Py_ssize_t *end) {
     const uint8_t *s = ab->s; Py_ssize_t n = ab->n;
     Py_ssize_t j = i + 1;
     while (j < n) {
         uint8_t c = s[j];
         if (ab_is_ws(c) || c == '/' || c == '>') break;
-        if (c >= 0x80) { ab_bail(ab); return 0; }
         j++;
     }
     *end = j;
     return 1;
+}
+
+static void ab_lower(const uint8_t *src, int len, uint8_t *dst);
+
+/* exact Python str.lower() of a UTF-8 name into dst (<= cap bytes);
+ * ASCII fast path, CPython call for non-ASCII. Returns new length or
+ * -1 (decode failure / overflow -> caller bails). */
+static int ab_lower_name(AB *ab, const uint8_t *src, int len,
+                         uint8_t *dst, int cap) {
+    int ascii = 1;
+    for (int q = 0; q < len; q++)
+        if (src[q] >= 0x80) { ascii = 0; break; }
+    if (ascii) {
+        if (len > cap) { ab_bail(ab); return -1; }
+        ab_lower(src, len, dst);
+        return len;
+    }
+    PyObject *u = PyUnicode_DecodeUTF8((const char *)src, len, "strict");
+    if (!u) { PyErr_Clear(); ab_bail(ab); return -1; }
+    PyObject *lo = PyObject_CallMethod(u, "lower", NULL);
+    Py_DECREF(u);
+    if (!lo) { PyErr_Clear(); ab_bail(ab); return -1; }
+    PyObject *b = PyUnicode_AsUTF8String(lo);
+    Py_DECREF(lo);
+    if (!b) { PyErr_Clear(); ab_bail(ab); return -1; }
+    Py_ssize_t bl = PyBytes_GET_SIZE(b);
+    if (bl > cap) { Py_DECREF(b); ab_bail(ab); return -1; }
+    memcpy(dst, PyBytes_AS_STRING(b), (size_t)bl);
+    Py_DECREF(b);
+    return (int)bl;
 }
 
 /* lowercase tag/attr name into caller buffer (ASCII only; caller
@@ -3336,23 +3365,22 @@ static Py_ssize_t ab_attrs(AB *ab, Py_ssize_t j, Tok2 *tok, int capture,
             }
             name_b = j;
         }
-        uint8_t namebuf[AB_MAXNAME + 1];
+        uint8_t rawbuf[AB_MAXNAME + 1], namebuf[AB_MAXNAME + 1];
         int nlen = 0;
         if (c == '=') {
-            namebuf[nlen++] = '=';
+            rawbuf[nlen++] = '=';
             Py_ssize_t cnt = name_b - (name_a + 1);
             if (cnt > AB_MAXNAME - 1) { ab_bail(ab); return j; }
-            memcpy(namebuf + 1, s + name_a + 1, (size_t)cnt);
+            memcpy(rawbuf + 1, s + name_a + 1, (size_t)cnt);
             nlen += (int)cnt;
         } else {
             Py_ssize_t cnt = name_b - name_a;
             if (cnt > AB_MAXNAME) { ab_bail(ab); return j; }
-            memcpy(namebuf, s + name_a, (size_t)cnt);
+            memcpy(rawbuf, s + name_a, (size_t)cnt);
             nlen = (int)cnt;
         }
-        for (int q = 0; q < nlen; q++)
-            if (namebuf[q] >= 0x80) { ab_bail(ab); return j; }
-        ab_lower(namebuf, nlen, namebuf);
+        nlen = ab_lower_name(ab, rawbuf, nlen, namebuf, AB_MAXNAME);
+        if (nlen < 0) return j;
         /* optional value */
         while (j < n && ab_is_ws(s[j])) j++;
         int val_off = -1, val_len = -1;
@@ -3745,15 +3773,13 @@ static int ab_doctype(AB *ab, Py_ssize_t i, Tok2 *tok) {
     while (j < n && !ab_is_ws(s[j]) && s[j] != '>') j++;
     {
         Py_ssize_t len = j - na;
-        if (!pool_reserve(ab, (size_t)len)) return 0;
-        int off = (int)ab->plen;
-        for (Py_ssize_t q = 0; q < len; q++) {
-            uint8_t c = s[na + q];
-            if (c >= 0x80) { ab_bail(ab); return 0; }
-            if (c >= 'A' && c <= 'Z') c += 32;
-            ab->pool[ab->plen++] = c;
-        }
-        tok->text_off = off; tok->text_len = (int)len;
+        if (len > AB_MAXNAME) { ab_bail(ab); return 0; }
+        uint8_t lowbuf[AB_MAXNAME + 1];
+        int ll = ab_lower_name(ab, s + na, (int)len, lowbuf, AB_MAXNAME);
+        if (ll < 0) return 0;
+        int off = pool_put(ab, lowbuf, (size_t)ll);
+        if (off < 0) return 0;
+        tok->text_off = off; tok->text_len = ll;
     }
     while (j < n && ab_is_ws(s[j])) j++;
     if (j < n && s[j] != '>') {
@@ -3863,7 +3889,8 @@ static int ab_end_tag(AB *ab, Py_ssize_t i, Tok2 *tok) {
     int nlen = (int)(nm_end - i);
     if (nlen > AB_MAXNAME) { ab_bail(ab); return 0; }
     uint8_t namebuf[AB_MAXNAME];
-    ab_lower(s + i, nlen, namebuf);
+    nlen = ab_lower_name(ab, s + i, nlen, namebuf, AB_MAXNAME);
+    if (nlen < 0) return 0;
     int eof = 0;
     int asave = ab->alen;
     Py_ssize_t j = ab_attrs(ab, nm_end, NULL, 0, &eof);
@@ -3896,7 +3923,8 @@ static int ab_tag_open(AB *ab, Tok2 *tok) {
     int nlen = (int)(nm_end - i);
     if (nlen > AB_MAXNAME) { ab_bail(ab); return 0; }
     uint8_t namebuf[AB_MAXNAME];
-    ab_lower(s + i, nlen, namebuf);
+    nlen = ab_lower_name(ab, s + i, nlen, namebuf, AB_MAXNAME);
+    if (nlen < 0) return 0;
     memset(tok, 0, sizeof(Tok2));
     int eof = 0;
     Py_ssize_t j = ab_attrs(ab, nm_end, tok, 1, &eof);
@@ -4707,26 +4735,70 @@ static int b_in_head_noscript(AB *ab, Tok2 *t) {
             t->tag == T_noframes || t->tag == T_style)
             return bprocess(ab, t, M_IN_HEAD);
         if (t->tag == T_head || t->tag == T_noscript) return 0;
-        /* anything-else: the token's string rendering becomes TEXT.
-         * attribute re-rendering needs escape() — bail for parity */
-        if (t->attr_n) { ab_bail(ab); return 1; }
+        /* anything-else: the token's string rendering becomes TEXT
+         * (Token.toString: '<name key="escaped-val" bare>', attribute
+         * values escaped with the default base/utf-8 in-attribute rules
+         * — & -> &amp;, nbsp -> &nbsp;, '"' -> &quot;) */
         {
-            const char *nm;
+            const uint8_t *nm;
             int nl;
-            char buf[AB_MAXNAME + 4];
             if (t->tag < UNK_BASE) {
-                nm = g_tagname_by_id[t->tag];
+                nm = (const uint8_t *)g_tagname_by_id[t->tag];
                 nl = g_tagnamelen_by_id[t->tag];
             } else {
-                nm = (const char *)(ab->pool + ab->unk_off[t->tag - UNK_BASE]);
+                nm = ab->pool + ab->unk_off[t->tag - UNK_BASE];
                 nl = ab->unk_len[t->tag - UNK_BASE];
             }
-            if (!nm || nl > AB_MAXNAME) { ab_bail(ab); return 1; }
-            buf[0] = '<';
-            memcpy(buf + 1, nm, (size_t)nl);
-            buf[1 + nl] = '>';
-            buf[2 + nl] = 0;
-            b_insert_char_lit(ab, buf);
+            if (!nm) { ab_bail(ab); return 1; }
+            size_t cap = (size_t)nl + 3;
+            for (int k = 0; k < t->attr_n; k++) {
+                BAttr2 *a = &ab->attrs[t->attr_off + k];
+                cap += 2 + (size_t)a->key_len;
+                if (a->val_len >= 0) cap += 3 + (size_t)a->val_len * 6;
+            }
+            /* note: nm may point into the pool (unknown tags); copy it
+             * before pool_reserve can realloc */
+            uint8_t nmcopy[AB_MAXNAME + 1];
+            if (nl > AB_MAXNAME) { ab_bail(ab); return 1; }
+            memcpy(nmcopy, nm, (size_t)nl);
+            if (!pool_reserve(ab, cap)) return 1;
+            size_t w = ab->plen;
+            ab->pool[w++] = '<';
+            memcpy(ab->pool + w, nmcopy, (size_t)nl);
+            w += (size_t)nl;
+            for (int k = 0; k < t->attr_n; k++) {
+                BAttr2 *a = &ab->attrs[t->attr_off + k];
+                ab->pool[w++] = ' ';
+                memcpy(ab->pool + w, ab->pool + a->key_off,
+                       (size_t)a->key_len);
+                w += (size_t)a->key_len;
+                if (a->val_len < 0) continue;
+                ab->pool[w++] = '=';
+                ab->pool[w++] = '"';
+                const uint8_t *v = ab->pool + a->val_off;
+                for (int q = 0; q < a->val_len; q++) {
+                    uint8_t c = v[q];
+                    if (c == '&') {
+                        memcpy(ab->pool + w, "&amp;", 5); w += 5;
+                    } else if (c == '"') {
+                        memcpy(ab->pool + w, "&quot;", 6); w += 6;
+                    } else if (c == 0xC2 && q + 1 < a->val_len &&
+                               v[q + 1] == 0xA0) {
+                        memcpy(ab->pool + w, "&nbsp;", 6); w += 6;
+                        q++;
+                    } else {
+                        ab->pool[w++] = c;
+                    }
+                }
+                ab->pool[w++] = '"';
+            }
+            ab->pool[w++] = '>';
+            int nid = ab_new_node(ab, NT_TEXT, -1);
+            if (ab->bail) return 1;
+            ab->nodes[nid].text_off = (int)ab->plen;
+            ab->nodes[nid].text_len = (int)(w - ab->plen);
+            ab->plen = w;
+            b_insert_node(ab, nid);
         }
         return 1;
     case AK_END:

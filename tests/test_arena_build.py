@@ -142,8 +142,8 @@ CURATED = [
 
 def test_curated_corpus_identical():
     accepted = sum(1 for h in CURATED if compare(h))
-    # near-total acceptance: only exotic bail classes may fall off
-    assert accepted >= len(CURATED) - 3, (accepted, len(CURATED))
+    # full acceptance: every curated shape stays on the C builder
+    assert accepted == len(CURATED), (accepted, len(CURATED))
 
 
 def test_bench_template_accepted():
@@ -206,8 +206,8 @@ def test_random_differential():
             accepted += 1
         else:
             bailed += 1
-    # tag soup must overwhelmingly stay on the C builder
-    assert accepted >= (accepted + bailed) * 0.97, (accepted, bailed)
+    # tag soup must (essentially) never leave the C builder
+    assert accepted >= (accepted + bailed) * 0.999, (accepted, bailed)
 
 
 def test_random_differential_with_spans():
@@ -216,7 +216,7 @@ def test_random_differential_with_spans():
     for _ in range(600):
         if compare(rand_doc(rng), track_spans=True):
             accepted += 1
-    assert accepted >= 580, accepted
+    assert accepted >= 598, accepted
 
 
 def test_random_wellformed_all_accepted():
@@ -254,7 +254,7 @@ def test_foster_fuzz():
                     f"<{t}{' id=m' if rng.random() < 0.05 else ''}>")
         if compare("".join(parts)):
             accepted += 1
-    assert accepted >= n * 0.97, (accepted, n)
+    assert accepted >= n * 0.999, (accepted, n)
 
 
 def test_adoption_agency_fuzz():
@@ -279,7 +279,7 @@ def test_adoption_agency_fuzz():
                 parts.append(rng.choice(["t", "x y", "&amp;"]))
         if compare("".join(parts)):
             accepted += 1
-    assert accepted >= n * 0.97, (accepted, n)
+    assert accepted >= n * 0.999, (accepted, n)
 
 
 def test_reference_fixture_docs():
@@ -327,7 +327,7 @@ def test_arena_doc_text_matches_kernel():
             continue
         assert r == _py_text_title(html), html
         checked += 1
-    assert checked >= len(cases) - 4
+    assert checked == len(cases)
 
 
 def test_arena_doc_text_scoped():
@@ -358,7 +358,7 @@ def test_arena_doc_text_fuzz():
             continue
         assert r == _py_text_title(html), html
         accepted += 1
-    assert accepted >= n * 0.97, (accepted, n)
+    assert accepted >= n * 0.999, (accepted, n)
 
 
 def test_streaming_bail_classes_covered_by_arena_tier():
