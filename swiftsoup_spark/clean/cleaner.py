@@ -18,7 +18,7 @@ from swiftsoup_spark.clean.whitelist import Whitelist, PRESETS
 
 def _create_shell(base_uri: str, tags=None) -> Arena:
     a = Arena(tags, base_uri)
-    doc = a.new_node(DOCUMENT)
+    doc = a.new_node(DOCUMENT, a.tags.intern("#root"))
     html = a.new_element("html")
     a.append_child(doc, html)
     head = a.new_element("head")

@@ -88,7 +88,7 @@ static int T_p, T_li, T_br, T_a, T_form, T_head, T_body, T_html, T_title,
     T_xmp, T_iframe, T_noembed, T_button, T_option, T_optgroup, T_ruby,
     T_rp, T_rt, T_nobr, T_img, T_image, T_input, T_hr, T_dd, T_dt,
     T_base, T_basefont, T_bgsound, T_command, T_link, T_meta, T_ol, T_ul;
-static int T_frameset, T_frame, T_plaintext, T_sarcasm;
+static int T_frameset, T_frame, T_plaintext, T_sarcasm, T_hashroot;
 
 static uint32_t fnv1a(const uint8_t *s, Py_ssize_t len) {
     uint32_t h = 2166136261u;
@@ -6080,7 +6080,8 @@ static PyObject *py_build_arena(PyObject *self, PyObject *args) {
     ab->orig_mode = M_INITIAL;
     ab->track_spans = track_spans;
     ab->fragment_body = fragment_body;
-    ab_new_node(ab, NT_DOCUMENT, -1);   /* doc = node 0 */
+    /* the document node carries '#root' (Document IS an Element) */
+    ab_new_node(ab, NT_DOCUMENT, T_hashroot);   /* doc = node 0 */
     if (ab->bail) { ab_free(ab); Py_RETURN_NONE; }
     if (fragment_body) {
         /* treebuilder.parse_fragment(context='body'): an <html> root
@@ -6298,7 +6299,7 @@ static PyObject *py_arena_doc_text(PyObject *self, PyObject *args) {
     ab->frameset_ok = 1;
     ab->mode = M_INITIAL;
     ab->orig_mode = M_INITIAL;
-    ab_new_node(ab, NT_DOCUMENT, -1);
+    ab_new_node(ab, NT_DOCUMENT, T_hashroot);
     long guard = 0, guard_max = 4 * (long)n + 4096;
     for (;;) {
         Tok2 t;
@@ -6452,6 +6453,7 @@ static PyObject *py_init_tables(PyObject *self, PyObject *args) {
     R(T_select,"select"); R(T_keygen,"keygen");
     R(T_frameset,"frameset"); R(T_frame,"frame");
     R(T_plaintext,"plaintext"); R(T_sarcasm,"sarcasm");
+    R(T_hashroot,"#root");
 #undef R
 
     /* byte classes */

@@ -90,6 +90,7 @@ def _tag_table() -> list[tuple[bytes, int]]:
     # arena-builder dispatch extras (well-known ids resolved at C init)
     names |= {"sarcasm", "frame", "frameset", "plaintext", "listing",
               "keygen", "col", "colgroup", "caption", "optgroup", "option"}
+    names |= {"#root"}   # the document node's tag (Document IS an Element)
 
     block = set(TG.BLOCK_TAGS)
     out = []

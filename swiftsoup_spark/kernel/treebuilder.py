@@ -82,7 +82,11 @@ class HtmlTreeBuilder:
         from swiftsoup_spark.kernel.errors import ParseErrorList
         self.arena = Arena(self.tags, base_uri)
         self.arena.error_list = ParseErrorList(self.max_errors)
-        self.doc = self.arena.new_node(DOCUMENT)
+        # the document node carries the reference's '#root' tag
+        # (Document IS an Element, Element.swift:276): it is a
+        # selector candidate for untagged evaluators ('*', :contains)
+        self.doc = self.arena.new_node(DOCUMENT,
+                                       self.arena.tags.intern("#root"))
         self.tok = Tokeniser(html, self.arena.error_list, self.settings)
         self.mode = INITIAL
         self.orig_mode = INITIAL

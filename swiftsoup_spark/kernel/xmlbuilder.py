@@ -22,7 +22,7 @@ class XmlTreeBuilder:
 
     def parse(self, xml: str, base_uri: str = "") -> Arena:
         a = Arena(self.tags, base_uri)
-        doc = a.new_node(DOCUMENT)
+        doc = a.new_node(DOCUMENT, a.tags.intern("#root"))
         stack = [doc]
         tok = Tokeniser(xml, settings=PRESERVE_CASE)
         while True:

@@ -14,7 +14,8 @@ import re
 
 import numpy as np
 
-from swiftsoup_spark.kernel.arena import CDATA, COMMENT, DATA, DOCTYPE, ELEMENT, TEXT, XMLDECL
+from swiftsoup_spark.kernel.arena import (
+    CDATA, COMMENT, DATA, DOCTYPE, DOCUMENT, ELEMENT, TEXT, XMLDECL)
 
 
 class Ctx:
@@ -38,7 +39,8 @@ class Ctx:
                 in_sub = np.zeros(n, dtype=bool)
                 in_sub[order_arr] = True
             self.in_sub = in_sub
-            self.is_elem = in_sub & (self.ntype == ELEMENT)
+            self.is_elem = in_sub & ((self.ntype == ELEMENT)
+                                     | (self.ntype == DOCUMENT))
             self._cache = {}
             return
         order = [root] + arena.descendants(root)
@@ -50,7 +52,10 @@ class Ctx:
         self.ntype = np.asarray(arena.ntype, dtype=np.int8)
         self.tag = np.asarray(arena.tag, dtype=np.int32)
         self.parent = np.asarray(arena.parent, dtype=np.int64)
-        self.is_elem = in_sub & (self.ntype == ELEMENT)
+        # reference parity: the Document node IS an element candidate
+        # (tag '#root') for untagged evaluators (Element.swift:276)
+        self.is_elem = in_sub & ((self.ntype == ELEMENT)
+                                 | (self.ntype == DOCUMENT))
         self._cache: dict = {}
 
     # --- propagation passes ---------------------------------------------------

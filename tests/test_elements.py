@@ -226,9 +226,9 @@ def test_forms():
     doc = parse("<form id=1><input name=q></form><div /><form id=2>"
                 "<input name=f></form>")
     els = doc.select("*")
-    # reference counts 9: its Document is itself an Element and matches
-    # '*' (documented deviation, COVERAGE.md "Document-root matching")
-    assert len(els) == 8
+    # 9 per the reference: the Document root is itself an Element
+    # (tag '#root') and matches '*'
+    assert len(els) == 9
     forms = els.forms()
     assert len(forms) == 2
     assert forms[0].attr("id") == "1"

@@ -171,7 +171,7 @@ def test_namespaced_tag():
 def test_wildcard():
     doc = parse("<div id=1><p id=2>")
     names = [e.tag_name for e in doc.select("*")]
-    assert names == ["html", "head", "body", "div", "p"]
+    assert names == ["#root", "html", "head", "body", "div", "p"]
 
 
 def test_select_within():

@@ -164,9 +164,8 @@ def test_pseudo_contains_details():
     ps3 = doc.select("p:contains(the Rain):has(i)")
     assert [p.attr("class") for p in ps3] == ["light"]
     assert len(doc.select(".light:contains(rain)")) == 1
-    # reference counts 8 because its Document root is itself an Element and
-    # matches; our arena document node is not an element -> 7
-    assert len(doc.select(":contains(rain)")) == 7
+    # 8 per the reference: the Document root is an Element and matches
+    assert len(doc.select(":contains(rain)")) == 8
 
 
 def test_contains_with_parentheses():
