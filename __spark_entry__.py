@@ -122,6 +122,14 @@ def q_select_count(spark, sf_dir):
     return X.select_count_over(pages, "div#main > p", out_col="n_p")
 
 
+def q_select_all_count(spark, sf_dir):
+    """select('*').size() — universal selector incl. the #root document
+    element (reference Document-as-Element matching,
+    Element.swift:276; SelectorTest.testAllElements)."""
+    pages = pages_df(spark, sf_dir)
+    return X.select_count_over(pages, "*", out_col="n_elements")
+
+
 def q_select_attr(spark, sf_dir):
     """select('div.footer a.next').attr('href') — class/descendant + attrs."""
     pages = pages_df(spark, sf_dir)
@@ -350,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_text": q_extract_main_text,
         "extract_title": q_extract_title,
         "select_count": q_select_count,
+        "select_all_count": q_select_all_count,
         "select_attr": q_select_attr,
         "own_text": q_own_text,
         "outer_html": q_outer_html,
@@ -555,6 +564,9 @@ FROM documents
         "extract_text_charset": _variant_oracle("charset"),
         "select_attr_entities": (
             f"SELECT {URL_SQL} AS url, '/x?a=1&b=2' AS href FROM documents"),
+        "select_all_count": (
+            f"SELECT {URL_SQL} AS url, "
+            f"CAST(10 + {NP_SQL} AS INTEGER) AS n_elements FROM documents"),
         "parse_error_positions": (
             f"SELECT {URL_SQL} AS url, 1 AS n_errors, "
             f"20 AS first_err_pos FROM documents"),
