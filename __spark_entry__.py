@@ -130,6 +130,73 @@ def q_select_all_count(spark, sf_dir):
     return X.select_count_over(pages, "*", out_col="n_elements")
 
 
+def q_select_abs_href(spark, sf_dir):
+    """Node.absUrl('href'): first <base href> sets the document base;
+    relative links resolve against it (reference Node.absUrl +
+    StringUtil.resolve, HtmlParserTest testHandlesBaseTags)."""
+    from swiftsoup_spark.spark.pages import URL_SQL, load_documents
+    load_documents(spark, sf_dir)
+    pages = spark.sql(
+        f"SELECT {URL_SQL} AS url, "
+        "'<html><head><base href=\"https://cdn' || (doc_id % 3) || "
+        "'.base.test/assets/\"></head><body>"
+        "<a class=\"dl\" href=\"l/' || doc_id || '\">get</a>"
+        "</body></html>' AS html FROM documents")
+    out = X.select_over(pages, "a.dl", mode="abs:href")
+    return out.select("url", F.element_at("vals", 1).alias("abs_href"))
+
+
+def q_clean_isvalid(spark, sf_dir):
+    """Cleaner.isValid against the basic whitelist: odd docs carry a
+    <script> payload -> invalid (reference Cleaner.swift isValid)."""
+    from pyspark.sql import types as T
+    from swiftsoup_spark.spark.pages import URL_SQL, load_documents
+    load_documents(spark, sf_dir)
+    pages = spark.sql(
+        f"SELECT {URL_SQL} AS url, "
+        "CASE WHEN doc_id % 2 = 0 "
+        "THEN '<p><b>ok ' || doc_id || '</b> ' || text || '</p>' "
+        "ELSE '<p>bad<script>x(' || doc_id || ')</script></p>' END AS body "
+        "FROM documents")
+
+    def row(tb, s):
+        from swiftsoup_spark.clean.cleaner import is_valid_html
+        return (bool(is_valid_html(s, "basic")),)
+
+    return X.apply_kernel(
+        pages, row, [T.StructField("is_valid", T.BooleanType())],
+        in_col="body")
+
+
+def q_form_data(spark, sf_dir):
+    """FormElement.formData(): submittable control (name, value) pairs —
+    text input, checked checkbox ('on' default), selected option
+    (reference FormElement.swift:14-161)."""
+    from pyspark.sql import types as T
+    from swiftsoup_spark.spark.pages import URL_SQL, load_documents
+    load_documents(spark, sf_dir)
+    pages = spark.sql(
+        f"SELECT {URL_SQL} AS url, "
+        "'<form action=\"/go\"><input name=\"q\" value=\"v' || doc_id || "
+        "'\"><input type=\"checkbox\" name=\"c\" checked>"
+        "<select name=\"s\"><option value=\"o1\" selected>O1</option>"
+        "<option value=\"o2\">O2</option></select></form>' AS html "
+        "FROM documents")
+
+    def row(tb, s):
+        from swiftsoup_spark.kernel.arena import FormElement
+        from swiftsoup_spark.select.engine import select as sel
+        arena = X.fast_parse(tb, s)
+        forms = sel(arena, 0, "form")
+        if not forms:
+            return ("",)
+        pairs = FormElement(arena, forms[0]).form_data()
+        return ("&".join(f"{k}={v}" for k, v in pairs),)
+
+    return X.apply_kernel(
+        pages, row, [T.StructField("form_data", T.StringType())])
+
+
 def q_select_attr(spark, sf_dir):
     """select('div.footer a.next').attr('href') — class/descendant + attrs."""
     pages = pages_df(spark, sf_dir)
@@ -359,6 +426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_title": q_extract_title,
         "select_count": q_select_count,
         "select_all_count": q_select_all_count,
+        "select_abs_href": q_select_abs_href,
+        "clean_isvalid": q_clean_isvalid,
+        "form_data": q_form_data,
         "select_attr": q_select_attr,
         "own_text": q_own_text,
         "outer_html": q_outer_html,
@@ -567,6 +637,16 @@ FROM documents
         "select_all_count": (
             f"SELECT {URL_SQL} AS url, "
             f"CAST(10 + {NP_SQL} AS INTEGER) AS n_elements FROM documents"),
+        "select_abs_href": (
+            f"SELECT {URL_SQL} AS url, "
+            "'https://cdn' || (doc_id % 3) || '.base.test/assets/l/' || "
+            "doc_id AS abs_href FROM documents"),
+        "clean_isvalid": (
+            f"SELECT {URL_SQL} AS url, doc_id % 2 = 0 AS is_valid "
+            "FROM documents"),
+        "form_data": (
+            f"SELECT {URL_SQL} AS url, "
+            "'q=v' || doc_id || '&c=on&s=o1' AS form_data FROM documents"),
         "parse_error_positions": (
             f"SELECT {URL_SQL} AS url, 1 AS n_errors, "
             f"20 AS first_err_pos FROM documents"),

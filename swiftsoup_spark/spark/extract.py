@@ -82,8 +82,10 @@ def select_over(df, css: str, mode: str = "text", out_col: str = "vals",
                 in_col: str = "html", keep_cols=("url",)):
     """-> (keep_cols..., out_col: array<string>) of per-match values in
     document order. mode: 'text' | 'own_text' | 'outer_html' | 'tag' |
-    'attr:<key>'."""
+    'attr:<key>' | 'abs:<key>' (absolute URL resolved against the
+    document base, reference Node.absUrl)."""
     attr_key = mode[5:] if mode.startswith("attr:") else None
+    abs_key = mode[4:] if mode.startswith("abs:") else None
 
     def row(tb, s):
         from swiftsoup_spark.kernel.serializer import serialize
@@ -93,6 +95,9 @@ def select_over(df, css: str, mode: str = "text", out_col: str = "vals",
         ids = sel(arena, 0, css)
         if attr_key is not None:
             return ([(arena.attrs[i] or {}).get(attr_key) or "" for i in ids],)
+        if abs_key is not None:
+            from swiftsoup_spark.kernel.arena import Element
+            return ([Element(arena, i).abs_url(abs_key) for i in ids],)
         if mode == "text":
             return ([arena.node_text(i) for i in ids],)
         if mode == "own_text":
