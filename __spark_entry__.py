@@ -84,6 +84,27 @@ q_extract_text_entities = _q_variant_text("entities")
 q_extract_text_charset = _q_variant_text("charset")
 
 
+def q_streaming_extract(spark, sf_dir):
+    """End-to-end Structured Streaming extraction: pages parquet ->
+    readStream -> the same Arrow-batched extraction kernel ->
+    foreachBatch idempotent epoch-overwrite sink (availableNow
+    trigger); returns the sink contents. Oracle-gated: the streamed
+    result must hash-match the batch extract_text oracle."""
+    import os
+    import tempfile
+
+    from swiftsoup_spark.streaming.incremental import stream_extract
+
+    base = tempfile.mkdtemp(prefix="swiftsoup_stream_q_")
+    in_dir = os.path.join(base, "pages")
+    out_dir = os.path.join(base, "out")
+    ck = os.path.join(base, "ck")
+    pages_df(spark, sf_dir).write.parquet(in_dir)
+    stream_extract(spark, in_dir, out_dir, ck)
+    out = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    return out.select("url", "text")
+
+
 def q_parse_error_positions(spark, sf_dir):
     """Positioned parse-error tracking (reference ParseErrorList): a
     template with a known duplicate attribute yields one error at a
@@ -447,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_pre": q_extract_text_pre,
         "extract_text_entities": q_extract_text_entities,
         "extract_text_charset": q_extract_text_charset,
+        "streaming_extract": q_streaming_extract,
         "select_attr_entities": q_select_attr_entities,
         "parse_error_positions": q_parse_error_positions,
         "dedup_exact": q_dedup_exact,
@@ -570,6 +592,9 @@ SELECT doc_id, lang,
 FROM documents
 """
     return {
+        "streaming_extract": (
+            f"SELECT {URL_SQL} AS url, {EXPECTED_DOC_TEXT_SQL} AS text "
+            f"FROM documents"),
         "extract_text": (
             f"SELECT {URL_SQL} AS url, {EXPECTED_DOC_TEXT_SQL} AS text "
             f"FROM documents ORDER BY url"),
