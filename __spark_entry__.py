@@ -101,6 +101,11 @@ def q_streaming_extract(spark, sf_dir):
     ck = os.path.join(base, "ck")
     pages_df(spark, sf_dir).write.parquet(in_dir)
     stream_extract(spark, in_dir, out_dir, ck)
+    # the returned DF reads lazily from out_dir; the staged input and
+    # checkpoint are no longer needed
+    import shutil
+    shutil.rmtree(in_dir, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
     out = spark.read.parquet(os.path.join(out_dir, "extracted"))
     return out.select("url", "text")
 
