@@ -3057,6 +3057,7 @@ enum {
 };
 
 #define AB_MAXPEND 8
+#define AB_MAXDEPTH 2048   /* open-element depth cap (heap IVec; far beyond real pages) */
 #define AB_MAXTBLPEND 64
 
 typedef struct {
@@ -4108,7 +4109,7 @@ static int b_insert_elem(AB *ab, int tag, int aoff, int an) {
     if (ab->bail) return 0;
     ab->nodes[el].attr_off = aoff; ab->nodes[el].attr_n = an;
     b_insert_node(ab, el);
-    if (ab->stack.len >= MAXSTACK) { ab_bail(ab); return el; }
+    if (ab->stack.len >= AB_MAXDEPTH) { ab_bail(ab); return el; }
     if (!iv_push(&ab->stack, el)) ab_bail(ab);
     b_maybe_base(ab, tag, aoff, an);
     b_track_form_control(ab, tag, el);
@@ -4132,7 +4133,7 @@ static int b_insert_from_token(AB *ab, Tok2 *t) {
     if (t->sc) {
         int el = b_insert_empty(ab, t->tag, t->attr_off, t->attr_n, 1);
         if (ab->bail) return el;
-        if (ab->stack.len >= MAXSTACK) { ab_bail(ab); return el; }
+        if (ab->stack.len >= AB_MAXDEPTH) { ab_bail(ab); return el; }
         if (!iv_push(&ab->stack, el)) ab_bail(ab);
         ab_pending_prepend(ab, ab_mk_end(t->tag));
         return el;
@@ -4853,7 +4854,7 @@ static int b_after_head(AB *ab, Tok2 *t) {
         }
         if (ab_flags(g) & F_AHTOHEAD) {
             if (ab->head_el != -1) {
-                if (ab->stack.len >= MAXSTACK) { ab_bail(ab); return 1; }
+                if (ab->stack.len >= AB_MAXDEPTH) { ab_bail(ab); return 1; }
                 iv_push(&ab->stack, ab->head_el);
                 int r = bprocess(ab, t, M_IN_HEAD);
                 b_remove_from_stack(ab, ab->head_el);

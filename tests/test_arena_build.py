@@ -373,3 +373,14 @@ def test_streaming_bail_classes_covered_by_arena_tier():
         r = fp.arena_doc_text(html)
         assert r is not None, f"arena tier bailed on {html!r}"
         assert r == _py_text_title(html)
+
+
+def test_deep_nesting_identical():
+    """Depth beyond the old 256 cap stays on the C builder (heap stacks,
+    2048 depth cap)."""
+    html = "<div>" * 1000 + "deep" + "</div>" * 1000
+    assert compare(html)
+    html = "<span>" * 600 + "<b>x</b>" + "</span>" * 600
+    assert compare(html)
+    # past the cap -> clean bail, Python fallback
+    assert fp.build_arena("<div>" * 3000 + "x") is None
