@@ -27,7 +27,16 @@ def parse(html: str | bytes, base_uri: str = "",
 def parse_html(html: str, base_uri: str = "", max_errors: int = 0,
                settings=None) -> Document:
     """``settings``: a ``kernel.tokenizer.ParseSettings`` (e.g.
-    ``PRESERVE_CASE``) — reference Parser.settings()."""
+    ``PRESERVE_CASE``) — reference Parser.settings().
+
+    Default parses (no error tracking, HTML default settings) ride the
+    C arena builder (kernel/fastpath.build_arena, byte-identical to the
+    Python kernel by differential fuzzing) with per-document fallback."""
+    if max_errors == 0 and settings is None:
+        from swiftsoup_spark.kernel.fastpath import build_arena
+        arena = build_arena(html, base_uri=base_uri, track_spans=True)
+        if arena is not None:
+            return Document(arena, 0)
     arena = HtmlTreeBuilder(max_errors=max_errors,
                             settings=settings).parse(html, base_uri)
     return Document(arena, 0)
