@@ -110,6 +110,30 @@ def q_streaming_extract(spark, sf_dir):
     return out.select("url", "text")
 
 
+def q_parse_xml(spark, sf_dir):
+    """parse() XML auto-detect (leading <?xml -> XmlTreeBuilder,
+    reference SwiftSoup.swift:20-43): per-doc text + round-trip
+    serialization of an XML record."""
+    from pyspark.sql import types as T
+    from swiftsoup_spark.spark.pages import URL_SQL, load_documents
+    load_documents(spark, sf_dir)
+    pages = spark.sql(
+        f"SELECT {URL_SQL} AS url, "
+        "'<?xml version=\"1.0\"?><record><name>N ' || doc_id || "
+        "'</name><val>' || text || '</val></record>' AS html "
+        "FROM documents")
+
+    def row(tb, s):
+        from swiftsoup_spark.api import parse
+        d = parse(s)
+        return (d.text(), d.outer_html())
+
+    return X.apply_kernel(
+        pages, row,
+        [T.StructField("text", T.StringType()),
+         T.StructField("xml", T.StringType())])
+
+
 def q_parse_error_positions(spark, sf_dir):
     """Positioned parse-error tracking (reference ParseErrorList): a
     template with a known duplicate attribute yields one error at a
@@ -474,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_entities": q_extract_text_entities,
         "extract_text_charset": q_extract_text_charset,
         "streaming_extract": q_streaming_extract,
+        "parse_xml": q_parse_xml,
         "select_attr_entities": q_select_attr_entities,
         "parse_error_positions": q_parse_error_positions,
         "dedup_exact": q_dedup_exact,
@@ -673,6 +698,12 @@ FROM documents
             "doc_id AS abs_href FROM documents"),
         "clean_isvalid": (
             f"SELECT {URL_SQL} AS url, doc_id % 2 = 0 AS is_valid "
+            "FROM documents"),
+        "parse_xml": (
+            f"SELECT {URL_SQL} AS url, "
+            "'N ' || doc_id || text AS text, "
+            "'<?xml version=\"1.0\"?><record><name>N ' || doc_id || "
+            "'</name><val>' || text || '</val></record>' AS xml "
             "FROM documents"),
         "form_data": (
             f"SELECT {URL_SQL} AS url, "
