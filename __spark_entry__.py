@@ -134,6 +134,32 @@ def q_parse_xml(spark, sf_dir):
          T.StructField("xml", T.StringType())])
 
 
+def q_rewrite_links(spark, sf_dir):
+    """DOM mutation through the driver gate: parse a body fragment,
+    rewrite every a[href] to an absolute mirror URL via attr set
+    (reference Element.attr/Elements bulk ops), re-serialize
+    (inner_html round trip)."""
+    from pyspark.sql import types as T
+    from swiftsoup_spark.spark.pages import URL_SQL, load_documents
+    load_documents(spark, sf_dir)
+    pages = spark.sql(
+        f"SELECT {URL_SQL} AS url, "
+        "'<span><a href=\"/l/' || doc_id || '\">go</a> "
+        "<b>k' || doc_id || '</b></span>' AS body FROM documents")
+
+    def row(tb, s):
+        from swiftsoup_spark.api import parse_body_fragment
+        from swiftsoup_spark.kernel.serializer import inner_html
+        d = parse_body_fragment(s)
+        for a in d.select("a[href]"):
+            a.set_attr("href", "https://mirror.test" + a.attr("href"))
+        return (inner_html(d.arena, d.body().id),)
+
+    return X.apply_kernel(
+        pages, row, [T.StructField("rewritten", T.StringType())],
+        in_col="body")
+
+
 def q_parse_error_positions(spark, sf_dir):
     """Positioned parse-error tracking (reference ParseErrorList): a
     template with a known duplicate attribute yields one error at a
@@ -499,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_charset": q_extract_text_charset,
         "streaming_extract": q_streaming_extract,
         "parse_xml": q_parse_xml,
+        "rewrite_links": q_rewrite_links,
         "select_attr_entities": q_select_attr_entities,
         "parse_error_positions": q_parse_error_positions,
         "dedup_exact": q_dedup_exact,
@@ -698,6 +725,11 @@ FROM documents
             "doc_id AS abs_href FROM documents"),
         "clean_isvalid": (
             f"SELECT {URL_SQL} AS url, doc_id % 2 = 0 AS is_valid "
+            "FROM documents"),
+        "rewrite_links": (
+            f"SELECT {URL_SQL} AS url, "
+            "'<span><a href=\"https://mirror.test/l/' || doc_id || "
+            "'\">go</a> <b>k' || doc_id || '</b></span>' AS rewritten "
             "FROM documents"),
         "parse_xml": (
             f"SELECT {URL_SQL} AS url, "
