@@ -1,16 +1,23 @@
-"""Compiled fast path for whole-document text extraction.
+"""Compiled fast paths: two native engines over one tag/entity registry.
 
-``doc_text(html) -> (text, title) | None`` runs the C streaming
-extractor (``_fastpath.c``) and returns ``None`` whenever the document
-uses a construct the fast path does not model — see ``BAIL_TAGS``
-below (frameset, plaintext) plus the dynamic bails in ``_fastpath.c``'s
-header (NUL bytes, foster-parenting table content, a small residue of
-adoption-agency repairs, pathological nesting) — callers then fall back
-to the full Python kernel. Tables, select, and svg/math subtrees are
-handled NATIVELY since round 2 (table insertion modes and the
-generic-insert foreign-content parity are in C). On accepted documents
-the output is byte-identical to ``Arena.node_text(0)`` /
-``Document.title()`` (differential-tested in tests/test_fastpath.py).
+1. **Streaming extractor** — ``doc_text(html) -> (text, title) | None``:
+   fused single-pass parse+text (fastest path; ~250-280 MB/s/core).
+   Bails on constructs that reorder emitted text (see ``BAIL_TAGS``
+   plus ``_fastpath.c``'s header: NUL bytes, a residue of
+   adoption-agency repairs, Noah's-ark evictions) — since round 3 the
+   bail target is the ARENA TIER below, not Python.
+2. **Arena builder** — ``build_arena(html) -> Arena | None``: the full
+   23-insertion-mode tree builder in C, materializing the Python
+   kernel's flat arena column-for-column (real adoption agency /
+   foster parenting / frameset; non-ASCII names via the exact CPython
+   ``str.lower``). Serves the selector/clean/metrics operators, the
+   public parse API, body fragments (the Cleaner), and
+   ``arena_doc_text`` (text via a C ``node_text`` walk) — the
+   streaming extractor's bail absorber. Bails only on NUL bytes,
+   >64 distinct unknown tags and >2048-deep stacks; the Python kernel
+   is then the final fallback, byte-identical either way
+   (tests/test_fastpath.py, tests/test_arena_build.py; ~1M-doc
+   cumulative differential campaigns, 0 mismatches).
 
 The C source is compiled once per machine with the system gcc into the
 package directory (or ``~/.cache`` if read-only); compilation results
