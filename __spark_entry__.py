@@ -317,6 +317,17 @@ def q_select_nth(spark, sf_dir):
                                out_col="n_even")
 
 
+def q_select_matches_icu(spark, sf_dir):
+    """:matches with an ICU-dialect property class (reference
+    Pattern.swift wraps NSRegularExpression; swiftsoup_spark.select.icu
+    translates \\p{...} into stdlib-re character classes). Counts
+    paragraphs containing a 7+-char lowercase-letter run; the DuckDB
+    oracle replays the same property class through RE2."""
+    pages = pages_df(spark, sf_dir)
+    return X.select_count_over(pages, r"div#main > p:matches(\p{Ll}{7,})",
+                               out_col="n_match")
+
+
 def q_clean_basic(spark, sf_dir):
     """Cleaner with basic whitelist: protocol rejection (relative href w/o
     base is dropped) + enforced rel=nofollow."""
@@ -511,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selector_spans": q_selector_spans,
         "select_has": q_select_has,
         "select_nth": q_select_nth,
+        "select_matches_icu": q_select_matches_icu,
         "clean_basic": q_clean_basic,
         "clean_simpletext": q_clean_simpletext,
         "parse_metrics": q_parse_metrics,
@@ -683,6 +695,10 @@ FROM documents
         "select_nth": (
             f"SELECT {URL_SQL} AS url, "
             f"CAST(floor(({NP_SQL} + 1) / 2.0) AS INTEGER) AS n_even FROM documents"),
+        "select_matches_icu": (
+            f"SELECT {URL_SQL} AS url, "
+            f"CAST({NP_SQL} * (CASE WHEN regexp_matches(text, '\\p{{Ll}}{{7,}}') "
+            f"THEN 1 ELSE 0 END) AS INTEGER) AS n_match FROM documents"),
         "clean_basic": (
             f"SELECT {URL_SQL} AS url, "
             f"'Doc ' || doc_id || repeat(chr(10) || '<p>' || text || '</p>', {NP_SQL}) || "

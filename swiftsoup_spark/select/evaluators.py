@@ -16,6 +16,7 @@ import numpy as np
 
 from swiftsoup_spark.kernel.arena import (
     CDATA, COMMENT, DATA, DOCTYPE, DOCUMENT, ELEMENT, TEXT, XMLDECL)
+from swiftsoup_spark.select import icu
 
 
 class Ctx:
@@ -356,7 +357,7 @@ class AttributeWithValueContaining(_AttrVal):
 class AttributeWithValueMatching(Evaluator):
     def __init__(self, key: str, pattern: str) -> None:
         self.key = key
-        self.re = re.compile(pattern)
+        self.re = icu.compile(pattern)  # ICU dialect (Pattern.swift:26)
 
     def mask(self, ctx: Ctx) -> np.ndarray:
         vals = ctx.attr_vals(self.key)
@@ -553,7 +554,7 @@ class ContainsData(Evaluator):
 
 class MatchesRegex(Evaluator):
     def __init__(self, pattern: str) -> None:
-        self.re = re.compile(pattern)
+        self.re = icu.compile(pattern)  # ICU dialect (Pattern.swift:26)
 
     def mask(self, ctx: Ctx) -> np.ndarray:
         a = ctx.arena
@@ -566,7 +567,7 @@ class MatchesRegex(Evaluator):
 
 class MatchesOwnRegex(Evaluator):
     def __init__(self, pattern: str) -> None:
-        self.re = re.compile(pattern)
+        self.re = icu.compile(pattern)  # ICU dialect (Pattern.swift:26)
 
     def mask(self, ctx: Ctx) -> np.ndarray:
         a = ctx.arena
