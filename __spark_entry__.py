@@ -393,6 +393,16 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5, limit_ids=300)
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Transitive closure of the LSH near-dup graph: (doc_id, cluster_id)
+    with cluster_id = min reachable doc_id; filter(doc_id == cluster_id)
+    is the deduplicated corpus. Spark side is pointer-jumping min-label
+    propagation (O(log diameter) shuffle rounds); oracle is a recursive
+    CTE over the same replayed edge set."""
+    return D.near_dup_clusters(_docs(spark, sf_dir), threshold=0.5,
+                               limit_ids=300)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, limit_ids=200)
 
@@ -546,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
+        "near_dup_clusters": q_near_dup_clusters,
         "token_count": q_token_count,
         "quality": q_quality,
         "lang_signal": q_lang_signal,
@@ -764,6 +775,20 @@ FROM documents
             "count(*) AS n_dupes FROM documents GROUP BY md5(text)"),
         "minhash_signatures": minhash,
         "minhash_lsh_pairs": lsh_pairs,
+        "near_dup_clusters": f"""
+WITH RECURSIVE
+pairs AS ({lsh_pairs}),
+sym AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+minr AS (SELECT a, min(b) AS mb FROM reach GROUP BY a),
+docs AS (SELECT doc_id FROM documents WHERE doc_id < 300)
+SELECT d.doc_id,
+       CAST(coalesce(least(d.doc_id, m.mb), d.doc_id) AS BIGINT) AS cluster_id
+FROM docs d LEFT JOIN minr m ON m.a = d.doc_id
+""",
         "ngram_jaccard": jac,
         "simhash": """
 WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -322,3 +322,77 @@ def simhash_near_dup(df, text_col: str = "text", max_hamming: int = 3,
     out = cross.unionByName(within)
     out._persisted_sig = sig
     return out
+
+
+def connected_components(edges, vertices, max_iter: int = 25):
+    """Connected components by min-label propagation with pointer
+    jumping: ``(doc_id, cluster_id)`` where ``cluster_id`` is the
+    smallest ``doc_id`` reachable through the edge set (singletons label
+    themselves).
+
+    Scale shape (the 100 TB design): each round is TWO hash joins — an
+    edge-relax (neighbor min) and a pointer jump (``lbl := lbl[lbl]``,
+    i.e. path halving) — so rounds needed are O(log diameter), not
+    O(diameter); near-dup graphs have tiny diameters, so 2-4 rounds in
+    practice. Per-round lineage is truncated with an eager
+    ``localCheckpoint`` (iterative joins otherwise stack an
+    exponentially-growing plan) and the previous round's blocks are
+    released. Convergence is detected from a monotone invariant —
+    labels only ever decrease, so an unchanged ``sum(lbl)`` IS the
+    fixpoint — which costs one cheap agg per round instead of a
+    change-count join.
+
+    ``edges``: DataFrame with integer columns (i, j); ``vertices``: a
+    DataFrame with a ``doc_id`` column (defines the output domain).
+    """
+    sym = (edges.select(F.col("i").alias("v"), F.col("j").alias("n"))
+           .unionByName(
+               edges.select(F.col("j").alias("v"), F.col("i").alias("n"))))
+    labels = (vertices.select(F.col("doc_id").alias("v"),
+                              F.col("doc_id").alias("lbl"))
+              .localCheckpoint(eager=True))
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (sym.join(labels.select(F.col("v").alias("n"),
+                                      F.col("lbl").alias("nlbl")), "n")
+                  .groupBy("v").agg(F.min("nlbl").alias("nmin")))
+        relaxed = (labels.join(nbr, "v", "left")
+                   .select("v", F.least(
+                       "lbl", F.coalesce("nmin", "lbl")).alias("lbl")))
+        jumped = (relaxed.alias("x")
+                  .join(relaxed.select(F.col("v").alias("lbl"),
+                                       F.col("lbl").alias("lbl2")).alias("y"),
+                        "lbl")
+                  .select(F.col("x.v").alias("v"),
+                          F.col("lbl2").alias("lbl")))
+        nxt = jumped.localCheckpoint(eager=True)
+        cur_sum = nxt.agg(F.sum("lbl")).collect()[0][0]
+        labels.unpersist(blocking=False)
+        labels = nxt
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("v").alias("doc_id"),
+                         F.col("lbl").alias("cluster_id"))
+
+
+def near_dup_clusters(df, text_col: str = "text", threshold: float = 0.5,
+                      limit_ids: int | None = None, max_group: int = 1000,
+                      max_iter: int = 25):
+    """Near-duplicate CLUSTERS: the step after ``minhash_lsh_pairs`` in a
+    real dedup pipeline — pairs only say "these two are similar"; keeping
+    one copy per group needs the transitive closure. Returns
+    ``(doc_id, cluster_id)`` for every document (cluster_id = min doc_id
+    of the component; singleton docs are their own cluster), so
+    ``filter(doc_id == cluster_id)`` IS the deduplicated corpus.
+
+    Edge set = ``minhash_lsh_pairs`` (banded LSH + Jaccard verify, with
+    its exact-dup pre-collapse skew guard); closure = pointer-jumping
+    min-label propagation (``connected_components``). The DuckDB oracle
+    replays the same edges and closes them with a recursive CTE.
+    """
+    if limit_ids is not None:
+        df = df.filter(F.col("doc_id") < limit_ids)
+    pairs = minhash_lsh_pairs(df, text_col, threshold=threshold,
+                              max_group=max_group)
+    return connected_components(pairs.select("i", "j"), df, max_iter=max_iter)
