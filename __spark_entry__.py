@@ -381,6 +381,22 @@ def q_corpus_metrics(spark, sf_dir):
 # Training-data pipeline queries (dedup / similarity / text analysis)
 # --------------------------------------------------------------------------
 
+def q_pdf_extract_text(spark, sf_dir):
+    """PDF text extraction round-trip (the north rule's 'PDF/layout
+    parse' leg): deterministic writer synthesizes structurally varied
+    PDFs (Flate/raw streams, Tj / TJ-kerning / hex / octal-escape /
+    quote-operator shows, 1-2 pages, keyed on doc_id % 4), the
+    from-scratch parser extracts reading-order text back. Oracle states
+    the expected text in closed form — it never parses PDF, so writer
+    and parser check each other."""
+    from swiftsoup_spark.ops.pdftext import extract_pdf_text, synthesize_pdfs
+    load_documents(spark, sf_dir)
+    df = spark.sql(f"SELECT {URL_SQL} AS url, doc_id, text FROM documents")
+    pdfs = synthesize_pdfs(df, keep_cols=("url",))
+    return (extract_pdf_text(pdfs, keep_cols=("url",))
+            .select("url", "text"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(_docs(spark, sf_dir)).select("fp", "rep_doc_id", "n_dupes")
 
@@ -557,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
+        "pdf_extract_text": q_pdf_extract_text,
         "token_count": q_token_count,
         "quality": q_quality,
         "lang_signal": q_lang_signal,
@@ -775,6 +792,17 @@ FROM documents
             "count(*) AS n_dupes FROM documents GROUP BY md5(text)"),
         "minhash_signatures": minhash,
         "minhash_lsh_pairs": lsh_pairs,
+        "pdf_extract_text": f"""
+WITH s AS (SELECT doc_id, source, lang, text, string_split(text, ' ') AS ws,
+                  CAST(ceil(len(string_split(text, ' ')) / 2.0) AS INT) AS half
+           FROM documents)
+SELECT {URL_SQL} AS url,
+       CASE WHEN doc_id % 4 <> 3 OR len(ws) <= half THEN text
+            ELSE array_to_string(list_slice(ws, 1, half), ' ') || chr(10) ||
+                 array_to_string(list_slice(ws, half + 1, len(ws)), ' ')
+       END AS text
+FROM s
+""",
         "near_dup_clusters": f"""
 WITH RECURSIVE
 pairs AS ({lsh_pairs}),

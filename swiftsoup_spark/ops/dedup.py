@@ -345,9 +345,13 @@ def connected_components(edges, vertices, max_iter: int = 25):
     ``edges``: DataFrame with integer columns (i, j); ``vertices``: a
     DataFrame with a ``doc_id`` column (defines the output domain).
     """
+    # materialize the symmetric edge list ONCE: it is re-read by every
+    # round's relax join, and the upstream edge computation (the LSH
+    # band join) must not be re-evaluated per round
     sym = (edges.select(F.col("i").alias("v"), F.col("j").alias("n"))
            .unionByName(
-               edges.select(F.col("j").alias("v"), F.col("i").alias("n"))))
+               edges.select(F.col("j").alias("v"), F.col("i").alias("n")))
+           .localCheckpoint(eager=True))
     labels = (vertices.select(F.col("doc_id").alias("v"),
                               F.col("doc_id").alias("lbl"))
               .localCheckpoint(eager=True))
