@@ -381,6 +381,17 @@ def q_corpus_metrics(spark, sf_dir):
 # Training-data pipeline queries (dedup / similarity / text analysis)
 # --------------------------------------------------------------------------
 
+def q_extract_main_heuristic(spark, sf_dir):
+    """Main-content extraction by DOM heuristics (readability-style
+    link-density scoring: score = text_len - 2*link_text_len over
+    div/article/main/section/td candidates) — no container id given,
+    unlike extract_main_text's #main CSS scope. On the synthesized
+    corpus the heuristic must discover the same main div the CSS scope
+    names, so the closed-form oracle is the same expected text."""
+    from swiftsoup_spark.ops.maincontent import main_content_over
+    return main_content_over(pages_df(spark, sf_dir))
+
+
 def q_pdf_extract_text(spark, sf_dir):
     """PDF text extraction round-trip (the north rule's 'PDF/layout
     parse' leg): deterministic writer synthesizes structurally varied
@@ -574,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
         "pdf_extract_text": q_pdf_extract_text,
+        "extract_main_heuristic": q_extract_main_heuristic,
         "token_count": q_token_count,
         "quality": q_quality,
         "lang_signal": q_lang_signal,
@@ -695,6 +707,9 @@ FROM documents
         "extract_text": (
             f"SELECT {URL_SQL} AS url, {EXPECTED_DOC_TEXT_SQL} AS text "
             f"FROM documents ORDER BY url"),
+        "extract_main_heuristic": (
+            f"SELECT {URL_SQL} AS url, {EXPECTED_MAIN_TEXT_SQL} AS text "
+            f"FROM documents"),
         "extract_main_text": (
             f"SELECT {URL_SQL} AS url, {EXPECTED_MAIN_TEXT_SQL} AS text "
             f"FROM documents"),
