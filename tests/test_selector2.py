@@ -188,3 +188,31 @@ def test_contains_data_details():
     assert len(doc.select("script:containsData(FOO)")) == 1
     assert len(doc.select("style:containsData(red)")) == 1
     assert doc.select("p:containsData(text)") == []
+
+
+# --- round-3 ports: SelectorTest.swift:943-1008 ----------------------------
+
+def test_matches_own():
+    # SelectorTest.testMatchesOwn
+    doc = parse("<p id=1>Hello <b>there</b> now</p>")
+    p1 = doc.select("p:matchesOwn((?i)hello now)")
+    assert ids(p1) == ["1"]
+    assert doc.select("p:matchesOwn(there)") == []
+
+
+def test_relaxed_tags():
+    # SelectorTest.testRelaxedTags: underscore and dash in tag selectors
+    doc = parse("<abc_def id=1>Hello</abc_def> <abc-def id=2>There</abc-def>")
+    assert ids(doc.select("abc_def")) == ["1"]
+    assert ids(doc.select("abc-def")) == ["2"]
+
+
+def test_handles_commas_in_selector():
+    # SelectorTest.testHandlesCommasInSelector: comma inside [attr=] and
+    # inside :matches(...) must not split the selector group
+    doc = parse("<p name='1,2'>One</p><div>Two</div>"
+                "<ol><li>123</li><li>Text</li></ol>")
+    assert len(doc.select("[name=1,2]")) == 1
+    containers = doc.select("div, li:matches([0-9,]+)")
+    assert [e.tag_name for e in containers] == ["div", "li"]
+    assert containers[1].text() == "123"
