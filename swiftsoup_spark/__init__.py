@@ -12,7 +12,8 @@ Reference behavior studied from /root/reference (scinfu/SwiftSoup); all
 code here is original and Spark-first.
 """
 
-from swiftsoup_spark.api import parse, parse_fragment, parse_body_fragment, clean, is_valid
+from swiftsoup_spark.api import (parse, parse_fragment, parse_body_fragment, clean,
+                                 is_valid, main_content)
 
 __all__ = ["parse", "parse_fragment", "parse_body_fragment", "clean", "is_valid"]
 __version__ = "0.1.0"

@@ -102,3 +102,12 @@ def clean(body_html: str, whitelist=None, base_uri: str = "", output_settings=No
 def is_valid(body_html: str, whitelist=None) -> bool:
     from swiftsoup_spark.clean.cleaner import is_valid_html
     return is_valid_html(body_html, whitelist)
+
+
+def main_content(doc: Document) -> Element:
+    """Main-content container by DOM heuristics (readability-style
+    link-density scoring; see ops/maincontent.py) — the no-CSS-scope
+    way to get the article body: ``main_content(doc).text()``."""
+    from swiftsoup_spark.kernel.arena import Element as _El
+    from swiftsoup_spark.ops.maincontent import main_content_node
+    return _El(doc.arena, main_content_node(doc.arena))

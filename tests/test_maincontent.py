@@ -92,3 +92,12 @@ def test_spark_operator_and_plan(spark):
     assert rows == {"u1": "body text one", "u2": "body text two"}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # fused scan -> kernel, no shuffle
+
+
+def test_public_api_main_content():
+    import swiftsoup_spark as soup
+    doc = soup.parse('<body><div id=m><p>real prose text</p></div>'
+                     '<div class=nav><a href=/x>nav link</a></div></body>')
+    el = soup.main_content(doc)
+    assert el.attr("id") == "m"
+    assert el.text() == "real prose text"
