@@ -168,3 +168,33 @@ def test_spark_plan_is_fused_scan(spark):
                              keep_cols=("url",))
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_mutation_fuzz_never_crashes():
+    # a hand-written binary parser must never raise on corrupt input:
+    # deterministic byte mutations of valid PDFs -> str or None, no throw
+    import random
+    rng = random.Random(0x5EED)
+    base = [build_mini_pdf(f"some words here w{i} x{i} y{i}", i % 4)
+            for i in range(4)]
+    for trial in range(400):
+        pdf = bytearray(base[trial % 4])
+        for _ in range(rng.randrange(1, 6)):
+            op = rng.randrange(3)
+            pos = rng.randrange(len(pdf))
+            if op == 0:
+                pdf[pos] = rng.randrange(256)            # flip
+            elif op == 1:
+                del pdf[pos:pos + rng.randrange(1, 20)]  # cut
+            else:
+                pdf[pos:pos] = bytes(rng.randrange(256)
+                                     for _ in range(rng.randrange(1, 8)))
+        out = extract_pdf_text_bytes(bytes(pdf))
+        assert out is None or isinstance(out, str)
+
+
+def test_truncation_fuzz_never_crashes():
+    pdf = build_mini_pdf("alpha beta gamma delta", 0)
+    for cut in range(0, len(pdf), 7):
+        out = extract_pdf_text_bytes(pdf[:cut])
+        assert out is None or isinstance(out, str)
