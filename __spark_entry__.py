@@ -408,6 +408,19 @@ def q_pdf_extract_text(spark, sf_dir):
             .select("url", "text"))
 
 
+def q_extract_mixed_corpus(spark, sf_dir):
+    """Sniff-and-route extraction over a mixed HTML/PDF binary corpus
+    (even doc_id -> utf-8 HTML bytes, odd -> synthesized PDF): one fused
+    kernel branches per document on the %PDF- magic — the realistic
+    Common-Crawl shape where format is a row property, not a partition
+    property."""
+    from swiftsoup_spark.ops.mixed import extract_any_over, synthesize_mixed
+    pages = pages_df(spark, sf_dir)  # url, html (string), text, doc_id, ...
+    mixed = synthesize_mixed(pages, keep_cols=("url",))
+    return (extract_any_over(mixed, keep_cols=("url",))
+            .select("url", "fmt", "text"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(_docs(spark, sf_dir)).select("fp", "rep_doc_id", "n_dupes")
 
@@ -586,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "pdf_extract_text": q_pdf_extract_text,
         "extract_main_heuristic": q_extract_main_heuristic,
+        "extract_mixed_corpus": q_extract_mixed_corpus,
         "token_count": q_token_count,
         "quality": q_quality,
         "lang_signal": q_lang_signal,
@@ -807,6 +821,19 @@ FROM documents
             "count(*) AS n_dupes FROM documents GROUP BY md5(text)"),
         "minhash_signatures": minhash,
         "minhash_lsh_pairs": lsh_pairs,
+        "extract_mixed_corpus": f"""
+WITH s AS (SELECT doc_id, source, lang, text, string_split(text, ' ') AS ws,
+                  CAST(ceil(len(string_split(text, ' ')) / 2.0) AS INT) AS half
+           FROM documents)
+SELECT {URL_SQL} AS url,
+       CASE WHEN doc_id % 2 = 0 THEN 'html' ELSE 'pdf' END AS fmt,
+       CASE WHEN doc_id % 2 = 0 THEN {EXPECTED_DOC_TEXT_SQL}
+            WHEN doc_id % 4 <> 3 OR len(ws) <= half THEN text
+            ELSE array_to_string(list_slice(ws, 1, half), ' ') || chr(10) ||
+                 array_to_string(list_slice(ws, half + 1, len(ws)), ' ')
+       END AS text
+FROM s
+""",
         "pdf_extract_text": f"""
 WITH s AS (SELECT doc_id, source, lang, text, string_split(text, ' ') AS ws,
                   CAST(ceil(len(string_split(text, ' ')) / 2.0) AS INT) AS half
