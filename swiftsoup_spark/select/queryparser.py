@@ -234,7 +234,10 @@ def _parse_attribute(content: str):
     op = m.group(2)
     val = m.group(3).strip()
     if len(val) >= 2 and val[0] == val[-1] and val[0] in "\"'":
-        val = val[1:-1]
+        # reference AttributeKeyPair (Evaluator.swift:448-457): the value
+        # is unquoted FIRST and trimmed AFTER, so [class="value "] equals
+        # [class=value] (the quoted trailing space is not significant)
+        val = val[1:-1].strip()
     if op == "=":
         return E.AttributeWithValue(key, val)
     if op == "!=":

@@ -216,3 +216,33 @@ def test_handles_commas_in_selector():
     containers = doc.select("div, li:matches([0-9,]+)")
     assert [e.tag_name for e in containers] == ["div", "li"]
     assert containers[1].text() == "123"
+
+
+def test_select_supplementary_character():
+    # SelectorTest.testSelectSupplementaryCharacter (astral-plane key,
+    # value, and text)
+    s = chr(135361)
+    doc = parse("<div k" + s + "='" + s + "'>^" + s + "$</div>")
+    assert doc.select("div[k" + s + "]")[0].tag_name == "div"
+    assert doc.select("div:containsOwn(" + s + ")")[0].tag_name == "div"
+
+
+def test_select_class_with_space():
+    # SelectorTest.testSelectClassWithSpace: quoted values are unquoted
+    # then trimmed (AttributeKeyPair); escaped trailing space stays
+    doc = parse('<div class="value">class without space</div>\n'
+                '<div class="value ">class with space</div>')
+    for css in ('div[class=value ]', 'div[class="value "]'):
+        found = doc.select(css)
+        assert [e.text() for e in found] == [
+            "class without space", "class with space"]
+    assert doc.select('div[class="value\\ "]') == []
+
+
+def test_select_same_elements():
+    # SelectorTest.testSelectSameElements: Elements.select dedups the
+    # union across the set's roots
+    doc = parse("<div>one</div><div>one</div>")
+    els = doc.select("div")
+    assert len(els) == 2
+    assert len(els.select(":contains(one)")) == 2
