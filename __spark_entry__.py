@@ -492,6 +492,23 @@ def q_ann_bucketed(spark, sf_dir):
                      F.round(F.col("sim") * 10000).cast("long").alias("sim_e4"))
 
 
+def q_ann_ivf(spark, sf_dir):
+    """Trained-IVF ANN: hash-sampled seeds + one Lloyd iteration give the
+    coarse quantizer; every vector is assigned argmax-cosine; each query
+    multi-probes its 2 nearest centroids (equi broadcast-hash join on the
+    centroid id — the pruned-join shape). The DuckDB oracle replays the
+    identical training (same seeds, same Lloyd round, centroids rounded
+    to 9 digits on both sides), so the whole index build + probe is
+    hash-exact, not just row-counted. Recall vs the exact baseline is
+    gated separately in tests/test_similarity_ivf.py on a clustered
+    corpus (the sf embeddings are near-uniform noise, where no coarse
+    quantizer can do better than nprobe/k — measured and documented)."""
+    df = S.ivf_topk(_emb(spark, sf_dir), n_queries=8, k=5,
+                    n_centroids=8, nprobe=2, iters=1)
+    return df.select("query_id", "neighbor_id", "rank",
+                     F.round(F.col("sim") * 10000).cast("long").alias("sim_e4"))
+
+
 def q_cosine_near_dup(spark, sf_dir):
     df = S.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.8, limit_ids=200)
     return df.select("i", "j", F.round(F.col("sim") * 10000).cast("long").alias("sim_e4"))
@@ -606,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_brute_force": q_ann_brute_force,
         "ann_bucketed": q_ann_bucketed,
+        "ann_ivf": q_ann_ivf,
         "cosine_near_dup": q_cosine_near_dup,
         "image_meta": q_image_meta,
         "image_features": q_image_features,
@@ -674,6 +692,44 @@ q AS (SELECT vec_id AS query_id, label AS qb, v AS qv FROM b WHERE vec_id < 8),
 s AS (SELECT query_id, vec_id AS neighbor_id,
              list_cosine_similarity(qv, v) AS sim_raw
       FROM b JOIN q ON b.label = q.qb WHERE vec_id != query_id),
+r AS (SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim_raw DESC, neighbor_id) AS INTEGER) AS rank,
+             sim_raw FROM s)
+SELECT query_id, neighbor_id, rank,
+       CAST(round(round(sim_raw, 4) * 10000) AS BIGINT) AS sim_e4
+FROM r WHERE rank <= 5
+"""
+    ann_ivf = """
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+rk AS (SELECT vec_id, v,
+              row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+       FROM b),
+seeds AS (SELECT r - 1 AS sid, v AS sv FROM rk WHERE r <= 8),
+a1 AS (SELECT vec_id, v, sid AS cid FROM (
+         SELECT b.vec_id, b.v, s.sid,
+                row_number() OVER (PARTITION BY b.vec_id
+                     ORDER BY list_cosine_similarity(b.v, s.sv) DESC, s.sid) AS rn
+         FROM b, seeds s) t WHERE rn = 1),
+comp AS (SELECT cid, dim, round(avg(val), 9) AS av FROM (
+           SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) - 1 AS dim
+           FROM a1) t
+         GROUP BY cid, dim),
+cent AS (SELECT cid, list(av ORDER BY dim) AS cv FROM comp GROUP BY cid),
+asg AS (SELECT vec_id, v, cid FROM (
+          SELECT b.vec_id, b.v, c.cid,
+                 row_number() OVER (PARTITION BY b.vec_id
+                      ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cid) AS rn
+          FROM b, cent c) t WHERE rn = 1),
+probe AS (SELECT query_id, qv, cid AS qcid FROM (
+            SELECT b.vec_id AS query_id, b.v AS qv, c.cid,
+                   row_number() OVER (PARTITION BY b.vec_id
+                        ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cid) AS rn
+            FROM b, cent c WHERE b.vec_id < 8) t WHERE rn <= 2),
+s AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(p.qv, a.v) AS sim_raw
+      FROM asg a JOIN probe p ON a.cid = p.qcid
+      WHERE a.vec_id != p.query_id),
 r AS (SELECT query_id, neighbor_id,
              CAST(row_number() OVER (PARTITION BY query_id
                   ORDER BY sim_raw DESC, neighbor_id) AS INTEGER) AS rank,
@@ -893,6 +949,7 @@ WHERE bit_count(xor(CAST(a.uv AS UBIGINT), CAST(b.uv AS UBIGINT))) <= 3
             "AS fp FROM documents"),
         "ann_brute_force": ann,
         "ann_bucketed": ann_bucketed,
+        "ann_ivf": ann_ivf,
         "cosine_near_dup": near_dup,
         "image_meta": (
             "SELECT doc_id, 16 AS n_payload, "

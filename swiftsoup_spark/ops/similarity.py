@@ -2,10 +2,19 @@
 
 Baseline: brute-force cosine top-k — broadcast the (small) query set,
 compute dot products with higher-order array functions (JVM-side, no
-Python), window-rank per query. Scale path: bucketed search (IVF-style
-coarse partition; here the provided ``label`` is the centroid assignment)
-restricts each probe to one bucket — at 10^9 vectors this turns a full
-cross join into a partition-pruned join."""
+Python), window-rank per query. Scale paths:
+
+* :func:`bucketed_topk` — probe a caller-provided coarse partition
+  (``label``); the join on the bucket key prunes the candidate set.
+* :func:`ivf_topk` — a real IVF: centroids are *trained* (hash-sampled
+  seeds + one Lloyd iteration, both deterministic and SQL-replayable),
+  every vector is assigned by argmax-cosine, and each query multi-probes
+  its ``nprobe`` nearest centroids. The candidate join is an equi hash
+  join on the centroid id against a broadcast of (query, probed-centroid)
+  rows — at 10^9 vectors this scans ~nprobe/k of the corpus per query
+  instead of all of it, and the training cost is one top-k sample plus
+  one partial-aggregated average (k·d doubles on the driver, broadcast
+  back as plan literals)."""
 
 from __future__ import annotations
 
@@ -52,6 +61,101 @@ def bucketed_topk(emb_df, n_queries: int = 8, k: int = 5, bucket_col: str = "lab
                  F.col("v").alias("qv")))
     joined = base.join(F.broadcast(q), F.col("bucket") == F.col("qb")) \
                  .filter(F.col("vec_id") != F.col("query_id"))
+    sims = joined.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        _cosine(F.col("qv"), F.col("v")).alias("sim_raw"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_raw").desc(), F.col("neighbor_id"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("sim_raw", 4).alias("sim")))
+
+
+def _lit_vec(vals):
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def _best_centroid(v_col, centroids):
+    """argmax-cosine centroid id for a vector column, ties -> smaller id.
+
+    ``centroids`` is a list of plain-float lists, folded into the plan as
+    literals (broadcast-by-construction; k·d doubles, no shuffle)."""
+    scored = F.array(*[
+        F.struct(_cosine(v_col, _lit_vec(c)).alias("sim"),
+                 F.lit(-j).alias("negid"))
+        for j, c in enumerate(centroids)])
+    best = F.array_max(scored)
+    return (-best["negid"]).alias("cid"), scored
+
+
+def train_centroids(emb_df, k: int = 8, round_digits: int = 9,
+                    iters: int = 1):
+    """Deterministic k-means-lite coarse quantizer: k seed vectors chosen
+    by md5(vec_id) order (a uniform hash sample, cheap top-k — no full
+    sort), ``iters`` Lloyd iterations (assign-to-centroid by cosine,
+    average), each averaged centroid rounded to ``round_digits`` so an
+    independent SQL replay (different summation order) lands on identical
+    values. Returns a list of k lists of floats, centroid id = seed rank.
+
+    Scale: the seed pick is TakeOrderedAndProject over (md5, vec_id);
+    each Lloyd round is one partial-aggregated groupBy over (cid, dim) —
+    k·d result rows to the driver, broadcast back as plan literals. One
+    round is enough for a coarse quantizer whose job is bucket pruning,
+    not clustering quality (gated in tests/test_similarity_ivf.py)."""
+    base = emb_df.select("vec_id", _as_double("embedding").alias("v"))
+    seed_rows = (base
+                 .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+                 .orderBy("h", "vec_id").limit(k)
+                 .select("v").collect())
+    seeds = [list(r["v"]) for r in seed_rows]
+    dims = len(seeds[0])
+    centroids = seeds
+    for _ in range(iters):
+        cid, _ = _best_centroid(F.col("v"), centroids)
+        avg_rows = (base.select(cid, "v")
+                    .select("cid", F.posexplode("v").alias("dim", "val"))
+                    .groupBy("cid", "dim").agg(F.avg("val").alias("av"))
+                    .collect())
+        cents = {}
+        for r in avg_rows:
+            cents.setdefault(r["cid"], {})[r["dim"]] = round(r["av"],
+                                                             round_digits)
+        # a centroid whose Lloyd cluster came up empty keeps its vector
+        centroids = [
+            [cents[j][d] for d in range(dims)] if j in cents else centroids[j]
+            for j in range(k)]
+    return centroids
+
+
+def ivf_topk(emb_df, n_queries: int = 8, k: int = 5, n_centroids: int = 8,
+             nprobe: int = 2, centroids=None, iters: int = 1):
+    """Trained-IVF approximate top-k: assign the corpus to argmax-cosine
+    centroid buckets, multi-probe each query's ``nprobe`` nearest
+    centroids, exact re-rank inside the probed buckets.
+
+    The candidate join is `assign ⋈ broadcast(query × probed-cid)` on the
+    centroid id — an equi broadcast-hash join, never a cartesian — so the
+    per-query scan cost is ~nprobe/n_centroids of the corpus. Recall vs
+    the exact baseline is gated in tests (>= 0.95 at nprobe=2 on the test
+    corpus; see tests/test_similarity_ivf.py)."""
+    if centroids is None:
+        centroids = train_centroids(emb_df, k=n_centroids, iters=iters)
+    base = emb_df.select("vec_id", _as_double("embedding").alias("v"))
+    cid, scored = _best_centroid(F.col("v"), centroids)
+    assign = base.select("vec_id", cid, "v")
+
+    # per-query probed centroid list: top-nprobe by (sim desc, cid asc) —
+    # sort the scored struct array descending; (sim, -cid) makes the
+    # lexicographic order implement the tie-break.
+    probes = F.transform(
+        F.slice(F.reverse(F.array_sort(scored)), 1, nprobe),
+        lambda s: -s["negid"])
+    q = (base.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                 F.explode(probes).alias("qcid")))
+    joined = (assign.join(F.broadcast(q), F.col("cid") == F.col("qcid"))
+              .filter(F.col("vec_id") != F.col("query_id")))
     sims = joined.select(
         "query_id", F.col("vec_id").alias("neighbor_id"),
         _cosine(F.col("qv"), F.col("v")).alias("sim_raw"))
