@@ -14,12 +14,18 @@ rejects are
   * ``\\x{10FFFF}`` brace-delimited hex escapes.
 
 ``compile(pattern)`` translates exactly those into explicit code-point
-character classes (computed once from ``unicodedata`` and cached) and
-hands the result to ``re.compile`` — so the selector grammar accepts the
-ICU dialect while evaluation stays on the stdlib engine. Property names
-the shim cannot resolve (ICU script names like ``\\p{Greek}`` need script
-tables the stdlib does not ship) raise ``re.error`` with a clear message —
-a documented boundary, not a silent mismatch.
+character classes and hands the result to ``re.compile`` — so the
+selector grammar accepts the ICU dialect while evaluation stays on the
+stdlib engine. General categories and POSIX-style binary names are
+computed once from ``unicodedata``; ICU *script* names (``\\p{Greek}``,
+``\\p{Han}``, ``\\p{sc=Cyrillic}``, ``\\p{IsHiragana}``, ...) resolve
+through a generated exact Script-property table
+(:mod:`swiftsoup_spark.select.scripts_data`, 35 scripts extracted from
+the public UCD tables shipped in RE2 — see scripts/gen_script_ranges.py;
+fidelity is gated against RE2 itself in tests/test_icu_scripts.py).
+Property names the shim still cannot resolve (rare scripts outside the
+generated set, non-script binary properties) raise ``re.error`` with a
+clear message — a documented boundary, not a silent mismatch.
 """
 
 from __future__ import annotations
@@ -28,6 +34,8 @@ import re
 import sys
 import unicodedata
 from functools import lru_cache
+
+from .scripts_data import SCRIPT_RANGES
 
 __all__ = ["compile", "translate"]
 
@@ -166,29 +174,37 @@ def _prop_ranges(spec: tuple[str, ...]) -> tuple[tuple[int, int], ...]:
     return tuple(merged)
 
 
-def _resolve(name: str) -> tuple[str, ...]:
-    """Property name -> category-spec tuple, or raise re.error."""
+def _name_to_ranges(name: str) -> tuple[tuple[int, int], ...]:
+    """Property name -> code-point ranges, or raise re.error.
+
+    Resolution order: POSIX/binary aliases, long category names,
+    one/two-letter general categories, then Script names (exact UCD
+    ranges from the generated table). Accepts the ICU spelling variants
+    ``IsFoo`` / ``general_category=Foo`` / ``gc=Foo`` / ``script=Foo`` /
+    ``sc=Foo``."""
     key = name.replace("_", "").replace("-", "").replace(" ", "").lower()
-    # IsFoo / general_category=Foo / gc=Foo forms
-    for prefix in ("is", "generalcategory=", "gc="):
+    for prefix in ("generalcategory=", "gc=", "script=", "sc=", "is"):
         if key.startswith(prefix) and len(key) > len(prefix):
             key = key[len(prefix):]
             break
     if key in _ALIASES:
-        return _ALIASES[key]
+        return _prop_ranges(_ALIASES[key])
     if key in _LONG_CATEGORY:
         cat = _LONG_CATEGORY[key]
-        return ("Lu", "Ll", "Lt") if cat == "L&" else (cat,)
+        return _prop_ranges(("Lu", "Ll", "Lt") if cat == "L&" else (cat,))
     # category spelling (case-insensitive after prefix strip): one-letter
     # group or two-letter general category
     if len(key) == 1 and key.upper() in "LMNPSZC":
-        return (key.upper(),)
+        return _prop_ranges((key.upper(),))
     if len(key) == 2 and key[0].upper() in "LMNPSZC":
-        return (key[0].upper() + key[1].lower(),)
+        return _prop_ranges((key[0].upper() + key[1].lower(),))
+    if key in SCRIPT_RANGES:
+        return SCRIPT_RANGES[key]
     raise re.error(
-        f"unsupported ICU property \\p{{{name}}}: general categories and "
-        f"POSIX-style names are translated; script names need ICU tables "
-        f"the stdlib does not ship")
+        f"unsupported ICU property \\p{{{name}}}: general categories, "
+        f"POSIX-style names and {len(SCRIPT_RANGES)} common script names "
+        f"are translated; this name is outside the generated set "
+        f"(scripts/gen_script_ranges.py)")
 
 
 def _complement(ranges: tuple[tuple[int, int], ...]) -> tuple[tuple[int, int], ...]:
@@ -246,7 +262,7 @@ def translate(pattern: str) -> str:
                 if name.startswith("^"):       # ICU \p{^L} == \P{L}
                     neg = not neg
                     name = name[1:]
-                ranges = _prop_ranges(_resolve(name))
+                ranges = _name_to_ranges(name)
                 if neg:
                     ranges = _complement(ranges)
                 body = _class_body(ranges)

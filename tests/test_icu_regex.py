@@ -52,8 +52,11 @@ def test_plain_patterns_unchanged():
 
 
 def test_unsupported_script_raises():
+    # common scripts now resolve (test_icu_scripts.py); only names outside
+    # the generated table stay loud errors
+    assert icu.compile(r"\p{Greek}").search("Ω")
     with pytest.raises(re.error, match="unsupported ICU property"):
-        icu.compile(r"\p{Greek}")
+        icu.compile(r"\p{Tagbanwa}")
 
 
 def test_unterminated_brace_raises():
