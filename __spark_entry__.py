@@ -476,6 +476,48 @@ def q_lang_signal(spark, sf_dir):
     return TX.lang_signal(_docs(spark, sf_dir))
 
 
+# planted multilingual corpus for the lang_detect gate: doc_id % 11 picks
+# the language; the oracle (and tests/test_textstats_lang.py) replays the
+# identical construction, so detection recovering the planted code is
+# what the value-hash compare certifies.
+_LANG_PLANTED = [
+    ("en", "the cat and the dog went to the house of the king in the "
+           "morning and it is good"),
+    ("es", "la casa de el niño y los perros están en una calle de la "
+           "ciudad y es la historia"),
+    ("fr", "le chien et le chat sont dans la maison des amis et il est "
+           "heureux aux champs"),
+    ("de", "der hund und die katze sind in dem haus und sie gehen durch "
+           "die schule und sprechen"),
+    ("it", "il cane che corre per la strada di una piccola città con il "
+           "gatto che dorme"),
+    ("pt", "os cães e os gatos estão em uma casa da cidade com uma canção "
+           "do povo em paz"),
+    ("zh", "数据处理系统的设计与实现需要考虑大规模并行计算的性能问题"),
+    ("ja", "これはにほんごのテキストですかなもじがたくさんあります"),
+    ("ko", "한국어 텍스트 문서입니다 대규모 데이터 처리 시스템"),
+    ("ru", "быстрая коричневая лиса прыгает через ленивую собаку в лесу"),
+    ("el", "η γρήγορη καφέ αλεπού πηδάει πάνω από το τεμπέλικο σκυλί στο "
+           "δάσος"),
+]
+
+
+def q_lang_detect(spark, sf_dir):
+    """Char-trigram + script language-ID (ops/textstats.lang_detect) over
+    an 11-language planted corpus — replaces the r3 4-stopword toy. The
+    DuckDB oracle replays the full scoring formula (generated from the
+    same LANG_TRIGRAMS/LANG_SCRIPTS tables), so lang_pred == planted code
+    is certified row-by-row by the value hash."""
+    n = len(_LANG_PLANTED)
+    sent = F.element_at(F.array(*[F.lit(s) for _, s in _LANG_PLANTED]),
+                        (F.col("doc_id") % n + 1).cast("int"))
+    code = F.element_at(F.array(*[F.lit(c) for c, _ in _LANG_PLANTED]),
+                        (F.col("doc_id") % n + 1).cast("int"))
+    df = _docs(spark, sf_dir).select(
+        "doc_id", code.alias("lang_planted"), sent.alias("text"))
+    return TX.lang_detect(df, keep=("doc_id", "lang_planted"))
+
+
 def q_fingerprint(spark, sf_dir):
     return TX.fingerprint(_docs(spark, sf_dir))
 
@@ -620,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality": q_quality,
         "lang_signal": q_lang_signal,
+        "lang_detect": q_lang_detect,
         "fingerprint": q_fingerprint,
         "ann_brute_force": q_ann_brute_force,
         "ann_bucketed": q_ann_bucketed,
@@ -769,6 +812,20 @@ SELECT doc_id, lang,
                  ['the', 'a', 'of', 'and'])) >= 1 THEN 'en'
             ELSE 'und' END AS lang_pred
 FROM documents
+"""
+    _n_pl = len(_LANG_PLANTED)
+    _case_code = " ".join(f"WHEN {i} THEN '{c}'"
+                          for i, (c, _) in enumerate(_LANG_PLANTED))
+    _case_text = " ".join(f"WHEN {i} THEN '{s}'"
+                          for i, (_, s) in enumerate(_LANG_PLANTED))
+    _pred_sql, _score_sql = TX.lang_detect_oracle_exprs("text")
+    lang_detect = f"""
+WITH t AS (SELECT doc_id,
+                  CASE doc_id % {_n_pl} {_case_code} END AS lang_planted,
+                  CASE doc_id % {_n_pl} {_case_text} END AS text
+           FROM documents)
+SELECT doc_id, lang_planted, {_pred_sql} AS lang_pred, {_score_sql} AS top_score
+FROM t
 """
     return {
         "streaming_extract": (
@@ -944,6 +1001,7 @@ WHERE bit_count(xor(CAST(a.uv AS UBIGINT), CAST(b.uv AS UBIGINT))) <= 3
             "FROM documents"),
         "quality": quality,
         "lang_signal": lang,
+        "lang_detect": lang_detect,
         "fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))) "
             "AS fp FROM documents"),

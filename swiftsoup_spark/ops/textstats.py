@@ -57,6 +57,116 @@ def lang_signal(df, text_col: str = "text"):
     )
 
 
+# --- language identification -------------------------------------------------
+#
+# Two-stage detector, all JVM-side (whole-stage codegen, no Python):
+#   1. script short-circuit — explicit code-point ranges (identical
+#      literals in Java regex and RE2, so the DuckDB oracle replays them
+#      exactly): kana => ja, hangul => ko, han => zh, cyrillic => ru,
+#      greek => el, by script-char fraction of the text;
+#   2. Latin path — characteristic-trigram count scoring: per language,
+#      score = total occurrences of its profile trigrams in the
+#      space-padded lowercased text, counted with length(replace(...))
+#      deltas (plain string ops, exact integers); argmax wins, ties break
+#      alphabetically, all-zero => 'und'.
+#
+# Replaces the r3 lang_signal toy (4 stopwords + CJK regex) with a real
+# char-n-gram model while keeping the closed-form oracle property: every
+# operation here is expressible verbatim in ANSI SQL.
+
+LANG_TRIGRAMS = {
+    "en": [" th", "the", "he ", " an", "nd ", "ing", " of", " to", "ed ",
+           " in", "ion", " is"],
+    "es": [" la", "la ", " el", "el ", "ión", "ció", " lo", "los", " es",
+           "sta", " un", "una"],
+    "fr": [" le", "le ", " et", "et ", "ent", "ait", "eur", "des", " un",
+           "ux ", "est", " il"],
+    "de": ["der", "ie ", "die", "und", " un", "sch", "ein", "ich", "cht",
+           "en ", " ge", " di"],
+    "it": [" di", "di ", "che", " ch", "il ", " il", "lla", "zio", "one",
+           " pe", "per", "to "],
+    "pt": ["ão ", "ção", " da", "da ", " do", "do ", "os ", " os", "em ",
+           " em", " um", "uma"],
+}
+
+# (lang, code-point class, min script-char fraction); order matters — kana
+# before han so Japanese text (which mixes both) resolves ja first.
+LANG_SCRIPTS = [
+    ("ja", "[ぁ-ヿ]", 0.05),
+    ("ko", "[가-힣]", 0.30),
+    ("zh", "[一-鿿]", 0.30),
+    ("ru", "[Ѐ-ӿ]", 0.30),
+    ("el", "[Ͱ-Ͽἀ-῿]", 0.30),
+]
+
+
+def lang_detect(df, text_col: str = "text", keep=("doc_id",)):
+    """Char-trigram + script language-ID. Returns (*keep, lang_pred,
+    top_score) with top_score the winning trigram count (0 on the script
+    path and for 'und').
+
+    Scale: pure per-row string expressions — ~70 literal `replace` calls
+    and 5 `regexp_replace` calls fused into one codegen stage; no
+    shuffle, no Python, no broadcast state beyond plan literals."""
+    t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    n = F.length(t)
+
+    def script_frac(cls):
+        return (n - F.length(F.regexp_replace(t, cls, ""))) / n
+
+    scores = {
+        lang: sum((F.length(t) - F.length(F.replace(t, F.lit(tri))))
+                  for tri in tris)
+        for lang, tris in LANG_TRIGRAMS.items()
+    }
+    mx = F.greatest(*scores.values())
+    latin = F.when(mx <= 0, F.lit("und"))
+    for lang in sorted(LANG_TRIGRAMS):
+        latin = latin.when(scores[lang] == mx, F.lit(lang))
+    latin = latin.otherwise(F.lit("und"))
+
+    pred = F.when(F.col(text_col).isNull() | (F.length(text_col) == 0),
+                  F.lit("und"))
+    for lang, cls, thr in LANG_SCRIPTS:
+        pred = pred.when(script_frac(cls) > thr, F.lit(lang))
+    pred = pred.otherwise(latin)
+
+    return df.select(
+        *keep,
+        pred.alias("lang_pred"),
+        F.when(pred.isin(list(LANG_TRIGRAMS)), mx).otherwise(F.lit(0))
+         .cast("long").alias("top_score"),
+    )
+
+
+def lang_detect_oracle_exprs(text_expr: str = "text"):
+    """The exact ANSI-SQL replay of :func:`lang_detect` (single source of
+    truth: generated from the same LANG_TRIGRAMS / LANG_SCRIPTS tables).
+    Returns (pred_sql, score_sql) scalar expressions over ``text_expr``."""
+    t = f"(' ' || lower({text_expr}) || ' ')"
+    score = {
+        lang: " + ".join(
+            f"(length({t}) - length(replace({t}, '{tri}', '')))"
+            for tri in tris)
+        for lang, tris in LANG_TRIGRAMS.items()
+    }
+    mx = "greatest(" + ", ".join(f"({s})" for s in score.values()) + ")"
+    latin = f"CASE WHEN {mx} <= 0 THEN 'und' "
+    for lang in sorted(LANG_TRIGRAMS):
+        latin += f"WHEN ({score[lang]}) = {mx} THEN '{lang}' "
+    latin += "ELSE 'und' END"
+    pred = (f"CASE WHEN {text_expr} IS NULL OR length({text_expr}) = 0 "
+            f"THEN 'und' ")
+    for lang, cls, thr in LANG_SCRIPTS:
+        frac = (f"(length({t}) - length(regexp_replace({t}, '{cls}', '', 'g')))"
+                f" * 1.0 / length({t})")
+        pred += f"WHEN {frac} > {thr} THEN '{lang}' "
+    pred += f"ELSE ({latin}) END"
+    in_latin = " OR ".join(f"({pred}) = '{lg}'" for lg in sorted(LANG_TRIGRAMS))
+    score_sql = (f"CAST(CASE WHEN {in_latin} THEN {mx} ELSE 0 END AS BIGINT)")
+    return pred, score_sql
+
+
 def fingerprint(df, text_col: str = "text"):
     """Deterministic document fingerprint (md5 of space-normalized text) —
     the exact-dedup / lineage key at corpus scale."""
