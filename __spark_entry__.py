@@ -472,6 +472,45 @@ def q_quality(spark, sf_dir):
     )
 
 
+def _gopher_corpus(spark, sf_dir):
+    """Multi-line corpus variant for the Gopher/C4 line-level filters:
+    even docs are clean 3-line text, odd docs repeat their body line and
+    carry bullet/ellipsis/header junk. The oracle replays the identical
+    construction with chr(10) concats."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    clean = F.concat_ws(
+        "\n", F.col("text"),
+        F.concat(F.lit("second line of doc "), did),
+        F.lit("third line with words and the of to in them all"))
+    messy = F.concat_ws(
+        "\n", F.col("text"), F.col("text"),
+        F.concat(F.lit("- bullet "), (F.col("doc_id") % 5).cast("string")),
+        F.concat(F.lit("- bullet "), (F.col("doc_id") % 5).cast("string")),
+        F.lit("* item"), F.lit("trailing thought..."),
+        F.lit("## header ##"))
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, clean).otherwise(messy)
+         .alias("text"))
+
+
+def q_quality_gopher(spark, sf_dir):
+    """Gopher/C4 line+symbol quality filters (bullet/ellipsis fractions,
+    symbol ratio, alpha-word fraction, duplicate-line and dup-char
+    fractions, combined pass flag) — per-row higher-order functions,
+    zero shuffle; oracle replays every formula in DuckDB lambdas."""
+    return TX.quality_gopher(_gopher_corpus(spark, sf_dir))
+
+
+def q_quality_repetition(spark, sf_dir):
+    """Gopher top-1-gram repetition: most frequent word share per doc via
+    explode -> (doc_id, word) count -> partial-agg argmax (min of
+    (-c, w) struct). Linear at any document size — no quadratic per-row
+    scan — which is what survives MB-sized documents at 100 TB."""
+    return TX.quality_repetition(_docs(spark, sf_dir))
+
+
 def q_lang_signal(spark, sf_dir):
     return TX.lang_signal(_docs(spark, sf_dir))
 
@@ -661,6 +700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_mixed_corpus": q_extract_mixed_corpus,
         "token_count": q_token_count,
         "quality": q_quality,
+        "quality_gopher": q_quality_gopher,
+        "quality_repetition": q_quality_repetition,
         "lang_signal": q_lang_signal,
         "lang_detect": q_lang_detect,
         "fingerprint": q_fingerprint,
@@ -818,6 +859,83 @@ FROM documents
                           for i, (c, _) in enumerate(_LANG_PLANTED))
     _case_text = " ".join(f"WHEN {i} THEN '{s}'"
                           for i, (_, s) in enumerate(_LANG_PLANTED))
+    quality_gopher = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN text || chr(10) || 'second line of doc ' || doc_id ||
+                   chr(10) ||
+                   'third line with words and the of to in them all'
+              ELSE text || chr(10) || text || chr(10) ||
+                   '- bullet ' || (doc_id % 5) || chr(10) ||
+                   '- bullet ' || (doc_id % 5) || chr(10) ||
+                   '* item' || chr(10) || 'trailing thought...' ||
+                   chr(10) || '## header ##'
+         END AS text
+  FROM documents),
+s AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split_regex(text, '[ \n]'),
+                     x -> length(x) > 0) AS words
+  FROM t),
+m AS (
+  SELECT doc_id,
+         len(lines) AS n_lines, len(words) AS n_words,
+         len(list_filter(lines, l -> starts_with(l, '- ')
+             OR starts_with(l, '* ') OR starts_with(l, '•'))) AS n_bullet,
+         len(list_filter(lines, l -> ends_with(l, '...')
+             OR ends_with(l, '…'))) AS n_ellipsis,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS n_dots,
+         len(list_filter(words,
+             w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+         len(lines) - len(list_distinct(lines)) AS dup_lines,
+         list_sum(list_transform(list_distinct(lines),
+             d -> CASE WHEN len(list_filter(lines, x -> x = d)) > 1
+                       THEN length(d) * len(list_filter(lines, x -> x = d))
+                       ELSE 0 END)) AS dup_chars,
+         length(text) AS n_chars
+  FROM s)
+SELECT doc_id,
+       CAST(n_lines AS INTEGER) AS n_lines,
+       CAST(n_words AS INTEGER) AS n_words,
+       CAST(round((n_hash + n_dots) / n_words * 1000000) AS BIGINT)
+         AS symbol_ratio_e6,
+       CAST(round(n_bullet * 1.0 / n_lines * 1000000) AS BIGINT)
+         AS bullet_frac_e6,
+       CAST(round(n_ellipsis * 1.0 / n_lines * 1000000) AS BIGINT)
+         AS ellipsis_frac_e6,
+       CAST(round(n_alpha * 1.0 / n_words * 1000000) AS BIGINT)
+         AS alpha_frac_e6,
+       CAST(round(dup_lines * 1.0 / n_lines * 1000000) AS BIGINT)
+         AS dup_line_frac_e6,
+       CAST(round(dup_chars * 1.0 / n_chars * 1000000) AS BIGINT)
+         AS dup_char_frac_e6,
+       CAST(n_words >= 50 AND n_words <= 100000
+            AND (n_hash + n_dots) / n_words < 0.1
+            AND n_bullet * 1.0 / n_lines < 0.9
+            AND n_ellipsis * 1.0 / n_lines < 0.3
+            AND n_alpha * 1.0 / n_words > 0.8
+            AND dup_lines * 1.0 / n_lines < 0.3 AS INTEGER) AS gopher_pass
+FROM m
+"""
+    quality_repetition = """
+WITH w AS (SELECT doc_id,
+                  unnest(list_filter(string_split_regex(text, '[ \n]'),
+                                     x -> length(x) > 0)) AS w
+           FROM documents),
+c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+r AS (SELECT doc_id, w, c,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, w) AS rk,
+             sum(c) OVER (PARTITION BY doc_id) AS n_words
+      FROM c)
+SELECT doc_id, w AS top_word, CAST(c AS BIGINT) AS top_count,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(round(c * 1000000.0 / n_words) AS BIGINT) AS top_word_frac_e6
+FROM r WHERE rk = 1
+"""
     _pred_sql, _score_sql = TX.lang_detect_oracle_exprs("text")
     lang_detect = f"""
 WITH t AS (SELECT doc_id,
@@ -1000,6 +1118,8 @@ WHERE bit_count(xor(CAST(a.uv AS UBIGINT), CAST(b.uv AS UBIGINT))) <= 3
             "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens "
             "FROM documents"),
         "quality": quality,
+        "quality_gopher": quality_gopher,
+        "quality_repetition": quality_repetition,
         "lang_signal": lang,
         "lang_detect": lang_detect,
         "fingerprint": (

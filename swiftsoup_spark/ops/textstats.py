@@ -57,6 +57,99 @@ def lang_signal(df, text_col: str = "text"):
     )
 
 
+# --- Gopher/C4-style quality filters -----------------------------------------
+
+
+def quality_gopher(df, text_col: str = "text"):
+    """Line- and symbol-level quality stats in the Gopher/C4 family:
+    bullet-line fraction, ellipsis-line fraction, symbol-to-word ratio
+    (# and ellipses), alphabetic-word fraction, duplicate-line fraction,
+    duplicate-line *character* fraction — plus the combined
+    ``gopher_pass`` flag.
+
+    Scale: entirely per-row higher-order array functions (JVM codegen,
+    zero shuffle, zero Python). The duplicate-line char scan is
+    O(distinct_lines x lines) per row — lines per document are dozens,
+    so it stays cheap and embarrassingly parallel; the corpus-scale
+    repetition stats that genuinely need grouping live in
+    :func:`quality_repetition`."""
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    words = F.filter(F.split(F.col(text_col), "[ \n]"),
+                     lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    n_bullet = F.size(F.filter(
+        lines, lambda l: l.startswith("- ") | l.startswith("* ")
+        | l.startswith("•")))
+    n_ellipsis = F.size(F.filter(
+        lines, lambda l: l.endswith("...") | l.endswith("…")))
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.replace(F.col(text_col), F.lit("#")))
+    n_dots = (F.length(F.col(text_col)) - F.length(
+        F.replace(F.col(text_col), F.lit("...")))) / 3
+    symbol_ratio = (n_hash + n_dots) / n_words
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+    dup_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0),
+        lambda acc, d: acc + F.when(
+            F.size(F.filter(lines, lambda x: x == d)) > 1,
+            F.length(d) * F.size(F.filter(lines, lambda x: x == d)))
+            .otherwise(F.lit(0)))
+    n_chars = F.length(F.col(text_col))
+    bullet_frac = n_bullet / n_lines
+    ellipsis_frac = n_ellipsis / n_lines
+    alpha_frac = n_alpha / n_words
+    dup_line_frac = dup_lines / n_lines
+    dup_char_frac = dup_chars / n_chars
+    gopher_pass = ((n_words >= 50) & (n_words <= 100000)
+                   & (symbol_ratio < 0.1) & (bullet_frac < 0.9)
+                   & (ellipsis_frac < 0.3) & (alpha_frac > 0.8)
+                   & (dup_line_frac < 0.3))
+
+    def e6(c):
+        return F.round(c * 1000000).cast("long")
+
+    return df.select(
+        "doc_id",
+        n_lines.alias("n_lines"), n_words.alias("n_words"),
+        e6(symbol_ratio).alias("symbol_ratio_e6"),
+        e6(bullet_frac).alias("bullet_frac_e6"),
+        e6(ellipsis_frac).alias("ellipsis_frac_e6"),
+        e6(alpha_frac).alias("alpha_frac_e6"),
+        e6(dup_line_frac).alias("dup_line_frac_e6"),
+        e6(dup_char_frac).alias("dup_char_frac_e6"),
+        gopher_pass.cast("int").alias("gopher_pass"),
+    )
+
+
+def quality_repetition(df, text_col: str = "text"):
+    """Corpus-scale repetition stats: per doc, the most-frequent word's
+    share of all words (Gopher's top-n-gram fraction at n=1) and its
+    word. Explode -> two partial-aggregated groupBys (linear, map-side
+    combines, shuffle keyed by (doc_id, word) then doc_id — no quadratic
+    per-row scan, so it holds at 100 TB where documents can be MBs).
+    Ties break lexicographically smaller word first (deterministic)."""
+    words = (df.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.col(text_col), "[ \n]"),
+                           lambda w: F.length(w) > 0)).alias("w")))
+    counts = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    # min(struct(-c, w)) = highest count, then lexicographically smallest
+    # word — a partial-aggregable argmax (no window sort needed)
+    top = (counts.groupBy("doc_id")
+           .agg(F.min(F.struct((-F.col("c")).alias("negc"),
+                               F.col("w"))).alias("t"),
+                F.sum("c").alias("n_words"))
+           .select("doc_id",
+                   F.col("t.w").alias("top_word"),
+                   (-F.col("t.negc")).alias("top_count"),
+                   "n_words",
+                   F.round((-F.col("t.negc")) * 1000000 / F.col("n_words"))
+                    .cast("long").alias("top_word_frac_e6")))
+    return top
+
+
 # --- language identification -------------------------------------------------
 #
 # Two-stage detector, all JVM-side (whole-stage codegen, no Python):
