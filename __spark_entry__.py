@@ -408,6 +408,24 @@ def q_pdf_extract_text(spark, sf_dir):
             .select("url", "text"))
 
 
+def q_pdf_extract_cid(spark, sf_dir):
+    """Composite-font (Type0/CID, Identity-H) PDF extraction: the writer
+    emits 2-byte CIDs with ToUnicode CMaps (bfchar on even docs, bfrange
+    incrementing-runs + array singletons on odd), carrying full-unicode
+    text a simple font cannot (Greek + Han planted per doc). The parser
+    walks the object graph (Pages -> Contents + Font resources), decodes
+    shows through the CMap. Oracle states expected text in closed form."""
+    from swiftsoup_spark.ops.pdftext import extract_pdf_text, synthesize_pdfs
+    load_documents(spark, sf_dir)
+    df = spark.sql(
+        f"SELECT {URL_SQL} AS url, doc_id, "
+        "text || ' Ωμέγα 中文 κείμενο' AS text FROM documents")
+    pdfs = synthesize_pdfs(df, keep_cols=("url",),
+                           variant_base=4, n_variants=2)
+    return (extract_pdf_text(pdfs, keep_cols=("url",))
+            .select("url", "text"))
+
+
 def q_extract_mixed_corpus(spark, sf_dir):
     """Sniff-and-route extraction over a mixed HTML/PDF binary corpus
     (even doc_id -> utf-8 HTML bytes, odd -> synthesized PDF): one fused
@@ -696,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
         "pdf_extract_text": q_pdf_extract_text,
+        "pdf_extract_cid": q_pdf_extract_cid,
         "extract_main_heuristic": q_extract_main_heuristic,
         "extract_mixed_corpus": q_extract_mixed_corpus,
         "token_count": q_token_count,
@@ -1075,6 +1094,10 @@ SELECT {URL_SQL} AS url,
                  array_to_string(list_slice(ws, half + 1, len(ws)), ' ')
        END AS text
 FROM s
+""",
+        "pdf_extract_cid": f"""
+SELECT {URL_SQL} AS url, text || ' Ωμέγα 中文 κείμενο' AS text
+FROM documents
 """,
         "near_dup_clusters": f"""
 WITH RECURSIVE
