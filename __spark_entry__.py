@@ -160,6 +160,53 @@ def q_rewrite_links(spark, sf_dir):
         in_col="body")
 
 
+def q_html_roundtrip(spark, sf_dir):
+    """Raw-source serialization fast path through the driver gate
+    (reference Document.patchedOuterHtmlUTF8, Document.swift:554-594):
+    full DOM build, then non-pretty document outerHtml — an unmutated
+    source-tracked document re-emits its source verbatim, so the oracle
+    is the input html itself. Pins the serializer's raw path end-to-end
+    and measures parse + zero-copy re-emit throughput."""
+    from pyspark.sql import types as T
+    pages = pages_df(spark, sf_dir)
+
+    def row(tb, s):
+        from swiftsoup_spark.api import parse
+        d = parse(s)
+        d.output_settings.pretty_print = False
+        return (d.outer_html(),)
+
+    return X.apply_kernel(
+        pages, row, [T.StructField("roundtrip", T.StringType())])
+
+
+def q_rewrite_links_raw(spark, sf_dir):
+    """Mutate-then-splice serialization (reference sourcePatches): same
+    rewrite as `rewrite_links` but serialized non-pretty, so only the
+    mutated <a> subtree is rebuilt while sibling bytes re-emit raw from
+    the fragment source."""
+    from pyspark.sql import types as T
+    from swiftsoup_spark.spark.pages import URL_SQL, load_documents
+    load_documents(spark, sf_dir)
+    pages = spark.sql(
+        f"SELECT {URL_SQL} AS url, "
+        "'<span><a href=\"/l/' || doc_id || '\">go</a> "
+        "<b>k' || doc_id || '</b></span>' AS body FROM documents")
+
+    def row(tb, s):
+        from swiftsoup_spark.api import parse_body_fragment
+        from swiftsoup_spark.kernel.serializer import OutputSettings, inner_html
+        d = parse_body_fragment(s)
+        for a in d.select("a[href]"):
+            a.set_attr("href", "https://mirror.test" + a.attr("href"))
+        return (inner_html(d.arena, d.body().id,
+                           OutputSettings(pretty_print=False)),)
+
+    return X.apply_kernel(
+        pages, row, [T.StructField("rewritten", T.StringType())],
+        in_col="body")
+
+
 def q_parse_error_positions(spark, sf_dir):
     """Positioned parse-error tracking (reference ParseErrorList): a
     template with a known duplicate attribute yields one error at a
@@ -704,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_extract": q_streaming_extract,
         "parse_xml": q_parse_xml,
         "rewrite_links": q_rewrite_links,
+        "html_roundtrip": q_html_roundtrip,
+        "rewrite_links_raw": q_rewrite_links_raw,
         "select_attr_entities": q_select_attr_entities,
         "parse_error_positions": q_parse_error_positions,
         "dedup_exact": q_dedup_exact,
@@ -1050,6 +1099,17 @@ FROM t
             f"SELECT {URL_SQL} AS url, doc_id % 2 = 0 AS is_valid "
             "FROM documents"),
         "rewrite_links": (
+            f"SELECT {URL_SQL} AS url, "
+            "'<span><a href=\"https://mirror.test/l/' || doc_id || "
+            "'\">go</a> <b>k' || doc_id || '</b></span>' AS rewritten "
+            "FROM documents"),
+        # unmutated source-tracked document re-emits its source verbatim
+        "html_roundtrip": (
+            f"SELECT {URL_SQL} AS url, {HTML_SQL} AS roundtrip "
+            "FROM documents"),
+        # only the mutated <a> rebuilds; sibling bytes splice raw — the
+        # canonical output happens to match the pretty variant here
+        "rewrite_links_raw": (
             f"SELECT {URL_SQL} AS url, "
             "'<span><a href=\"https://mirror.test/l/' || doc_id || "
             "'\">go</a> <b>k' || doc_id || '</b></span>' AS rewritten "

@@ -70,6 +70,12 @@ def parse_body_fragment(html: str, base_uri: str = "") -> Document:
     for nid in frag:
         arena.parent[nid] = -1
         arena.append_child(body, nid)
+    # the shell restructure reparents the fragment under a synthesized
+    # body: the document-level source-splice path must not emit the bare
+    # fragment source (the reference's shell document carries no
+    # sourceBuffer, Document.createShell); per-node raw slices on the
+    # moved-but-unchanged fragment elements remain valid
+    arena.mark_dirty(root)
     return Document(arena, 0)
 
 

@@ -3017,6 +3017,9 @@ typedef struct {
     int text_off, text_len;      /* -1 len => None */
     int attr_off, attr_n;        /* into ab->attrs */
     int src_start, src_end;      /* char offsets; -1 untracked */
+    int src_close;               /* subtree-complete end offset; -1
+                                  * incomplete, -2 never (foster) —
+                                  * mirrors arena.src_close */
     IVec kids;
 } ANode;
 
@@ -3084,6 +3087,11 @@ typedef struct {
     int raw_mode, raw_tag;
     Tok2 pending[AB_MAXPEND]; int npend;
     Py_ssize_t tok_start, tok_end;   /* byte span of current REAL token */
+    /* raw-source close stamping (kernel/treebuilder.py _cur_end/_cur_start):
+     * tag id of the current source-backed end/start token, -1 otherwise;
+     * cur_end_tag is cleared after a successful stamp (single-shot) and
+     * on adoption-agency restructuring */
+    int cur_end_tag, cur_start_tag, cur_is_comment;
     int errors;                      /* duplicate-attribute count */
     int quirks;
     int base_off, base_len, base_set;
@@ -3141,7 +3149,7 @@ static int ab_new_node(AB *ab, int ntype, int tag) {
     nd->parent = -1;
     nd->text_off = 0; nd->text_len = -1;
     nd->attr_off = 0; nd->attr_n = 0;
-    nd->src_start = -1; nd->src_end = -1;
+    nd->src_start = -1; nd->src_end = -1; nd->src_close = -1;
     return ab->nn++;
 }
 
@@ -4047,6 +4055,13 @@ static void b_foster_parent(AB *ab, int nid) {
             break;
         }
     }
+    /* the fostered node's source lies INSIDE the target's span but
+     * OUTSIDE its DOM subtree (treebuilder._foster_parent -2) */
+    if (ab->track_spans) {
+        int tgt = (last_table != -1) ? last_table
+                  : (ab->stack.len ? ab->stack.d[0] : -1);
+        if (tgt >= 0) ab->nodes[tgt].src_close = -2;
+    }
     if (last_table != -1) {
         if (ab->nodes[last_table].parent != -1)
             ab_insert_before(ab, last_table, nid);
@@ -4121,6 +4136,8 @@ static int b_insert_empty(AB *ab, int tag, int aoff, int an, int sc) {
     if (ab->bail) return 0;
     ab->nodes[el].attr_off = aoff; ab->nodes[el].attr_n = an;
     b_insert_node(ab, el);
+    if (ab->track_spans && ab->cur_start_tag == tag)
+        ab->nodes[el].src_close = ab_charoff(ab, ab->tok_end);
     if (sc) { if (!iv_push(&ab->selfclosing, el)) ab_bail(ab); }
     b_maybe_base(ab, tag, aoff, an);
     b_track_form_control(ab, tag, el);
@@ -4166,6 +4183,8 @@ static void b_insert_comment(AB *ab, Tok2 *t) {
     ab->nodes[nid].text_off = t->text_off;
     ab->nodes[nid].text_len = t->text_len;
     b_insert_node(ab, nid);
+    if (ab->track_spans && ab->cur_is_comment)
+        ab->nodes[nid].src_close = ab_charoff(ab, ab->tok_end);
 }
 
 /* comment attached to a fixed parent (Initial/BeforeHtml/AfterAfter*) */
@@ -4232,15 +4251,32 @@ static int b_in_select_scope(AB *ab, int tag) {
     return 0;
 }
 
+/* treebuilder._stamp_close: record the end of el's source subtree when
+ * it is being closed by its own explicit matching end tag (single-shot
+ * per token) */
+static void b_stamp_close(AB *ab, int el) {
+    if (!ab->track_spans || ab->cur_end_tag < 0) return;
+    ANode *nd = &ab->nodes[el];
+    if (nd->src_close != -1 || nd->src_start < 0) return;
+    if (nd->tag != ab->cur_end_tag) return;
+    nd->src_close = ab_charoff(ab, ab->tok_end);
+    ab->cur_end_tag = -1;
+}
+/* treebuilder.pop(): every stack pop attempts a close stamp */
+static int b_pop1(AB *ab) {
+    int el = ab->stack.d[--ab->stack.len];
+    if (ab->cur_end_tag >= 0) b_stamp_close(ab, el);
+    return el;
+}
 static void b_pop_to_close(AB *ab, int tag) {
     while (ab->stack.len) {
-        int el = ab->stack.d[--ab->stack.len];
+        int el = b_pop1(ab);
         if (ab->nodes[el].tag == tag) break;
     }
 }
 static void b_pop_to_close_headings(AB *ab) {
     while (ab->stack.len) {
-        int el = ab->stack.d[--ab->stack.len];
+        int el = b_pop1(ab);
         if (ab_flags(ab->nodes[el].tag) & F_HEADING) break;
     }
 }
@@ -4248,7 +4284,7 @@ static void b_clear_stack_to_table_context(AB *ab) {
     while (ab->stack.len) {
         int t = b_cur_tag(ab);
         if (t == T_table || t == T_html) break;
-        ab->stack.len--;
+        b_pop1(ab);
     }
 }
 static void b_clear_stack_to_table_body_context(AB *ab) {
@@ -4256,14 +4292,14 @@ static void b_clear_stack_to_table_body_context(AB *ab) {
         int t = b_cur_tag(ab);
         if (t == T_tbody || t == T_tfoot || t == T_thead || t == T_html)
             break;
-        ab->stack.len--;
+        b_pop1(ab);
     }
 }
 static void b_clear_stack_to_table_row_context(AB *ab) {
     while (ab->stack.len) {
         int t = b_cur_tag(ab);
         if (t == T_tr || t == T_html) break;
-        ab->stack.len--;
+        b_pop1(ab);
     }
 }
 
@@ -4273,7 +4309,7 @@ static void b_gen_implied(AB *ab, int exclude_tag) {
     while (ab->stack.len) {
         int t = b_cur_tag(ab);
         if (t == exclude_tag || !(ab_flags(t) & F_IMPLIED)) return;
-        ab->stack.len--;
+        b_pop1(ab);
     }
 }
 
@@ -4484,6 +4520,7 @@ static int b_adoption_agency(AB *ab, int tag) {
             b_remove_fmt(ab, fmt_el);
             return 1;
         }
+        ab->cur_end_tag = -1;   /* restructuring: suppress close stamps */
         int node = furthest, last_node = furthest;
         for (int inner = 0; inner < 3; inner++) {
             if (node != -1 && b_on_stack(ab, node))
@@ -4710,7 +4747,7 @@ static int b_in_head(AB *ab, Tok2 *t) {
     }
     case AK_END:
         if (t->tag == T_head) {
-            ab->stack.len--;
+            b_pop1(ab);
             ab->mode = M_AFTER_HEAD;
             return 1;
         }
@@ -4720,7 +4757,7 @@ static int b_in_head(AB *ab, Tok2 *t) {
     default:
         break;
     }
-    ab->stack.len--;
+    b_pop1(ab);
     ab->mode = M_AFTER_HEAD;
     return bprocess(ab, t, -1);
 }
@@ -4804,7 +4841,7 @@ static int b_in_head_noscript(AB *ab, Tok2 *t) {
         return 1;
     case AK_END:
         if (t->tag == T_noscript) {
-            ab->stack.len--;
+            b_pop1(ab);
             ab->mode = M_IN_HEAD;
             return 1;
         }
@@ -4900,7 +4937,7 @@ static int b_in_body_start(AB *ab, Tok2 *t) {
             ab->nodes[ab->stack.d[1]].tag != T_body || !ab->frameset_ok)
             return 0;
         ab_remove_from_parent(ab, ab->stack.d[1]);
-        while (ab->stack.len > 1) ab->stack.len--;
+        while (ab->stack.len > 1) b_pop1(ab);
         b_insert_elem(ab, T_frameset, t->attr_off, t->attr_n);
         ab->mode = M_IN_FRAMESET;
         return 1;
@@ -4918,7 +4955,7 @@ static int b_in_body_start(AB *ab, Tok2 *t) {
             Tok2 e = ab_mk_end(T_p);
             bprocess(ab, &e, -1);
         }
-        if (ab_flags(b_cur_tag(ab)) & F_HEADING) ab->stack.len--;
+        if (ab_flags(b_cur_tag(ab)) & F_HEADING) b_pop1(ab);
         b_insert_from_token(ab, t);
         return 1;
     }
@@ -5254,11 +5291,11 @@ static int b_text(AB *ab, Tok2 *t) {
         b_insert_char_tok(ab, t, NT_DATA);
         return 1;
     case AK_EOF:
-        ab->stack.len--;
+        b_pop1(ab);
         ab->mode = ab->orig_mode;
         return bprocess(ab, t, -1);
     case AK_END:
-        ab->stack.len--;
+        b_pop1(ab);
         ab->mode = ab->orig_mode;
         return 1;
     }
@@ -5450,7 +5487,7 @@ static int b_in_column_group(AB *ab, Tok2 *t) {
     case AK_END:
         if (t->tag == T_colgroup) {
             if (b_cur_tag(ab) == T_html) return 0;
-            ab->stack.len--;
+            b_pop1(ab);
             ab->mode = M_IN_TABLE;
             return 1;
         }
@@ -5463,7 +5500,7 @@ static int b_in_column_group(AB *ab, Tok2 *t) {
         break;
     }
     if (b_cur_tag(ab) == T_html) return 0;
-    ab->stack.len--;
+    b_pop1(ab);
     ab->mode = M_IN_TABLE;
     return bprocess(ab, t, -1);
 }
@@ -5503,7 +5540,7 @@ static int b_in_table_body(AB *ab, Tok2 *t) {
         if (g == T_tbody || g == T_tfoot || g == T_thead) {
             if (!b_in_table_scope(ab, g)) return 0;
             b_clear_stack_to_table_body_context(ab);
-            ab->stack.len--;
+            b_pop1(ab);
             ab->mode = M_IN_TABLE;
             return 1;
         }
@@ -5546,7 +5583,7 @@ static int b_in_row(AB *ab, Tok2 *t) {
         if (g == T_tr) {
             if (!b_in_table_scope(ab, g)) return 0;
             b_clear_stack_to_table_row_context(ab);
-            ab->stack.len--;
+            b_pop1(ab);
             ab->mode = M_IN_TABLE_BODY;
             return 1;
         }
@@ -5663,11 +5700,11 @@ static int b_in_select(AB *ab, Tok2 *t) {
                 Tok2 e = ab_mk_end(T_option);
                 bprocess(ab, &e, -1);
             }
-            if (b_cur_tag(ab) == T_optgroup) ab->stack.len--;
+            if (b_cur_tag(ab) == T_optgroup) b_pop1(ab);
             return 1;
         }
         if (g == T_option) {
-            if (b_cur_tag(ab) == T_option) ab->stack.len--;
+            if (b_cur_tag(ab) == T_option) b_pop1(ab);
             return 1;
         }
         if (g == T_select) {
@@ -5753,7 +5790,7 @@ static int b_in_frameset(AB *ab, Tok2 *t) {
     case AK_END:
         if (t->tag == T_frameset) {
             if (b_cur_tag(ab) == T_html) return 0;
-            ab->stack.len--;
+            b_pop1(ab);
             if (!ab->fragment_body && b_cur_tag(ab) != T_frameset)
                 ab->mode = M_AFTER_FRAMESET;
             return 1;
@@ -5882,7 +5919,7 @@ static PyObject *ab_to_python(AB *ab) {
     PyObject *parent = NULL, *ntype = NULL, *tag = NULL, *text = NULL,
              *attrs = NULL, *children = NULL, *selfc = NULL,
              *formpairs = NULL, *unk_nodes = NULL, *base = NULL,
-             *src_s = NULL, *src_e = NULL, *result = NULL;
+             *src_s = NULL, *src_e = NULL, *src_c = NULL, *result = NULL;
     parent = PyList_New(nn);
     ntype = PyList_New(nn);
     tag = PyList_New(nn);
@@ -5990,17 +6027,23 @@ static PyObject *ab_to_python(AB *ab) {
     if (ab->track_spans) {
         src_s = PyList_New(nn);
         src_e = PyList_New(nn);
-        if (!src_s || !src_e) goto fail;
+        src_c = PyList_New(nn);
+        if (!src_s || !src_e || !src_c) goto fail;
         for (int i = 0; i < nn; i++) {
             PyObject *a = PyLong_FromLong(ab->nodes[i].src_start);
             PyObject *b = PyLong_FromLong(ab->nodes[i].src_end);
-            if (!a || !b) { Py_XDECREF(a); Py_XDECREF(b); goto fail; }
+            PyObject *c = PyLong_FromLong(ab->nodes[i].src_close);
+            if (!a || !b || !c) {
+                Py_XDECREF(a); Py_XDECREF(b); Py_XDECREF(c); goto fail;
+            }
             PyList_SET_ITEM(src_s, i, a);
             PyList_SET_ITEM(src_e, i, b);
+            PyList_SET_ITEM(src_c, i, c);
         }
     } else {
         src_s = Py_None; Py_INCREF(src_s);
         src_e = Py_None; Py_INCREF(src_e);
+        src_c = Py_None; Py_INCREF(src_c);
     }
     /* numpy-ready buffers: DFS order (i32) + parent (i64) +
      * ntype (i8) + tag (i32) — the selector Ctx maps these zero-copy
@@ -6043,17 +6086,18 @@ static PyObject *ab_to_python(AB *ab) {
         PyMem_Free(gbuf); PyMem_Free(dfs);
         if (!npy) { npy = Py_None; Py_INCREF(npy); }
         result = Py_BuildValue(
-            "(OOOOOOOiiOOOOOO)",
+            "(OOOOOOOiiOOOOOOO)",
             parent, ntype, tag, text, attrs, children, selfc,
             ab->quirks, ab->errors, base, formpairs, src_s, src_e,
-            unk_nodes, npy);
+            src_c, unk_nodes, npy);
         Py_DECREF(npy);
     }
 fail:
     Py_XDECREF(parent); Py_XDECREF(ntype); Py_XDECREF(tag);
     Py_XDECREF(text); Py_XDECREF(attrs); Py_XDECREF(children);
     Py_XDECREF(selfc); Py_XDECREF(formpairs); Py_XDECREF(base);
-    Py_XDECREF(src_s); Py_XDECREF(src_e); Py_XDECREF(unk_nodes);
+    Py_XDECREF(src_s); Py_XDECREF(src_e); Py_XDECREF(src_c);
+    Py_XDECREF(unk_nodes);
     return result;
 }
 
@@ -6098,6 +6142,14 @@ static PyObject *py_build_arena(PyObject *self, PyObject *args) {
     for (;;) {
         Tok2 t;
         if (!ab_read(ab, &t) || ab->bail) break;
+        if (ab->tok_end > ab->tok_start) {
+            ab->cur_end_tag = (t.kind == AK_END) ? t.tag : -1;
+            ab->cur_start_tag = (t.kind == AK_START) ? t.tag : -1;
+            ab->cur_is_comment = (t.kind == AK_COMMENT);
+        } else {   /* synthetic / pending token: no source backing */
+            ab->cur_end_tag = -1; ab->cur_start_tag = -1;
+            ab->cur_is_comment = 0;
+        }
         bprocess(ab, &t, -1);
         if (ab->bail) break;
         if (t.kind == AK_EOF) break;
@@ -6305,6 +6357,14 @@ static PyObject *py_arena_doc_text(PyObject *self, PyObject *args) {
     for (;;) {
         Tok2 t;
         if (!ab_read(ab, &t) || ab->bail) break;
+        if (ab->tok_end > ab->tok_start) {
+            ab->cur_end_tag = (t.kind == AK_END) ? t.tag : -1;
+            ab->cur_start_tag = (t.kind == AK_START) ? t.tag : -1;
+            ab->cur_is_comment = (t.kind == AK_COMMENT);
+        } else {   /* synthetic / pending token: no source backing */
+            ab->cur_end_tag = -1; ab->cur_start_tag = -1;
+            ab->cur_is_comment = 0;
+        }
         bprocess(ab, &t, -1);
         if (ab->bail) break;
         if (t.kind == AK_EOF) break;

@@ -65,8 +65,9 @@ class Arena:
     __slots__ = (
         "parent", "ntype", "tag", "text", "attrs", "children",
         "tags", "base_uri", "quirks", "errors", "error_list", "location",
-        "selfclosing", "src_start", "src_end", "form_controls", "display_tag",
-        "out", "update_meta_charset", "np_cols",
+        "selfclosing", "src_start", "src_end", "src_close", "form_controls",
+        "display_tag", "out", "update_meta_charset", "np_cols", "source",
+        "dirty", "mutated", "parsed_xml",
     )
 
     def __init__(self, tags: TagRegistry | None = None, base_uri: str = "") -> None:
@@ -79,6 +80,24 @@ class Arena:
         # source spans (char offsets into the decoded input; -1 = untracked)
         self.src_start: list[int] = []
         self.src_end: list[int] = []
+        # raw-source serialization support (reference Node.swift:1001-1074
+        # sourceRange/sourceRangeIsComplete/allowRawSource): for nodes
+        # whose full subtree source is known (element closed by its own
+        # explicit matching end tag, void element, comment), src_close
+        # holds the char offset just past the subtree's source bytes;
+        # -1 = incomplete (rebuild), -2 = never completable (the
+        # subtree's source order diverges from DOM order, e.g. a table
+        # that received foster-parented content). `source` is the decoded
+        # input the spans index into; `dirty` is the reference's
+        # sourceRangeDirty closure (mutated nodes plus all ancestors);
+        # `mutated` records the exact mutation sites so the document
+        # splice path (serializer._patched_doc) can prove every change
+        # is covered by a patch instead of silently dropping it.
+        self.src_close: list[int] = []
+        self.source: str | None = None
+        self.dirty: set[int] = set()
+        self.mutated: set[int] = set()
+        self.parsed_xml = False
         self.tags = tags if tags is not None else GLOBAL_TAGS
         self.base_uri = base_uri
         self.quirks = 0  # 0 no-quirks, 1 quirks, 2 limited-quirks
@@ -119,7 +138,22 @@ class Arena:
         self.children.append([])
         self.src_start.append(-1)
         self.src_end.append(-1)
+        self.src_close.append(-1)
         return nid
+
+    def mark_dirty(self, nid: int) -> None:
+        """Invalidate raw-source re-emit for ``nid`` and its ancestors
+        (reference Node.markSourceDirty, Node.swift:528-558). Mutation
+        APIs call this; the tree builders never do (bulk building keeps
+        spans live, mirroring the reference's isBulkBuilding gate)."""
+        if nid < 0:
+            return
+        self.mutated.add(nid)
+        d = self.dirty
+        parent = self.parent
+        while nid != -1 and nid not in d:
+            d.add(nid)
+            nid = parent[nid]
 
     def new_element(self, name: str, attrs: dict | None = None) -> int:
         return self.new_node(ELEMENT, self.tags.intern(name), None, attrs)
@@ -365,6 +399,9 @@ class Node:
         return _wrap(self.arena, sibs[i]) if i >= 0 else None
 
     def remove(self) -> None:
+        pid = self.arena.parent[self.id]
+        if pid >= 0:
+            self.arena.mark_dirty(pid)
         self.arena.remove_from_parent(self.id)
 
     # attributes
@@ -392,12 +429,14 @@ class Node:
             a = {}
             self.arena.attrs[self.id] = a
         a[key] = value
+        self.arena.mark_dirty(self.id)
         return self
 
     def remove_attr(self, key: str) -> "Node":
         a = self.arena.attrs[self.id]
         if a is not None:
             a.pop(key, None)
+            self.arena.mark_dirty(self.id)
         return self
 
     def abs_url(self, key: str) -> str:
@@ -721,6 +760,7 @@ class Document(Element):
             if head is None:
                 return self
             tid = self.arena.new_element("title")
+            self.arena.mark_dirty(head.id)
             self.arena.append_child(head.id, tid)
             t = Element(self.arena, tid)
         t.set_text(title)
@@ -770,6 +810,7 @@ class Document(Element):
                 head = self.head()
                 if head is not None:
                     mid = a.new_element("meta", {"charset": name})
+                    a.mark_dirty(head.id)
                     a.append_child(head.id, mid)
             # obsolete <meta name=charset content=...> definitions go away
             self.select("meta[name=charset]").remove()
@@ -784,9 +825,11 @@ class Document(Element):
                     a.attrs[first] = attrs
                 attrs["encoding"] = name
                 attrs["version"] = "1.0"
+                a.mark_dirty(first)
             else:
                 did = a.new_node(XMLDECL, -1, "xml",
                                  {"version": "1.0", "encoding": name})
+                a.mark_dirty(self.id)
                 a.insert_child(self.id, 0, did)
 
     def errors(self):

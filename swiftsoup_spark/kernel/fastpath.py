@@ -311,7 +311,7 @@ def _build(html: str, base_uri: str, track_spans: bool, fragment: bool):
     if r is None:
         return None
     (parent, ntype, tag, text, attrs, children, selfc, quirks, errors,
-     base_href, formpairs, src_s, src_e, unk_nodes, npy) = r
+     base_href, formpairs, src_s, src_e, src_c, unk_nodes, npy) = r
     from swiftsoup_spark.kernel.arena import Arena
     a = Arena(None, base_uri)
     if unk_nodes:
@@ -327,9 +327,15 @@ def _build(html: str, base_uri: str, track_spans: bool, fragment: bool):
     if track_spans:
         a.src_start = src_s
         a.src_end = src_e
+        # raw-source serialization: close spans stamped by the C builder
+        # (b_pop1/b_stamp_close, mirroring treebuilder.pop) plus the
+        # decoded source enable the serializer's raw re-emit path
+        a.src_close = src_c
+        a.source = html
     else:
         a.src_start = [-1] * len(parent)
         a.src_end = [-1] * len(parent)
+        a.src_close = [-1] * len(parent)
     a.selfclosing = set(selfc)
     for k in range(0, len(formpairs), 2):
         a.form_controls.setdefault(formpairs[k], []).append(formpairs[k + 1])

@@ -42,17 +42,20 @@ def parse_fragment_into(arena: Arena, context_tag: str, html: str) -> list[int]:
 
 
 def append_html(arena: Arena, nid: int, html: str) -> None:
+    arena.mark_dirty(nid)
     for c in parse_fragment_into(arena, arena.tag_name(nid) or "body", html):
         arena.append_child(nid, c)
 
 
 def prepend_html(arena: Arena, nid: int, html: str) -> None:
+    arena.mark_dirty(nid)
     for i, c in enumerate(parse_fragment_into(arena, arena.tag_name(nid) or "body", html)):
         arena.insert_child(nid, i, c)
 
 
 def before_html(arena: Arena, nid: int, html: str) -> None:
     pid = arena.parent[nid]
+    arena.mark_dirty(pid)
     ctx = arena.tag_name(pid) if arena.ntype[pid] == ELEMENT else "body"
     for c in parse_fragment_into(arena, ctx or "body", html):
         arena.insert_before(nid, c)
@@ -60,6 +63,7 @@ def before_html(arena: Arena, nid: int, html: str) -> None:
 
 def after_html(arena: Arena, nid: int, html: str) -> None:
     pid = arena.parent[nid]
+    arena.mark_dirty(pid)
     ctx = arena.tag_name(pid) if arena.ntype[pid] == ELEMENT else "body"
     sibs = arena.children[pid]
     idx = sibs.index(nid) + 1
@@ -71,6 +75,8 @@ def after_html(arena: Arena, nid: int, html: str) -> None:
 def wrap(arena: Arena, nid: int, html: str) -> None:
     """Wrap the node in the (deepest element of the) parsed html."""
     pid = arena.parent[nid]
+    if pid >= 0:
+        arena.mark_dirty(pid)
     ctx = arena.tag_name(pid) if pid >= 0 and arena.ntype[pid] == ELEMENT else "body"
     roots = parse_fragment_into(arena, ctx or "body", html)
     wrapper = next((r for r in roots if arena.ntype[r] == ELEMENT), None)
@@ -92,6 +98,7 @@ def wrap(arena: Arena, nid: int, html: str) -> None:
 def unwrap(arena: Arena, nid: int) -> None:
     """Replace the node with its own children (Node.unwrap)."""
     pid = arena.parent[nid]
+    arena.mark_dirty(pid)
     idx = arena.children[pid].index(nid)
     kids = list(arena.children[nid])
     arena.remove_from_parent(nid)
@@ -102,11 +109,13 @@ def unwrap(arena: Arena, nid: int) -> None:
 
 
 def replace_with(arena: Arena, nid: int, new_id: int) -> None:
+    arena.mark_dirty(arena.parent[nid])
     arena.insert_before(nid, new_id)
     arena.remove_from_parent(nid)
 
 
 def empty(arena: Arena, nid: int) -> None:
+    arena.mark_dirty(nid)
     for c in list(arena.children[nid]):
         arena.parent[c] = -1
     arena.children[nid] = []
@@ -124,6 +133,7 @@ def set_html(arena: Arena, nid: int, html: str) -> None:
 
 
 def set_tag_name(arena: Arena, nid: int, name: str) -> None:
+    arena.mark_dirty(nid)
     arena.np_cols = None   # tag column is mirrored in the fast columns
     arena.tag[nid] = arena.tags.intern(name.lower())
 
@@ -132,6 +142,7 @@ def split_text(arena: Arena, nid: int, offset: int) -> int:
     """TextNode.splitText: truncate this node at offset, insert the tail
     as a following sibling; returns the new node id."""
     raw = arena.text[nid] or ""
+    arena.mark_dirty(nid)
     head, tail = raw[:offset], raw[offset:]
     arena.text[nid] = head
     tn = arena.new_node(TEXT, text=tail)
@@ -173,6 +184,7 @@ def _classes(arena: Arena, nid: int) -> list[str]:
 
 
 def _set_classes(arena: Arena, nid: int, cls: list[str]) -> None:
+    arena.mark_dirty(nid)
     a = arena.attrs[nid]
     if a is None:
         a = {}

@@ -67,6 +67,10 @@ def _indent(buf: list[str], depth: int, out: OutputSettings) -> None:
 
 def serialize(arena: Arena, nid: int, out: OutputSettings | None = None) -> str:
     out = out or DEFAULT_OUT
+    if arena.ntype[nid] == DOCUMENT:
+        patched = _patched_doc(arena, out)
+        if patched is not None:
+            return patched
     buf: list[str] = []
     _ser(arena, nid, 0, out, buf)
     s = "".join(buf)
@@ -75,6 +79,10 @@ def serialize(arena: Arena, nid: int, out: OutputSettings | None = None) -> str:
 
 def inner_html(arena: Arena, nid: int, out: OutputSettings | None = None) -> str:
     out = out or DEFAULT_OUT
+    if arena.ntype[nid] == DOCUMENT:
+        patched = _patched_doc(arena, out)
+        if patched is not None:
+            return patched
     buf: list[str] = []
     for c in arena.children[nid]:
         _ser(arena, c, 0, out, buf)
@@ -84,16 +92,100 @@ def inner_html(arena: Arena, nid: int, out: OutputSettings | None = None) -> str
     return s
 
 
+def _patched_doc(arena: Arena, out: OutputSettings) -> str | None:
+    """Whole-document raw emit: the original source with rebuilt
+    fragments spliced over mutated subtrees (reference
+    Document.patchedOuterHtmlUTF8 / sourcePatches,
+    Document.swift:450-594). Engages only in non-pretty mode over a
+    source-tracked parse. Returns None (fall back to the tree walk)
+    when a mutation cannot be localized to a complete source range —
+    the reference silently DROPS such changes (its collect() skips
+    dirty nodes without complete ranges); we deliberately deviate and
+    bail to the slow path so output always reflects the DOM."""
+    src = arena.source
+    if src is None or out.pretty_print:
+        return None
+    if not arena.mutated:
+        return src
+    patches: list[tuple[int, int, str]] = []
+    dirty = arena.dirty
+    mutated = arena.mutated
+    src_start, src_close = arena.src_start, arena.src_close
+    children = arena.children
+    n = len(src)
+
+    def walk(nid: int) -> bool:
+        # bottom-up minimal patches: rebuild at the mutation site itself
+        # when it has a complete range, else at its lowest ancestor that
+        # does (reference registers mutation sites as dirty roots and
+        # patches there, Document.swift:492-527). Returns False when the
+        # subtree holds a mutation no range can localize.
+        mark = len(patches)
+        ok = True
+        for c in children[nid]:
+            if c in dirty:
+                ok = walk(c) and ok
+        if nid in mutated or not ok:
+            ss, sc = src_start[nid], src_close[nid]
+            if 0 <= ss and 0 <= sc <= n:
+                del patches[mark:]   # this patch covers the inner ones
+                buf: list[str] = []
+                _ser(arena, nid, 0, out, buf, raw=False)
+                patches.append((ss, sc, "".join(buf)))
+                return True
+            return False
+        return True
+
+    # document roots: patch inside each dirty top-level child; a mutation
+    # on the document itself (e.g. inserted doctype/xmldecl) has no
+    # source range -> bail
+    doc = 0 if arena.ntype[0] == DOCUMENT else None
+    if doc is None:
+        return None
+    if doc in mutated:
+        return None
+    for c in children[doc]:
+        if c in dirty and not walk(c):
+            return None
+    patches.sort(key=lambda p: p[0])
+    parts: list[str] = []
+    cursor = 0
+    for ss, sc, rep in patches:
+        if ss < cursor:   # overlapping ranges: cannot splice safely
+            return None
+        parts.append(src[cursor:ss])
+        parts.append(rep)
+        cursor = sc
+    parts.append(src[cursor:])
+    return "".join(parts)
+
+
 def _is_blank(s: str) -> bool:
     return not s.strip(" \t\n\f\r\xa0")
 
 
-def _ser(arena: Arena, nid: int, depth: int, out: OutputSettings, buf: list[str]) -> None:
+def _ser(arena: Arena, nid: int, depth: int, out: OutputSettings, buf: list[str],
+         raw: bool = True) -> None:
+    if raw and not out.pretty_print and arena.source is not None:
+        # raw-source fast path (reference Node.rawSourceSlice,
+        # Node.swift:1144-1183 + outerHtmlFast): re-emit the subtree's
+        # original bytes when the source range is complete, nothing in
+        # the subtree was mutated, and the syntax matches the parse
+        # dialect. Source-faithful by design: original attribute
+        # quoting/case/entity forms are preserved verbatim, exactly as
+        # the reference does in non-pretty mode.
+        sc = arena.src_close[nid]
+        if sc >= 0 and nid not in arena.dirty:
+            ss = arena.src_start[nid]
+            if 0 <= ss and sc <= len(arena.source) and not (
+                    out.syntax == "xml" and not arena.parsed_xml):
+                buf.append(arena.source[ss:sc])
+                return
     t = arena.ntype[nid]
     tags = arena.tags
     if t == DOCUMENT:
         for c in arena.children[nid]:
-            _ser(arena, c, depth, out, buf)
+            _ser(arena, c, depth, out, buf, raw)
         return
     if t == ELEMENT:
         tid = arena.tag[nid]
@@ -117,7 +209,7 @@ def _ser(arena: Arena, nid: int, depth: int, out: OutputSettings, buf: list[str]
             return
         buf.append(">")
         for c in children:
-            _ser(arena, c, depth + 1, out, buf)
+            _ser(arena, c, depth + 1, out, buf, raw)
         if out.pretty_print and children and (
             fab or (out.outline and (len(children) > 1 or (
                 len(children) == 1 and arena.ntype[children[0]] != TEXT)))):

@@ -101,6 +101,18 @@ class HtmlTreeBuilder:
         self.fragment = False
         self.context_tag: str | None = None
         self._pending_display: str | None = None
+        # raw-source serialization (reference Node.swift:1001-1074): name
+        # of the current source-backed start/end tag (None for synthetic /
+        # reprocessed-without-source tokens). pop() stamps arena.src_close
+        # when the popped element matches _cur_end (reference
+        # HtmlTreeBuilder.pop, HtmlTreeBuilder.swift:580-592);
+        # insert_empty/insert_comment stamp at insert (reference
+        # insertEmpty/insert(comment), HtmlTreeBuilder.swift:355-410).
+        self._cur_end: str | None = None
+        self._cur_start: str | None = None
+        self._cur_kind: str | None = None
+        if self.track_spans:
+            self.arena.source = html
 
     def parse(self, html: str, base_uri: str = "") -> Arena:
         self._init(html, base_uri)
@@ -145,6 +157,13 @@ class HtmlTreeBuilder:
         track = errs.max_size > 0
         while True:
             t = tok.read()
+            if tok.tok_end > tok.tok_start:
+                k = t[0]
+                self._cur_kind = k
+                self._cur_end = t[1] if k == "end" else None
+                self._cur_start = t[1] if k == "start" else None
+            else:  # synthetic / pending token: no source backing
+                self._cur_kind = self._cur_end = self._cur_start = None
             ok = self.process(t)
             if track and ok is False:
                 errs.add(tok.tok_start,
@@ -153,6 +172,14 @@ class HtmlTreeBuilder:
                             else ""))
             if t[0] == "eof":
                 break
+        # NOTE deliberately no EOF close-stamping: an element left open at
+        # EOF can have later source content attached OUTSIDE its subtree
+        # (e.g. an after-after-body comment appends to the Document while
+        # lying inside <html>'s would-be span), so such spans are never
+        # complete. The reference agrees — it only stamps at explicit
+        # end-tag pops. Whole-document raw emit is handled instead by the
+        # serializer's source-splice path, which needs no completeness
+        # when nothing is dirty.
 
     # --------------------------------------------------------------- plumbing
     def current(self) -> int:
@@ -200,6 +227,10 @@ class HtmlTreeBuilder:
         if pd is not None and pd[0] == name:
             self.arena.display_tag[el] = pd[1]
         self._insert_node(el)
+        if self.track_spans and self._cur_start == name:
+            # void/self-closing subtree == its start tag (reference
+            # insertEmpty, HtmlTreeBuilder.swift:360-362 complete:true)
+            self.arena.src_close[el] = self.tok.tok_end
         if self_closing:
             self.arena.selfclosing.add(el)
         self._maybe_base(name, attrs)
@@ -223,6 +254,11 @@ class HtmlTreeBuilder:
     def insert_comment(self, data: str) -> None:
         c = self.arena.new_node(COMMENT, text=data)
         self._insert_node(c)
+        if self.track_spans and self._cur_kind == "comment":
+            # comment subtree == its token; raw emit reproduces the
+            # original bytes even for bogus-comment forms like `</ x>`
+            # (reference insert(commentToken), complete:true)
+            self.arena.src_close[c] = self.tok.tok_end
 
     def _insert_node(self, nid: int) -> None:
         a = self.arena
@@ -249,6 +285,14 @@ class HtmlTreeBuilder:
             if self._name(el) == "table":
                 last_table = el
                 break
+        # the fostered node's source lies INSIDE the table's source span
+        # but OUTSIDE its DOM subtree: the table (or fallback target) can
+        # never re-emit from raw source (-2 = permanently incomplete)
+        if self.track_spans:
+            tgt = last_table if last_table is not None else (
+                self.stack[0] if self.stack else None)
+            if tgt is not None:
+                a.src_close[tgt] = -2
         if last_table is not None:
             if a.parent[last_table] != -1:
                 a.insert_before(last_table, nid)
@@ -259,29 +303,46 @@ class HtmlTreeBuilder:
             a.append_child(self.stack[0], nid)
 
     def pop(self) -> int:
-        return self.stack.pop()
+        el = self.stack.pop()
+        if self._cur_end is not None:
+            self._stamp_close(el)
+        return el
+
+    def _stamp_close(self, el: int) -> None:
+        """Record the end of ``el``'s source subtree (just past the
+        current end tag) when the element is being closed by its own
+        explicit end tag — the raw-source re-emit contract (reference
+        Node.setSourceRangeEnd, Node.swift:566-573)."""
+        a = self.arena
+        if (self.track_spans and self._cur_end is not None
+                and a.src_close[el] == -1 and a.src_start[el] >= 0
+                and a.tag_name(el) == self._cur_end):
+            a.src_close[el] = self.tok.tok_end
+            # single-shot per token: a second same-named element popped
+            # by the same end tag must not claim the close offset
+            self._cur_end = None
 
     def pop_to_close(self, *names: str) -> None:
         while self.stack:
-            el = self.stack.pop()
+            el = self.pop()
             if self._name(el) in names:
                 break
 
     def pop_to_before(self, name: str) -> None:
         while self.stack and self._name(self.current()) != name:
-            self.stack.pop()
+            self.pop()
 
     def clear_stack_to_table_context(self) -> None:
         while self.stack and self.current_name() not in ("table", "html"):
-            self.stack.pop()
+            self.pop()
 
     def clear_stack_to_table_body_context(self) -> None:
         while self.stack and self.current_name() not in ("tbody", "tfoot", "thead", "html"):
-            self.stack.pop()
+            self.pop()
 
     def clear_stack_to_table_row_context(self) -> None:
         while self.stack and self.current_name() not in ("tr", "html"):
-            self.stack.pop()
+            self.pop()
 
     def remove_from_stack(self, nid: int) -> None:
         for i in range(len(self.stack) - 1, -1, -1):
@@ -357,7 +418,7 @@ class HtmlTreeBuilder:
             n = self.current_name()
             if n == exclude or n not in IMPLIED_END_TAGS:
                 return
-            self.stack.pop()
+            self.pop()
 
     # active formatting elements (reference HtmlTreeBuilder.swift:1291-1407)
     def push_fmt(self, el: int) -> None:
@@ -796,7 +857,7 @@ class HtmlTreeBuilder:
             body = self.stack[1]
             a.remove_from_parent(body)
             while len(self.stack) > 1:
-                self.stack.pop()
+                self.pop()
             self.insert_elem("frameset", attrs)
             self.mode = IN_FRAMESET
             return True
@@ -1113,6 +1174,10 @@ class HtmlTreeBuilder:
                 self.pop_to_close(self._name(fmt_el))
                 self.remove_fmt(fmt_el)
                 return True
+            # restructuring begins: reparented subtrees no longer match
+            # source order, so no element closed during (or after) this
+            # run may claim a complete raw span
+            self._cur_end = None
             node = furthest
             last_node = furthest
             for _ in range(3):

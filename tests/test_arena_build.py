@@ -24,7 +24,7 @@ def compare(html: str, track_spans: bool = False) -> bool:
     assert len(a_c.parent) == len(a_py.parent), (
         f"node count {len(a_c.parent)} != {len(a_py.parent)} for {html!r}")
     for fld in ("parent", "ntype", "tag", "text", "attrs", "children",
-                "src_start", "src_end"):
+                "src_start", "src_end", "src_close"):
         c, p = getattr(a_c, fld), getattr(a_py, fld)
         if c != p:
             for i, (x, y) in enumerate(zip(c, p)):

@@ -43,11 +43,18 @@ def test_set_indent():
 def test_not_pretty():
     doc = parse("<div>   \n<p>Hello\n there\n</p></div>")
     out = serialize(doc.arena, 0, OutputSettings(pretty_print=False))
-    assert out == ("<html><head></head><body><div>   \n<p>Hello\n there\n</p>"
-                   "</div></body></html>")
+    # non-pretty document html is the source verbatim (reference
+    # patchedOuterHtmlUTF8 with defaultTrackSourceRanges=true,
+    # Document.swift:554-594, ParseSettings.swift:26); implied
+    # <html><head><body> only materialize once the doc is mutated
+    assert out == "<div>   \n<p>Hello\n there\n</p></div>"
     div = doc.select("div")[0]
     assert inner_html(doc.arena, div.id, OutputSettings(pretty_print=False)) == (
         "   \n<p>Hello\n there\n</p>")
+    doc.select("p")[0].set_attr("k", "v")
+    out2 = serialize(doc.arena, 0, OutputSettings(pretty_print=False))
+    assert out2 == ("<div>   \n"
+                    '<p k="v">Hello\n there\n</p></div>')
 
 
 def test_empty_element_format():
