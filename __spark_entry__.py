@@ -660,6 +660,27 @@ def q_cosine_near_dup(spark, sf_dir):
     return df.select("i", "j", F.round(F.col("sim") * 10000).cast("long").alias("sim_e4"))
 
 
+def q_embed_lsh_near_dup(spark, sf_dir):
+    """Banded sign-LSH near-dup over embeddings — the SCALE path for
+    embedding-cosine dedup (one banded self-join + id re-join verify,
+    never all-pairs; ops/similarity.embed_lsh_near_dup). The sf
+    embeddings are near-uniform noise with no qualifying pairs, so the
+    query plants deterministic near-duplicates: a +0.02-per-dim copy of
+    every 3rd vector (sim ~0.98-0.99), identically expressible in Spark
+    and DuckDB doubles; the oracle replays signature, banding, candidate
+    join and verify bit-for-bit, so found pairs are hash-exact. Recall
+    vs exact all-pairs is gated separately in tests/test_embed_lsh.py."""
+    base = (_emb(spark, sf_dir).filter(F.col("vec_id") < 300)
+            .select("vec_id",
+                    F.transform("embedding", lambda x: x.cast("double"))
+                     .alias("embedding")))
+    pert = (base.filter(F.col("vec_id") % 3 == 0)
+            .select((F.col("vec_id") + 100000).alias("vec_id"),
+                    F.transform("embedding", lambda x: x + F.lit(0.02))
+                     .alias("embedding")))
+    return S.embed_lsh_near_dup(base.unionByName(pert), threshold=0.9)
+
+
 def q_image_meta(spark, sf_dir):
     img = synth_image_table(_docs(spark, sf_dir))
     return img.select("doc_id", F.length("payload").alias("n_payload"),
@@ -777,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bucketed": q_ann_bucketed,
         "ann_ivf": q_ann_ivf,
         "cosine_near_dup": q_cosine_near_dup,
+        "embed_lsh_near_dup": q_embed_lsh_near_dup,
         "image_meta": q_image_meta,
         "image_features": q_image_features,
         "events_hourly": q_events_hourly,
@@ -897,6 +919,42 @@ SELECT a.vec_id AS i, c.vec_id AS j,
        CAST(round(round(list_cosine_similarity(a.v, c.v), 4) * 10000) AS BIGINT) AS sim_e4
 FROM b a JOIN b c ON a.vec_id < c.vec_id
 WHERE round(list_cosine_similarity(a.v, c.v), 4) >= 0.8
+"""
+    # sign-LSH oracle: replays hyperplane signatures, banding, candidate
+    # join and verify with the same literal hyperplanes as the Spark
+    # plan (ops/similarity.hyperplanes); dot products are written as
+    # sequential left-to-right sums so IEEE doubles agree bit-for-bit
+    # with Spark's aggregate() fold and bit signs can never diverge.
+    from swiftsoup_spark.ops.similarity import hyperplanes as _lsh_planes
+    _planes = _lsh_planes(24, 64)
+
+    def _dot_sql(p):
+        return " + ".join(f"v[{d + 1}]*{c!r}" for d, c in enumerate(p))
+
+    _band_exprs = []
+    for _b in range(4):
+        _terms = " + ".join(
+            f"(CASE WHEN {_dot_sql(_planes[_b * 6 + _i])} >= 0 "
+            f"THEN {1 << _i} ELSE 0 END)"
+            for _i in range(6))
+        _band_exprs.append(f"({_terms})")
+    embed_lsh = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE vec_id < 300),
+u AS (SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x + 0.02) AS v
+      FROM base WHERE vec_id % 3 = 0),
+sig AS (SELECT vec_id, [{', '.join(_band_exprs)}] AS bands FROM u),
+e AS (SELECT vec_id, generate_subscripts(bands, 1) - 1 AS band,
+             unnest(bands) AS bv FROM sig),
+cand AS (SELECT DISTINCT a.vec_id AS i, c.vec_id AS j
+         FROM e a JOIN e c ON a.band = c.band AND a.bv = c.bv
+                          AND a.vec_id < c.vec_id),
+s AS (SELECT i, j, round(list_cosine_similarity(x.v, y.v), 4) AS sim
+      FROM cand JOIN u x ON x.vec_id = i JOIN u y ON y.vec_id = j)
+SELECT i, j, CAST(round(sim * 10000) AS BIGINT) AS sim_e4
+FROM s WHERE sim >= 0.9
 """
     quality = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS nc
@@ -1212,6 +1270,7 @@ WHERE bit_count(xor(CAST(a.uv AS UBIGINT), CAST(b.uv AS UBIGINT))) <= 3
         "ann_bucketed": ann_bucketed,
         "ann_ivf": ann_ivf,
         "cosine_near_dup": near_dup,
+        "embed_lsh_near_dup": embed_lsh,
         "image_meta": (
             "SELECT doc_id, 16 AS n_payload, "
             "CAST(1 + doc_id % 64 AS INTEGER) AS width, "

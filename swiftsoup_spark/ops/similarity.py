@@ -167,6 +167,83 @@ def ivf_topk(emb_df, n_queries: int = 8, k: int = 5, n_centroids: int = 8,
                     F.round("sim_raw", 4).alias("sim")))
 
 
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def hyperplanes(n_planes: int, dim: int):
+    """Deterministic pseudo-random hyperplanes for sign-LSH: component
+    (p, d) is md5("lsh:p:d") mapped to [-1, 1) and rounded to 6 decimals
+    so an independent SQL replay can fold the identical literals into
+    its plan. No RNG state, no driver/executor divergence."""
+    import hashlib
+    return [[round(int(hashlib.md5(f"lsh:{p}:{d}".encode())
+                       .hexdigest()[:8], 16) / 2.0 ** 31 - 1.0, 6)
+             for d in range(dim)]
+            for p in range(n_planes)]
+
+
+def embed_lsh_near_dup(emb_df, threshold: float = 0.9, n_planes: int = 24,
+                       band_bits: int = 6, dim: int = 64):
+    """Embedding-cosine near-duplicate pairs at corpus scale: banded
+    random-hyperplane (sign) LSH instead of the all-pairs cross join.
+
+    Each vector gets ``n_planes`` sign bits (bit p = dot(v, plane_p) >= 0;
+    P[bits agree] = 1 - angle/pi, the classic SimHash bound), grouped
+    into ``n_planes/band_bits`` bands; candidate pairs share at least one
+    whole band (ONE exploded self-join on (band, value) — the same
+    scale-safe shape as ``dedup.simhash_near_dup``/MinHash-LSH), then
+    exact cosine verifies, so precision wrt ``threshold`` is 1 and only
+    recall is probabilistic (1-(1-p^band_bits)^n_bands; ~0.999 for
+    sim>=0.98 pairs at the 24/6 default, gated in tests).
+
+    Scale design: the band join shuffles only (band, value, vec_id) —
+    vectors do NOT ride the explode; candidates re-acquire their vectors
+    via two equi hash joins on vec_id (one shuffle of the table each,
+    vs n_bands copies through the self-join). A random unrelated pair
+    collides per band with ~2^-band_bits, bounding candidate blowup;
+    exactly-identical vectors share every band, so collapse exact
+    duplicates to representatives upstream (cf. ``_exact_collapse`` in
+    ops/dedup.py) when the corpus has verbatim embedding dups.
+
+    Returns (i, j, sim_e4) with i < j, sim_e4 = round(sim, 4) * 10^4.
+    """
+    if n_planes % band_bits:
+        raise ValueError("n_planes must be a multiple of band_bits")
+    n_bands = n_planes // band_bits
+    planes = hyperplanes(n_planes, dim)
+    base = emb_df.select("vec_id", _as_double("embedding").alias("v"))
+    bits = [F.when(_dot(F.col("v"), _lit_vec(p)) >= 0, 1).otherwise(0)
+            for p in planes]
+    bands = []
+    for b in range(n_bands):
+        expr = F.lit(0)
+        for i in range(band_bits):
+            expr = expr + bits[b * band_bits + i] * F.lit(1 << i)
+        bands.append(expr)
+    sig = base.select("vec_id", F.array(*bands).alias("bands"))
+    e = sig.select("vec_id", F.posexplode("bands").alias("band", "bv"))
+    cand = (e.alias("a").join(
+                e.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bv") == F.col("b.bv"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("i"),
+                    F.col("b.vec_id").alias("j"))
+            .distinct())
+    va = base.select(F.col("vec_id").alias("i"), F.col("v").alias("va"))
+    vb = base.select(F.col("vec_id").alias("j"), F.col("v").alias("vb"))
+    sims = (cand.join(va, "i").join(vb, "j")
+            .select("i", "j",
+                    F.round(_cosine(F.col("va"), F.col("vb")), 4)
+                     .alias("sim")))
+    return (sims.filter(F.col("sim") >= threshold)
+            .select("i", "j",
+                    F.round(F.col("sim") * 10000).cast("long")
+                     .alias("sim_e4")))
+
+
 def cosine_near_dup_pairs(emb_df, threshold: float = 0.95, limit_ids: int = 200):
     """Embedding-cosine near-duplicate pairs over a bounded id range."""
     base = (emb_df.filter(F.col("vec_id") < limit_ids)

@@ -6,7 +6,8 @@ import os
 
 
 def get_spark(master: str | None = None, app: str = "swiftsoup_spark",
-              shuffle_partitions: int | None = None):
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None):
     from pyspark.sql import SparkSession
 
     # ensure Python workers can import this package
@@ -34,6 +35,8 @@ def get_spark(master: str | None = None, app: str = "swiftsoup_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

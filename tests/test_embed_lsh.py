@@ -1,0 +1,101 @@
+"""Banded sign-LSH embedding near-dup gates (ops/similarity.embed_lsh_near_dup).
+
+1. **Recall** — on a corpus with planted near-duplicates (perturbed
+   copies, cosine ~0.98+), the banded LSH must recover >= 95% of the
+   pairs the exact all-pairs baseline finds at the same threshold.
+2. **Precision** — the verify stage re-ranks with exact cosine, so
+   every reported pair must satisfy the threshold (precision 1 by
+   construction; asserted anyway).
+3. **Determinism** — hyperplanes are hash-derived; two runs produce
+   identical pair sets.
+4. **Plan shape** — no CartesianProduct anywhere: the candidate stage
+   is a band-key equi join, verification re-acquires vectors via equi
+   joins on vec_id.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from swiftsoup_spark.ops import similarity as S  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from swiftsoup_spark.spark.session import get_spark
+    yield get_spark(master="local[4]", app="embed-lsh-test")
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """120 base vectors + a perturbed near-dup for every third one."""
+    rng = np.random.default_rng(11)
+    d = 64
+    base = rng.normal(size=(120, d))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(120)]
+    for i in range(0, 120, 3):
+        pert = base[i] + 0.03 * rng.normal(size=d)
+        rows.append((int(i) + 1000, [float(x) for x in pert]))
+    return spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>")
+
+
+def _exact_pairs(spark, df, threshold):
+    from pyspark.sql import functions as F
+    b = df.select("vec_id", F.col("embedding").alias("v"))
+    a = b.select(F.col("vec_id").alias("i"), F.col("v").alias("va"))
+    c = b.select(F.col("vec_id").alias("j"), F.col("v").alias("vb"))
+    allp = (a.crossJoin(c).filter(F.col("i") < F.col("j"))
+            .select("i", "j",
+                    F.round(S._cosine(F.col("va"), F.col("vb")), 4)
+                     .alias("sim"))
+            .filter(F.col("sim") >= threshold))
+    return {(r["i"], r["j"]) for r in allp.collect()}
+
+
+def test_recall_and_precision(spark, planted):
+    threshold = 0.9
+    exact = _exact_pairs(spark, planted, threshold)
+    assert len(exact) >= 30, "fixture must plant a meaningful pair set"
+    rows = S.embed_lsh_near_dup(planted, threshold=threshold).collect()
+    got = {(r["i"], r["j"]) for r in rows}
+    # precision: verify stage enforces the threshold exactly
+    assert got <= exact
+    # recall: probabilistic by design, but ~0.999 at sim>=0.98 pairs
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f} below gate"
+    # sim_e4 values are exact-cosine derived
+    for r in rows:
+        assert r["sim_e4"] >= int(threshold * 10000)
+
+
+def test_determinism(spark, planted):
+    r1 = sorted(map(tuple, S.embed_lsh_near_dup(planted).collect()))
+    r2 = sorted(map(tuple, S.embed_lsh_near_dup(planted).collect()))
+    assert r1 == r2
+
+
+def test_hyperplanes_deterministic_and_bounded():
+    p1 = S.hyperplanes(24, 64)
+    p2 = S.hyperplanes(24, 64)
+    assert p1 == p2
+    assert all(-1.0 <= c < 1.0 for row in p1 for c in row)
+    # no degenerate all-zero plane
+    assert all(any(c != 0.0 for c in row) for row in p1)
+
+
+def test_no_cartesian_in_plan(spark, planted):
+    plan = S.embed_lsh_near_dup(planted)._jdf.queryExecution() \
+            .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rejects_uneven_bands():
+    with pytest.raises(ValueError):
+        S.embed_lsh_near_dup(None, n_planes=25, band_bits=6)
