@@ -681,6 +681,30 @@ def q_embed_lsh_near_dup(spark, sf_dir):
     return S.embed_lsh_near_dup(base.unionByName(pert), threshold=0.9)
 
 
+def _decontam_bench(docs):
+    """Synthetic benchmark set: a 12-word middle slice of every 37th
+    document (normalized), so contamination is planted deterministically
+    and the oracle can rebuild the identical benchmark table."""
+    from swiftsoup_spark.ops.decontam import _norm
+    w = F.split(_norm(F.col("text")), " ")
+    return (docs.filter(F.col("doc_id") % 37 == 3)
+            .select(F.array_join(F.slice(w, 2, 12), " ").alias("text")))
+
+
+def q_decontam(spark, sf_dir):
+    """Benchmark n-gram decontamination (ops/decontam.contamination):
+    per-doc distinct 8-gram count, benchmark-hit count, contaminated
+    flag. Scale shape: benchmark n-grams broadcast, doc side probes with
+    a BroadcastHashJoin (plan-asserted in tests/test_decontam.py), one
+    doc_id-keyed trickle aggregate. The DuckDB oracle replays the same
+    normalize → shingle → probe pipeline by gram string (the Spark side
+    probes 64-bit xxhash64 keys; a false positive needs a 2^-64
+    collision, and the value-hash compare would catch it)."""
+    from swiftsoup_spark.ops.decontam import contamination
+    docs = _docs(spark, sf_dir)
+    return contamination(docs, _decontam_bench(docs), n=8)
+
+
 def q_image_meta(spark, sf_dir):
     img = synth_image_table(_docs(spark, sf_dir))
     return img.select("doc_id", F.length("payload").alias("n_payload"),
@@ -799,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "cosine_near_dup": q_cosine_near_dup,
         "embed_lsh_near_dup": q_embed_lsh_near_dup,
+        "decontam": q_decontam,
         "image_meta": q_image_meta,
         "image_features": q_image_features,
         "events_hourly": q_events_hourly,
@@ -955,6 +980,27 @@ s AS (SELECT i, j, round(list_cosine_similarity(x.v, y.v), 4) AS sim
       FROM cand JOIN u x ON x.vec_id = i JOIN u y ON y.vec_id = j)
 SELECT i, j, CAST(round(sim * 10000) AS BIGINT) AS sim_e4
 FROM s WHERE sim >= 0.9
+"""
+    # decontamination oracle: rebuilds the benchmark slice table and the
+    # doc shingles from the same normalize/ngram formulas (ngram_sql is
+    # generated by the op module — single source of truth), probing by
+    # gram STRING where Spark probes xxhash64(gram).
+    from swiftsoup_spark.ops.decontam import ngram_sql as _ngram_sql
+    _dc_norm = "trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g'))"
+    _dc_ng = _ngram_sql("text", 8)
+    _dc_bench_ng = _ngram_sql(
+        f"array_to_string((string_split({_dc_norm}, ' '))[2:13], ' ')", 8)
+    decontam = f"""
+WITH bench AS (SELECT DISTINCT unnest({_dc_bench_ng}) AS gram
+               FROM documents WHERE doc_id % 37 = 3),
+dg AS (SELECT doc_id, unnest(list_distinct({_dc_ng})) AS gram FROM documents),
+hits AS (SELECT doc_id, count(*) AS n_hits
+         FROM dg JOIN bench USING (gram) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(list_distinct({_dc_ng})) AS INTEGER) AS n_grams,
+       coalesce(h.n_hits, 0) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) > 0 AS INTEGER) AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
     quality = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS nc
@@ -1271,6 +1317,7 @@ WHERE bit_count(xor(CAST(a.uv AS UBIGINT), CAST(b.uv AS UBIGINT))) <= 3
         "ann_ivf": ann_ivf,
         "cosine_near_dup": near_dup,
         "embed_lsh_near_dup": embed_lsh,
+        "decontam": decontam,
         "image_meta": (
             "SELECT doc_id, 16 AS n_payload, "
             "CAST(1 + doc_id % 64 AS INTEGER) AS width, "
