@@ -691,6 +691,18 @@ def _decontam_bench(docs):
             .select(F.array_join(F.slice(w, 2, 12), " ").alias("text")))
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style cross-document line dedup over the multi-line gopher
+    corpus variant: lines appearing (normalized) in more than 5 distinct
+    docs — planted nav/bullet/footer junk plus any over-duplicated body
+    line — are removed corpus-wide and every document is rebuilt from
+    its surviving lines in original order (ops/dedup.py
+    remove_boilerplate_lines). Oracle replays frequency count, flagging
+    and ordered rebuild with string_agg(... ORDER BY pos)."""
+    return D.remove_boilerplate_lines(_gopher_corpus(spark, sf_dir),
+                                      max_docs=5)
+
+
 def q_decontam(spark, sf_dir):
     """Benchmark n-gram decontamination (ops/decontam.contamination):
     per-doc distinct 8-gram count, benchmark-hit count, contaminated
@@ -824,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": q_cosine_near_dup,
         "embed_lsh_near_dup": q_embed_lsh_near_dup,
         "decontam": q_decontam,
+        "line_dedup": q_line_dedup,
         "image_meta": q_image_meta,
         "image_features": q_image_features,
         "events_hourly": q_events_hourly,
@@ -1001,6 +1014,41 @@ SELECT d.doc_id,
        coalesce(h.n_hits, 0) AS n_hits,
        CAST(coalesce(h.n_hits, 0) > 0 AS INTEGER) AS contaminated
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+    # line-dedup oracle over the same gopher-corpus construction
+    line_dedup = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN text || chr(10) || 'second line of doc ' || doc_id ||
+                   chr(10) ||
+                   'third line with words and the of to in them all'
+              ELSE text || chr(10) || text || chr(10) ||
+                   '- bullet ' || (doc_id % 5) || chr(10) ||
+                   '- bullet ' || (doc_id % 5) || chr(10) ||
+                   '* item' || chr(10) || 'trailing thought...' ||
+                   chr(10) || '## header ##'
+         END AS text
+  FROM documents),
+l AS (SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      FROM t),
+k AS (SELECT doc_id, pos, line,
+             md5(trim(regexp_replace(line, '[ \\t\\r]+', ' ', 'g'))) AS key,
+             length(trim(regexp_replace(line, '[ \\t\\r]+', ' ', 'g')))
+               AS n_norm
+      FROM l),
+b AS (SELECT key FROM k WHERE n_norm >= 1
+      GROUP BY key HAVING count(DISTINCT doc_id) > 5)
+SELECT k.doc_id,
+       coalesce(string_agg(CASE WHEN b.key IS NULL THEN k.line END,
+                           chr(10) ORDER BY k.pos), '') AS text_clean,
+       CAST(count(*) AS INTEGER) AS n_lines,
+       CAST(sum(CASE WHEN b.key IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_removed
+FROM k LEFT JOIN b ON k.key = b.key
+GROUP BY k.doc_id
 """
     quality = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS nc
@@ -1318,6 +1366,7 @@ WHERE bit_count(xor(CAST(a.uv AS UBIGINT), CAST(b.uv AS UBIGINT))) <= 3
         "cosine_near_dup": near_dup,
         "embed_lsh_near_dup": embed_lsh,
         "decontam": decontam,
+        "line_dedup": line_dedup,
         "image_meta": (
             "SELECT doc_id, 16 AS n_payload, "
             "CAST(1 + doc_id % 64 AS INTEGER) AS width, "

@@ -400,3 +400,71 @@ def near_dup_clusters(df, text_col: str = "text", threshold: float = 0.5,
     pairs = minhash_lsh_pairs(df, text_col, threshold=threshold,
                               max_group=max_group)
     return connected_components(pairs.select("i", "j"), df, max_iter=max_iter)
+
+
+# --- cross-document paragraph/line dedup (CCNet-style boilerplate) -----------
+
+
+def line_frequency(df, text_col: str = "text", min_chars: int = 1):
+    """Corpus-wide line frequency: (line_key, n_docs) where line_key is
+    md5 of the whitespace-normalized line and n_docs counts DISTINCT
+    documents containing it. Lines shorter than ``min_chars`` after
+    normalization are ignored (never dedup candidates).
+
+    Scale: explode is linear in corpus chars; the count-distinct groupBy
+    runs Spark's two-phase partial-distinct aggregation on uniform md5
+    keys — no skew, map-side combines."""
+    lines = df.select(
+        "doc_id",
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"))
+    keyed = lines.select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace("line", "[ \\t\\r]+", " ")))
+         .alias("line_key"),
+        F.length(F.trim(F.regexp_replace("line", "[ \\t\\r]+", " ")))
+         .alias("n_norm"))
+    return (keyed.filter(F.col("n_norm") >= min_chars)
+            .groupBy("line_key")
+            .agg(F.count_distinct("doc_id").alias("n_docs")))
+
+
+def remove_boilerplate_lines(df, text_col: str = "text", max_docs: int = 5,
+                             min_chars: int = 1):
+    """CCNet-style corpus-level boilerplate removal: drop every line that
+    appears (whitespace-normalized) in more than ``max_docs`` distinct
+    documents — navigation chrome, cookie banners, legal footers — and
+    rebuild each document from its surviving lines in original order.
+
+    Returns (doc_id, text_clean, n_lines, n_removed).
+
+    Plan shape: pass 1 is :func:`line_frequency`; pass 2 re-explodes with
+    positions, joins the frequency table on the uniform md5 line key
+    (plain shuffled hash join — the frequent-line table is unbounded in
+    principle; when a threshold cap makes it provably small, broadcasting
+    it turns pass 2 into a map-only stage), and one doc_id-keyed
+    aggregate rebuilds the text via sort_array(collect_list(struct(pos,
+    line))) — only surviving lines ride that shuffle. Nothing is ever
+    quadratic; every stage is linear in corpus bytes."""
+    boiler = (line_frequency(df, text_col, min_chars)
+              .filter(F.col("n_docs") > max_docs)
+              .withColumn("boiler", F.lit(1)))
+    lines = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    keyed = lines.withColumn(
+        "line_key",
+        F.md5(F.trim(F.regexp_replace("line", "[ \\t\\r]+", " "))))
+    flagged = keyed.join(boiler.select("line_key", "boiler"),
+                         "line_key", "left")
+    return (flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("boiler").isNotNull(), 1).otherwise(0))
+         .cast("int").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.when(
+                    F.col("boiler").isNull(),
+                    F.struct("pos", "line")))),
+                lambda s: s["line"]),
+            "\n").alias("text_clean"))
+        .select("doc_id", "text_clean", "n_lines", "n_removed"))
