@@ -703,6 +703,33 @@ def q_line_dedup(spark, sf_dir):
                                       max_docs=5)
 
 
+def q_url_canon_dedup(spark, sf_dir):
+    """Canonical-URL dedup (ops/urlnorm.py): per document the query
+    plants three crawl spellings of the same page — the clean url, a
+    cased/ported/tracked/fragmented variant, and (every 3rd doc) a
+    dot-segment variant — and collapses them with canonical_url() +
+    one groupBy. The DuckDB oracle replays the identical variant
+    construction and the generated canonical_url_sql(), so group keys,
+    representatives and variant counts are hash-exact."""
+    from swiftsoup_spark.ops.urlnorm import url_dedup
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("https://"), F.col("source"),
+                    F.lit(".docs.test/"), F.col("lang"), F.lit("/p"), did)
+    messy1 = F.concat(F.lit("HTTPS://"), F.upper("source"),
+                      F.lit(".DOCS.TEST:443/"), F.col("lang"), F.lit("/p"),
+                      did, F.lit("?utm_source=feed&gclid="), did,
+                      F.lit("#top"))
+    messy2 = F.concat(F.lit("https://"), F.col("source"),
+                      F.lit(".docs.test/skip/../"), F.col("lang"),
+                      F.lit("/./p"), did, F.lit("?utm_medium=x"))
+    urls = (d.select(base.alias("url"))
+            .unionByName(d.select(messy1.alias("url")))
+            .unionByName(d.filter(F.col("doc_id") % 3 == 0)
+                         .select(messy2.alias("url"))))
+    return url_dedup(urls)
+
+
 def q_decontam(spark, sf_dir):
     """Benchmark n-gram decontamination (ops/decontam.contamination):
     per-doc distinct 8-gram count, benchmark-hit count, contaminated
@@ -837,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_near_dup": q_embed_lsh_near_dup,
         "decontam": q_decontam,
         "line_dedup": q_line_dedup,
+        "url_canon_dedup": q_url_canon_dedup,
         "image_meta": q_image_meta,
         "image_features": q_image_features,
         "events_hourly": q_events_hourly,
@@ -1049,6 +1077,25 @@ SELECT k.doc_id,
          AS n_removed
 FROM k LEFT JOIN b ON k.key = b.key
 GROUP BY k.doc_id
+"""
+    # canonical-URL dedup oracle: same messy-variant construction, and
+    # the canonicalization SQL is GENERATED from the op's step table
+    from swiftsoup_spark.ops.urlnorm import canonical_url_sql
+    url_canon_dedup = f"""
+WITH u AS (
+  SELECT 'https://' || source || '.docs.test/' || lang || '/p' || doc_id
+         AS url FROM documents
+  UNION ALL
+  SELECT 'HTTPS://' || upper(source) || '.DOCS.TEST:443/' || lang || '/p'
+         || doc_id || '?utm_source=feed&gclid=' || doc_id || '#top'
+  FROM documents
+  UNION ALL
+  SELECT 'https://' || source || '.docs.test/skip/../' || lang || '/./p'
+         || doc_id || '?utm_medium=x'
+  FROM documents WHERE doc_id % 3 = 0)
+SELECT {canonical_url_sql('url')} AS canon_url,
+       min(url) AS rep_url, count(*) AS n_variants
+FROM u GROUP BY 1
 """
     quality = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS nc
@@ -1367,6 +1414,7 @@ WHERE bit_count(xor(CAST(a.uv AS UBIGINT), CAST(b.uv AS UBIGINT))) <= 3
         "embed_lsh_near_dup": embed_lsh,
         "decontam": decontam,
         "line_dedup": line_dedup,
+        "url_canon_dedup": url_canon_dedup,
         "image_meta": (
             "SELECT doc_id, 16 AS n_payload, "
             "CAST(1 + doc_id % 64 AS INTEGER) AS width, "
