@@ -703,6 +703,37 @@ def q_line_dedup(spark, sf_dir):
                                       max_docs=5)
 
 
+def q_prepare_shard(spark, sf_dir):
+    """End-to-end training-shard preparation — the pipeline a reference
+    user actually runs, as ONE query: kernel HTML→text extraction →
+    minimum-length quality gate → exact dedup (md5 fingerprint, min-url
+    representative) → char-trigram lang-ID → url-hash shard assignment →
+    per-(shard, lang) corpus stats. Every stage is an already-gated
+    operator; the oracle composes their replay SQL (template inversion +
+    generated lang scoring), so the whole chain is hash-exact end to
+    end. Scale shape: extraction is the fused mapInArrow scan, the gate
+    is map-side, dedup is one uniform-key groupBy, lang-ID is codegen,
+    and the final rollup aggregates 8x|langs| rows."""
+    pages = pages_df(spark, sf_dir)
+    ex = X.extract_pages(pages).select("url", "text")
+    t = ex.select(
+        "url", "text",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.length("text").alias("n_chars"))
+    f = t.filter(F.col("n_words") >= 30)
+    d = (f.groupBy(F.md5("text").alias("fp"))
+         .agg(F.min("url").alias("url"), F.max("text").alias("text"),
+              F.max("n_words").alias("n_words"),
+              F.max("n_chars").alias("n_chars")))
+    lang = TX.lang_detect(d, keep=("url", "n_words", "n_chars"))
+    shard = (F.conv(F.substring(F.md5("url"), 1, 2), 16, 10)
+             .cast("int") % 8)
+    return (lang.groupBy(shard.alias("shard"), "lang_pred")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_words").alias("sum_words"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
 def q_url_canon_dedup(spark, sf_dir):
     """Canonical-URL dedup (ops/urlnorm.py): per document the query
     plants three crawl spellings of the same page — the clean url, a
@@ -865,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "line_dedup": q_line_dedup,
         "url_canon_dedup": q_url_canon_dedup,
+        "prepare_shard": q_prepare_shard,
         "image_meta": q_image_meta,
         "image_features": q_image_features,
         "events_hourly": q_events_hourly,
@@ -1096,6 +1128,28 @@ WITH u AS (
 SELECT {canonical_url_sql('url')} AS canon_url,
        min(url) AS rep_url, count(*) AS n_variants
 FROM u GROUP BY 1
+"""
+    # prepare_shard oracle: template-inverted extraction composed with
+    # the generated lang-ID replay and the same dedup/shard formulas
+    from swiftsoup_spark.ops.textstats import lang_detect_oracle_exprs
+    _ps_pred, _ps_score = lang_detect_oracle_exprs("text")
+    prepare_shard = f"""
+WITH ex AS (SELECT {URL_SQL} AS url, {EXPECTED_DOC_TEXT_SQL} AS text
+            FROM documents),
+t AS (SELECT url, text, len(string_split(text, ' ')) AS n_words,
+             length(text) AS n_chars
+      FROM ex),
+f AS (SELECT * FROM t WHERE n_words >= 30),
+d AS (SELECT md5(text) AS fp, min(url) AS url, max(text) AS text,
+             max(n_words) AS n_words, max(n_chars) AS n_chars
+      FROM f GROUP BY 1),
+l AS (SELECT url, n_words, n_chars, {_ps_pred} AS lang_pred FROM d)
+SELECT CAST(CAST('0x' || substr(md5(url), 1, 2) AS INTEGER) % 8 AS INTEGER)
+         AS shard,
+       lang_pred, count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS sum_words,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM l GROUP BY 1, 2
 """
     quality = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS nc
@@ -1415,6 +1469,7 @@ WHERE bit_count(xor(CAST(a.uv AS UBIGINT), CAST(b.uv AS UBIGINT))) <= 3
         "decontam": decontam,
         "line_dedup": line_dedup,
         "url_canon_dedup": url_canon_dedup,
+        "prepare_shard": prepare_shard,
         "image_meta": (
             "SELECT doc_id, 16 AS n_payload, "
             "CAST(1 + doc_id % 64 AS INTEGER) AS width, "
