@@ -703,6 +703,30 @@ def q_line_dedup(spark, sf_dir):
                                       max_docs=5)
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII redaction audit (ops/redact.py): docs get planted emails /
+    IPv4s / phone runs by doc_id class; output is the redacted text plus
+    per-category counts. Oracle replays the generated category table
+    verbatim (RE2-safe patterns, counts on original text, fixed
+    replacement order)."""
+    from swiftsoup_spark.ops.redact import redact_pii
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    planted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" contact user"), did,
+                        F.lit("@example.com now"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit(" from 192.168."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".7"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" call +1 (555) 01"), did,
+                        F.lit("-9876"))).otherwise(F.lit("")))
+    return redact_pii(d.select("doc_id", planted.alias("text")))
+
+
 def q_prepare_shard(spark, sf_dir):
     """End-to-end training-shard preparation — the pipeline a reference
     user actually runs, as ONE query: kernel HTML→text extraction →
@@ -897,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "url_canon_dedup": q_url_canon_dedup,
         "prepare_shard": q_prepare_shard,
+        "redact_pii": q_redact_pii,
         "image_meta": q_image_meta,
         "image_features": q_image_features,
         "events_hourly": q_events_hourly,
@@ -1150,6 +1175,24 @@ SELECT CAST(CAST('0x' || substr(md5(url), 1, 2) AS INTEGER) % 8 AS INTEGER)
        CAST(sum(n_words) AS BIGINT) AS sum_words,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM l GROUP BY 1, 2
+"""
+    # PII-redaction oracle: planted-PII corpus + the generated replay
+    from swiftsoup_spark.ops.redact import redact_pii_sql
+    redact = f"""
+WITH t AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || doc_id || '@example.com now'
+              ELSE '' END ||
+         CASE WHEN doc_id % 4 = 0
+              THEN ' from 192.168.' || (doc_id % 256) || '.7'
+              ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' call +1 (555) 01' || doc_id || '-9876'
+              ELSE '' END AS text
+  FROM documents)
+SELECT doc_id, {redact_pii_sql('text')} FROM t
 """
     quality = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS nc
@@ -1470,6 +1513,7 @@ WHERE bit_count(xor(CAST(a.uv AS UBIGINT), CAST(b.uv AS UBIGINT))) <= 3
         "line_dedup": line_dedup,
         "url_canon_dedup": url_canon_dedup,
         "prepare_shard": prepare_shard,
+        "redact_pii": redact,
         "image_meta": (
             "SELECT doc_id, 16 AS n_payload, "
             "CAST(1 + doc_id % 64 AS INTEGER) AS width, "
