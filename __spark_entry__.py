@@ -703,6 +703,43 @@ def q_line_dedup(spark, sf_dir):
                                       max_docs=5)
 
 
+def q_host_blocklist(spark, sf_dir):
+    """Domain-blocklist filter (ops/urlnorm.filter_host_blocklist):
+    hosts of every source whose name length is divisible by 3 are
+    blocked; the corpus anti-joins the broadcast blocklist and reports
+    surviving (host, n_docs). The oracle rebuilds blocklist and urls
+    from the same formulas."""
+    from swiftsoup_spark.ops.urlnorm import filter_host_blocklist, host_of
+    d = _docs(spark, sf_dir)
+    urls = d.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".docs.test/"),
+                 F.col("lang"), F.lit("/p"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    blocked = (d.select("source").distinct()
+               .filter(F.length("source") % 3 == 0)
+               .select(F.concat(F.col("source"), F.lit(".docs.test"))
+                        .alias("host")))
+    kept = filter_host_blocklist(urls, blocked)
+    return (kept.groupBy(host_of(F.col("url")).alias("host"))
+            .agg(F.count("*").alias("n_docs")))
+
+
+def q_sample_quota(spark, sf_dir):
+    """Deterministic per-language mixture sampling (ops/mixing.py):
+    quota rate_permille = 100 + (137 * length(lang)) % 800, rows keyed
+    by md5-bucket of doc_id — identical surviving row set in Spark and
+    DuckDB, aggregated to (lang, n_docs, sum_chars)."""
+    from swiftsoup_spark.ops.mixing import sample_quota
+    d = _docs(spark, sf_dir)
+    quota = (d.select("lang").distinct()
+             .select("lang", (F.lit(100) + (F.length("lang") * 137) % 800)
+                     .alias("rate_permille")))
+    kept = sample_quota(d, quota, key_col="doc_id", group_col="lang")
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length("text")).alias("sum_chars")))
+
+
 def q_redact_pii(spark, sf_dir):
     """PII redaction audit (ops/redact.py): docs get planted emails /
     IPv4s / phone runs by doc_id class; output is the redacted text plus
@@ -922,6 +959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon_dedup": q_url_canon_dedup,
         "prepare_shard": q_prepare_shard,
         "redact_pii": q_redact_pii,
+        "host_blocklist": q_host_blocklist,
+        "sample_quota": q_sample_quota,
         "image_meta": q_image_meta,
         "image_features": q_image_features,
         "events_hourly": q_events_hourly,
@@ -1193,6 +1232,24 @@ WITH t AS (
               ELSE '' END AS text
   FROM documents)
 SELECT doc_id, {redact_pii_sql('text')} FROM t
+"""
+    host_blocklist = """
+WITH b AS (SELECT DISTINCT source || '.docs.test' AS host
+           FROM documents WHERE length(source) % 3 = 0)
+SELECT source || '.docs.test' AS host, count(*) AS n_docs
+FROM documents
+WHERE source || '.docs.test' NOT IN (SELECT host FROM b)
+GROUP BY 1
+"""
+    from swiftsoup_spark.ops.mixing import bucket1000_sql
+    sample_quota = f"""
+WITH q AS (SELECT lang, 100 + (137 * length(lang)) % 800 AS rate_permille
+           FROM (SELECT DISTINCT lang FROM documents)),
+k AS (SELECT d.* FROM documents d JOIN q USING (lang)
+      WHERE {bucket1000_sql('doc_id')} < q.rate_permille)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM k GROUP BY 1
 """
     quality = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS nc
@@ -1514,6 +1571,8 @@ WHERE bit_count(xor(CAST(a.uv AS UBIGINT), CAST(b.uv AS UBIGINT))) <= 3
         "url_canon_dedup": url_canon_dedup,
         "prepare_shard": prepare_shard,
         "redact_pii": redact,
+        "host_blocklist": host_blocklist,
+        "sample_quota": sample_quota,
         "image_meta": (
             "SELECT doc_id, 16 AS n_payload, "
             "CAST(1 + doc_id % 64 AS INTEGER) AS width, "

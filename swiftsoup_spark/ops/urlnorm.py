@@ -135,3 +135,28 @@ def url_dedup(df, url_col: str = "url"):
             .groupBy("canon_url")
             .agg(F.min("u").alias("rep_url"),
                  F.count("*").alias("n_variants")))
+
+
+def host_of(col):
+    """Lowercased host (port kept, userinfo stripped) of an absolute
+    URL; '' when there is no ``scheme://``."""
+    return F.lower(F.regexp_extract(F.trim(col), _HOST_RE, 1))
+
+
+def registered_domain(col):
+    """Last two dot-labels of the host — the simplified eTLD+1 used for
+    per-site grouping. Documented approximation: a real pipeline ships
+    the public-suffix list (a broadcast table keyed by suffix); the
+    2-label fallback is exact for .com/.org/.net-style hosts and merely
+    over-groups country-code second-level domains."""
+    return F.regexp_extract(host_of(col), r"([^.]+\.[^.]+)$", 1)
+
+
+def filter_host_blocklist(df, blocked_df, url_col: str = "url"):
+    """Drop rows whose URL host is on the blocklist. The blocklist is a
+    curated table (thousands of rows at most) — broadcast it and
+    anti-join, so the 10^12-row corpus side stays a map-only scan."""
+    blocked = F.broadcast(blocked_df.select(F.lower("host").alias("__bh")))
+    return (df.withColumn("__h", host_of(F.col(url_col)))
+            .join(blocked, F.col("__h") == F.col("__bh"), "left_anti")
+            .drop("__h"))
