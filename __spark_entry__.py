@@ -703,6 +703,24 @@ def q_line_dedup(spark, sf_dir):
                                       max_docs=5)
 
 
+_SPAN_PREFIX = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi")  # exactly 16 words
+
+
+def q_span_dedup(spark, sf_dir):
+    """Duplicated-span detection (ops/dedup.duplicate_span_blocks):
+    every 7th doc gets the same block-aligned 16-word prefix, so its
+    first block is a corpus-wide duplicated span; exact-duplicate docs
+    light up in full. Oracle replays block cutting, occurrence counts
+    and the per-doc rollup."""
+    d = _docs(spark, sf_dir)
+    planted = F.when(F.col("doc_id") % 7 == 0,
+                     F.concat(F.lit(_SPAN_PREFIX + " "), F.col("text"))
+                     ).otherwise(F.col("text"))
+    return D.duplicate_span_blocks(
+        d.select("doc_id", planted.alias("text")), block=16)
+
+
 def q_host_blocklist(spark, sf_dir):
     """Domain-blocklist filter (ops/urlnorm.filter_host_blocklist):
     hosts of every source whose name length is divisible by 3 are
@@ -961,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "host_blocklist": q_host_blocklist,
         "sample_quota": q_sample_quota,
+        "span_dedup": q_span_dedup,
         "image_meta": q_image_meta,
         "image_features": q_image_features,
         "events_hourly": q_events_hourly,
@@ -1250,6 +1269,29 @@ k AS (SELECT d.* FROM documents d JOIN q USING (lang)
 SELECT lang, count(*) AS n_docs,
        CAST(sum(length(text)) AS BIGINT) AS sum_chars
 FROM k GROUP BY 1
+"""
+    span_dedup = f"""
+WITH t AS (SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0
+                       THEN '{_SPAN_PREFIX} ' || text ELSE text END AS text
+           FROM documents),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM t),
+e AS (SELECT doc_id,
+             unnest(list_transform(
+                 generate_series(0, CAST(floor(len(w) / 16) AS INTEGER) - 1),
+                 i -> md5(array_to_string(w[i*16+1 : i*16+16], ' ')))) AS h
+      FROM w),
+occ AS (SELECT h, count(*) AS n_occ FROM e GROUP BY h),
+d AS (SELECT doc_id, count(*) AS n_blocks,
+             sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS n_dup
+      FROM e JOIN occ USING (h) GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(d.n_blocks, 0) AS INTEGER) AS n_blocks,
+       CAST(coalesce(d.n_dup, 0) AS INTEGER) AS n_dup_blocks,
+       CAST(CASE WHEN coalesce(d.n_blocks, 0) > 0
+                 THEN round(coalesce(d.n_dup, 0) * 1000000.0 / d.n_blocks)
+                 ELSE 0 END AS BIGINT) AS dup_block_frac_e6
+FROM t LEFT JOIN d ON t.doc_id = d.doc_id
 """
     quality = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS nc
@@ -1573,6 +1615,7 @@ WHERE bit_count(xor(CAST(a.uv AS UBIGINT), CAST(b.uv AS UBIGINT))) <= 3
         "redact_pii": redact,
         "host_blocklist": host_blocklist,
         "sample_quota": sample_quota,
+        "span_dedup": span_dedup,
         "image_meta": (
             "SELECT doc_id, 16 AS n_payload, "
             "CAST(1 + doc_id % 64 AS INTEGER) AS width, "
