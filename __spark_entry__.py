@@ -703,6 +703,21 @@ def q_line_dedup(spark, sf_dir):
                                       max_docs=5)
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-style pre-tokenizer counts (ops/textstats.bpe_token_count):
+    token-budget accounting with tokenizer-shaped segmentation instead
+    of whitespace splits; the pattern is the RE2-safe GPT-2-ish class
+    union, replayed verbatim by the DuckDB oracle. Punctuation-heavy
+    docs are planted so the two counts genuinely diverge."""
+    d = _docs(spark, sf_dir)
+    planted = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.col("text"),
+                 F.lit(" it's a test-case, v2.0 (beta)!"))
+        ).otherwise(F.col("text"))
+    return TX.bpe_token_count(d.select("doc_id", planted.alias("text")))
+
+
 _SPAN_PREFIX = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
                 "lambda mu nu xi omicron pi")  # exactly 16 words
 
@@ -980,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_blocklist": q_host_blocklist,
         "sample_quota": q_sample_quota,
         "span_dedup": q_span_dedup,
+        "bpe_token_count": q_bpe_token_count,
         "image_meta": q_image_meta,
         "image_features": q_image_features,
         "events_hourly": q_events_hourly,
@@ -1292,6 +1308,23 @@ SELECT t.doc_id,
                  THEN round(coalesce(d.n_dup, 0) * 1000000.0 / d.n_blocks)
                  ELSE 0 END AS BIGINT) AS dup_block_frac_e6
 FROM t LEFT JOIN d ON t.doc_id = d.doc_id
+"""
+    from swiftsoup_spark.ops.textstats import BPE_TOKEN_RE
+    bpe_token_count = f"""
+WITH t AS (SELECT doc_id,
+                  CASE WHEN doc_id % 4 = 0
+                       THEN text || ' it''s a test-case, v2.0 (beta)!'
+                       ELSE text END AS text
+           FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS INTEGER)
+         AS n_pretokens,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+       CAST(CASE WHEN len(string_split(text, ' ')) > 0
+                 THEN round(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))
+                            * 1000000.0 / len(string_split(text, ' ')))
+                 ELSE 0 END AS BIGINT) AS pretoken_ratio_e6
+FROM t
 """
     quality = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS nc
@@ -1616,6 +1649,7 @@ WHERE bit_count(xor(CAST(a.uv AS UBIGINT), CAST(b.uv AS UBIGINT))) <= 3
         "host_blocklist": host_blocklist,
         "sample_quota": sample_quota,
         "span_dedup": span_dedup,
+        "bpe_token_count": bpe_token_count,
         "image_meta": (
             "SELECT doc_id, 16 AS n_payload, "
             "CAST(1 + doc_id % 64 AS INTEGER) AS width, "

@@ -265,3 +265,31 @@ def fingerprint(df, text_col: str = "text"):
     the exact-dedup / lineage key at corpus scale."""
     norm = F.trim(F.regexp_replace(F.col(text_col), "[ \\t\\n\\r]+", " "))
     return df.select("doc_id", F.md5(norm).alias("fp"))
+
+
+# --- BPE-style pre-tokenization count ----------------------------------------
+
+# GPT-2-ish pre-tokenizer, restricted to the RE2-safe subset shared by
+# Java regex and DuckDB (no lookahead, no contraction special-cases):
+# a token is an optional leading space + letter run, + digit run,
+# + symbol run, or a whitespace run. \p{L}/\p{N} are Unicode general
+# categories in BOTH dialects; \s is ASCII whitespace in both.
+BPE_TOKEN_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(df, text_col: str = "text"):
+    """Training-token budgeting needs tokenizer-shaped counts, not
+    whitespace splits: "don't!" is 1 whitespace token but 4 BPE
+    pre-tokens. Pure JVM regexp_extract_all — zero shuffle — and the
+    identical pattern replays in DuckDB, so counts are oracle-exact.
+    Returns (doc_id, n_pretokens, n_ws_tokens, pretoken_ratio_e6)."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)
+    n_pre = F.size(toks)
+    n_ws = F.size(F.split(F.col(text_col), " "))
+    return df.select(
+        "doc_id",
+        n_pre.alias("n_pretokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.when(n_ws > 0,
+               F.round(n_pre * 1000000 / n_ws).cast("long"))
+         .otherwise(F.lit(0).cast("long")).alias("pretoken_ratio_e6"))

@@ -78,3 +78,19 @@ def test_oracle_exprs_are_generated_from_same_tables():
     for tri in TX.LANG_TRIGRAMS["pt"]:
         assert tri in pred
     assert "BIGINT" in score
+
+
+def test_bpe_token_count_segmentation(spark):
+    """BPE pre-tokenizer: "it's a test-case, v2.0!" segments into
+    letter/digit/symbol runs; whitespace split sees far fewer."""
+    from swiftsoup_spark.ops import textstats as TX
+    df = spark.createDataFrame(
+        [(0, "it's a test-case, v2.0 (beta)!"), (1, "plain words here"),
+         (2, "")],
+        "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in TX.bpe_token_count(df).collect()}
+    # it|'|s| a| test|-|case|,| v|2|.|0| (|beta|)! = 15 pretokens
+    assert out[0]["n_pretokens"] == 15
+    assert out[0]["n_ws_tokens"] == 5
+    assert out[1]["n_pretokens"] == 3
+    assert out[2]["n_pretokens"] == 0
