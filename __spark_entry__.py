@@ -703,6 +703,26 @@ def q_line_dedup(spark, sf_dir):
                                       max_docs=5)
 
 
+def q_pagerank_hosts(spark, sf_dir):
+    """Fixed-point weighted PageRank over a planted host link graph
+    (ops/linkgraph.py): doc d on host source(d) links to the host of
+    doc (17*d + 3) mod 97 — every host has outlinks, so no dangling
+    leak. 5 iterations of BIGINT-e12 ranks; the per-edge float step is
+    the same correctly-rounded IEEE expression in both engines and all
+    summation is over exact integers, so ranks are bit-identical across
+    partitionings and vs the unrolled-CTE DuckDB oracle."""
+    from swiftsoup_spark.ops.linkgraph import pagerank_fixedpoint
+    d = _docs(spark, sf_dir)
+    host = F.concat(F.col("source"), F.lit(".docs.test"))
+    src = d.select(host.alias("src_host"),
+                   ((F.col("doc_id") * 17 + 3) % 97).alias("k"))
+    dst = (d.filter(F.col("doc_id") < 97)
+           .select(F.col("doc_id").alias("k"), host.alias("dst_host")))
+    edges = (src.join(F.broadcast(dst), "k")
+             .groupBy("src_host", "dst_host").agg(F.count("*").alias("w")))
+    return pagerank_fixedpoint(edges, iters=5)
+
+
 def q_bpe_token_count(spark, sf_dir):
     """BPE-style pre-tokenizer counts (ops/textstats.bpe_token_count):
     token-budget accounting with tokenizer-shaped segmentation instead
@@ -996,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_quota": q_sample_quota,
         "span_dedup": q_span_dedup,
         "bpe_token_count": q_bpe_token_count,
+        "pagerank_hosts": q_pagerank_hosts,
         "image_meta": q_image_meta,
         "image_features": q_image_features,
         "events_hourly": q_events_hourly,
@@ -1309,6 +1330,14 @@ SELECT t.doc_id,
                  ELSE 0 END AS BIGINT) AS dup_block_frac_e6
 FROM t LEFT JOIN d ON t.doc_id = d.doc_id
 """
+    from swiftsoup_spark.ops.linkgraph import pagerank_oracle_sql
+    pagerank_hosts = pagerank_oracle_sql("""
+SELECT a.src_host, b.dst_host, count(*) AS w
+FROM (SELECT source || '.docs.test' AS src_host,
+             (doc_id * 17 + 3) % 97 AS k FROM documents) a
+JOIN (SELECT doc_id AS k, source || '.docs.test' AS dst_host
+      FROM documents WHERE doc_id < 97) b USING (k)
+GROUP BY 1, 2""", iters=5)
     from swiftsoup_spark.ops.textstats import BPE_TOKEN_RE
     bpe_token_count = f"""
 WITH t AS (SELECT doc_id,
@@ -1650,6 +1679,7 @@ WHERE bit_count(xor(CAST(a.uv AS UBIGINT), CAST(b.uv AS UBIGINT))) <= 3
         "sample_quota": sample_quota,
         "span_dedup": span_dedup,
         "bpe_token_count": bpe_token_count,
+        "pagerank_hosts": pagerank_hosts,
         "image_meta": (
             "SELECT doc_id, 16 AS n_payload, "
             "CAST(1 + doc_id % 64 AS INTEGER) AS width, "
