@@ -889,6 +889,28 @@ def q_decontam(spark, sf_dir):
     return contamination(docs, _decontam_bench(docs), n=8)
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio-column plumbing (ops/multimodal.audio_features): binary
+    fake-PCM payloads through the mapInPandas Arrow batch contract to
+    per-frame integer energies. The stub decode is hex-replayable, so
+    the oracle reproduces the exact frame energies — the plumbing,
+    batch shape AND the deterministic decode are all hash-gated."""
+    from swiftsoup_spark.ops.multimodal import (audio_features,
+                                                synth_audio_table)
+    return audio_features(synth_audio_table(_docs(spark, sf_dir)))
+
+
+def q_video_frames(spark, sf_dir):
+    """Video frame sampling (ops/multimodal.video_frame_sample): one
+    input row fans out to sampled (doc_id, frame_idx, frame_hash) rows
+    INSIDE the Arrow batch — the exploding-batch shape of a real frame
+    sampler; oracle replays hashes via md5(substr(hex, ...))."""
+    from swiftsoup_spark.ops.multimodal import (synth_video_table,
+                                                video_frame_sample)
+    return video_frame_sample(synth_video_table(_docs(spark, sf_dir)),
+                              every=4)
+
+
 def q_image_meta(spark, sf_dir):
     img = synth_image_table(_docs(spark, sf_dir))
     return img.select("doc_id", F.length("payload").alias("n_payload"),
@@ -1017,6 +1039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "bpe_token_count": q_bpe_token_count,
         "pagerank_hosts": q_pagerank_hosts,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
         "image_meta": q_image_meta,
         "image_features": q_image_features,
         "events_hourly": q_events_hourly,
@@ -1680,6 +1704,23 @@ WHERE bit_count(xor(CAST(a.uv AS UBIGINT), CAST(b.uv AS UBIGINT))) <= 3
         "span_dedup": span_dedup,
         "bpe_token_count": bpe_token_count,
         "pagerank_hosts": pagerank_hosts,
+        "audio_features": """
+SELECT doc_id, 64 AS n_bytes, 4 AS n_frames,
+       list_transform(generate_series(0, 3), f ->
+           CAST(list_sum(list_transform(generate_series(1, 32), i ->
+               strpos('0123456789abcdef',
+                      substr(repeat(md5(text), 4), f * 32 + i, 1)) - 1))
+                * 31250 AS BIGINT)) AS frame_energy
+FROM documents
+""",
+        "video_frames": """
+WITH f AS (SELECT doc_id, unnest([0, 4]) AS frame_idx,
+                  repeat(md5(text), 16) AS hx
+           FROM documents)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       md5(substr(hx, frame_idx * 64 + 1, 64)) AS frame_hash
+FROM f
+""",
         "image_meta": (
             "SELECT doc_id, 16 AS n_payload, "
             "CAST(1 + doc_id % 64 AS INTEGER) AS width, "

@@ -61,3 +61,115 @@ def image_features(img_df):
             })
 
     return img_df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+# --- audio -------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+])
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("frame_energy", T.ArrayType(T.LongType())),
+])
+
+
+def synth_audio_table(docs_df):
+    """Documents -> opaque binary 'audio' column + typed metadata.
+    Deterministic fake PCM: 64 payload bytes = unhex(repeat(md5, 4))."""
+    return docs_df.select(
+        "doc_id",
+        F.unhex(F.repeat(F.md5("text"), 4)).alias("payload"),
+        F.when(F.col("doc_id") % 2 == 0, 16000).otherwise(8000)
+         .cast("int").alias("sample_rate"),
+        (1 + F.col("doc_id") % 2).cast("int").alias("n_channels"),
+    )
+
+
+def audio_features(audio_df, frame_nibbles: int = 32):
+    """mapInPandas frame-energy extraction: binary payload -> per-frame
+    integer energy (sum of nibble amplitudes x 31250, i.e. mean*1e6 for
+    32-nibble frames — exact integers, so the stub decode itself is
+    oracle-replayable from the hex string). Real deployments swap the
+    nibble loop for an ffmpeg/soundfile decode; the Arrow batch contract
+    (binary in, fixed-width long array out) is what the engine pins."""
+    scale = 1000000 // frame_nibbles
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = {"doc_id": pdf["doc_id"], "n_bytes": [], "n_frames": [],
+                    "frame_energy": []}
+            for p in pdf["payload"]:
+                if p is None:
+                    rows["n_bytes"].append(0)
+                    rows["n_frames"].append(0)
+                    rows["frame_energy"].append([])
+                    continue
+                hx = p.hex()
+                vals = [int(c, 16) for c in hx]
+                nf = len(vals) // frame_nibbles
+                rows["n_bytes"].append(len(p))
+                rows["n_frames"].append(nf)
+                rows["frame_energy"].append(
+                    [sum(vals[f * frame_nibbles:(f + 1) * frame_nibbles])
+                     * scale for f in range(nf)])
+            yield pd.DataFrame(rows)
+
+    return audio_df.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
+
+
+# --- video -------------------------------------------------------------------
+
+VIDEO_FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_hash", T.StringType()),
+])
+
+
+def synth_video_table(docs_df):
+    """Documents -> opaque binary 'video' column (256 fake bytes =
+    unhex(repeat(md5, 16))) + fps metadata."""
+    return docs_df.select(
+        "doc_id",
+        F.unhex(F.repeat(F.md5("text"), 16)).alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, 24).otherwise(30)
+         .cast("int").alias("fps"),
+    )
+
+
+def video_frame_sample(video_df, every: int = 4, frame_bytes: int = 32):
+    """mapInPandas frame sampling: emit every ``every``-th 32-byte
+    'frame' as (doc_id, frame_idx, frame_hash) rows — the exploding
+    batch shape of a real frame sampler (one input row -> many output
+    rows inside the Arrow batch, no Spark-side explode). frame_hash is
+    md5 of the frame's hex string, so the DuckDB oracle replays it with
+    md5(substr(hex, ...))."""
+    def batches(it):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame_hash": []}
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                hx = p.hex()
+                nf = len(p) // frame_bytes
+                for f in range(0, nf, every):
+                    chunk = hx[f * frame_bytes * 2:(f + 1) * frame_bytes * 2]
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(f)
+                    out["frame_hash"].append(
+                        hashlib.md5(chunk.encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return video_df.mapInPandas(batches, VIDEO_FRAME_SCHEMA)
