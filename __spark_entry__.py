@@ -617,8 +617,10 @@ def q_lang_detect(spark, sf_dir):
                         (F.col("doc_id") % n + 1).cast("int"))
     code = F.element_at(F.array(*[F.lit(c) for c, _ in _LANG_PLANTED]),
                         (F.col("doc_id") % n + 1).cast("int"))
-    df = _docs(spark, sf_dir).select(
-        "doc_id", code.alias("lang_planted"), sent.alias("text"))
+    df = (_docs(spark, sf_dir)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select("doc_id", code.alias("lang_planted"),
+                  sent.alias("text")))
     return TX.lang_detect(df, keep=("doc_id", "lang_planted"))
 
 
@@ -833,16 +835,21 @@ def q_prepare_shard(spark, sf_dir):
     t = ex.select(
         "url", "text",
         F.size(F.split("text", " ")).alias("n_words"),
-        F.length("text").alias("n_chars"))
+        F.length("text").alias("n_chars"),
+        F.md5("text").alias("fp"))
     f = t.filter(F.col("n_words") >= 30)
-    d = (f.groupBy(F.md5("text").alias("fp"))
-         .agg(F.min("url").alias("url"), F.max("text").alias("text"),
+    # lang + stats are computed MAP-SIDE before dedup so the full text
+    # never rides the groupBy shuffle (identical result: equal fp =>
+    # equal text => equal lang_pred; max() just picks the shared value)
+    lang = TX.lang_detect(f, keep=("url", "n_words", "n_chars", "fp"))
+    d = (lang.groupBy("fp")
+         .agg(F.min("url").alias("url"),
               F.max("n_words").alias("n_words"),
-              F.max("n_chars").alias("n_chars")))
-    lang = TX.lang_detect(d, keep=("url", "n_words", "n_chars"))
+              F.max("n_chars").alias("n_chars"),
+              F.max("lang_pred").alias("lang_pred")))
     shard = (F.conv(F.substring(F.md5("url"), 1, 2), 16, 10)
              .cast("int") % 8)
-    return (lang.groupBy(shard.alias("shard"), "lang_pred")
+    return (d.groupBy(shard.alias("shard"), "lang_pred")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_words").alias("sum_words"),
                  F.sum("n_chars").alias("sum_chars")))
@@ -886,6 +893,10 @@ def q_decontam(spark, sf_dir):
     collision, and the value-hash compare would catch it)."""
     from swiftsoup_spark.ops.decontam import contamination
     docs = _docs(spark, sf_dir)
+    # the sf parquet is a single unsplittable row group — spread the
+    # shingle work across cores (at corpus scale the scan itself has
+    # thousands of splits and this repartition is unnecessary)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return contamination(docs, _decontam_bench(docs), n=8)
 
 
@@ -1281,19 +1292,19 @@ FROM u GROUP BY 1
 WITH ex AS (SELECT {URL_SQL} AS url, {EXPECTED_DOC_TEXT_SQL} AS text
             FROM documents),
 t AS (SELECT url, text, len(string_split(text, ' ')) AS n_words,
-             length(text) AS n_chars
+             length(text) AS n_chars, md5(text) AS fp
       FROM ex),
 f AS (SELECT * FROM t WHERE n_words >= 30),
-d AS (SELECT md5(text) AS fp, min(url) AS url, max(text) AS text,
-             max(n_words) AS n_words, max(n_chars) AS n_chars
-      FROM f GROUP BY 1),
-l AS (SELECT url, n_words, n_chars, {_ps_pred} AS lang_pred FROM d)
+l AS (SELECT url, n_words, n_chars, fp, {_ps_pred} AS lang_pred FROM f),
+d AS (SELECT fp, min(url) AS url, max(n_words) AS n_words,
+             max(n_chars) AS n_chars, max(lang_pred) AS lang_pred
+      FROM l GROUP BY 1)
 SELECT CAST(CAST('0x' || substr(md5(url), 1, 2) AS INTEGER) % 8 AS INTEGER)
          AS shard,
        lang_pred, count(*) AS n_docs,
        CAST(sum(n_words) AS BIGINT) AS sum_words,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
-FROM l GROUP BY 1, 2
+FROM d GROUP BY 1, 2
 """
     # PII-redaction oracle: planted-PII corpus + the generated replay
     from swiftsoup_spark.ops.redact import redact_pii_sql

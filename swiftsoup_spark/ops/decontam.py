@@ -60,26 +60,28 @@ def contamination(docs_df, bench_df, n: int = 8, text_col: str = "text"):
     ``n_grams`` = this doc's distinct n-gram count, ``n_hits`` = how many
     of them appear in the benchmark, ``contaminated`` = n_hits > 0.
 
-    Plan shape (asserted in tests/test_decontam.py): benchmark set is
-    broadcast; the doc-side explode feeds a BroadcastHashJoin, then one
-    hash aggregate on doc_id. The left join back to the full doc list is
-    also a single doc_id-keyed shuffle of (doc_id, n_hits) pairs only —
-    text never rides a shuffle.
+    Plan shape (asserted in tests/test_decontam.py): ONE pass builds the
+    shingle array (the expensive string work happens once), explodes it,
+    LEFT-probes the broadcast benchmark set, and a single doc_id-keyed
+    aggregate counts both grams and hits from the same rows. The join
+    back to the full doc list only restores docs with < n words (zero
+    grams — nothing exploded), and carries bare doc_ids. Text never
+    rides a shuffle.
     """
     grams = (docs_df
              .select("doc_id",
                      F.explode(F.array_distinct(
                          _ngrams(F.col(text_col), n))).alias("gram"))
              .select("doc_id", F.xxhash64("gram").alias("gram_hash")))
-    bench = F.broadcast(benchmark_ngram_set(bench_df, n, text_col))
-    hits = (grams.join(bench, "gram_hash")
-            .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
-    per_doc = docs_df.select(
-        "doc_id",
-        F.size(F.array_distinct(_ngrams(F.col(text_col), n)))
-         .alias("n_grams"))
-    return (per_doc.join(hits, "doc_id", "left")
-            .select("doc_id", "n_grams",
+    bench = F.broadcast(benchmark_ngram_set(bench_df, n, text_col)
+                        .withColumn("__hit", F.lit(1)))
+    per = (grams.join(bench, "gram_hash", "left")
+           .groupBy("doc_id")
+           .agg(F.count("*").cast("int").alias("n_grams"),
+                F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits")))
+    return (docs_df.select("doc_id").join(per, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
                     F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
                     (F.coalesce("n_hits", F.lit(0)) > 0).cast("int")
                      .alias("contaminated")))
