@@ -25,6 +25,9 @@ def get_spark(master: str | None = None, app: str = "swiftsoup_spark",
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # runtime split of oversized join partitions (skewed hosts /
+        # duplicate-heavy fingerprints) — explicit, though default-on
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # HTML docs are tens of KB; keep Arrow batches ~thousands of docs
