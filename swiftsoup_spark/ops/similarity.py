@@ -52,8 +52,11 @@ def brute_force_topk(emb_df, n_queries: int = 8, k: int = 5):
 
 
 def bucketed_topk(emb_df, n_queries: int = 8, k: int = 5, bucket_col: str = "label"):
-    """IVF-style: probe only the query's bucket (nprobe=1). The join on the
-    bucket key prunes to ~1/n_buckets of the corpus per query."""
+    """Pre-bucketed top-k: probe only the query's EXISTING bucket column
+    (an upstream partitioner's assignment — no training here, nprobe=1).
+    The join on the bucket key prunes to ~1/n_buckets of the corpus per
+    query; for a trained coarse quantizer with multi-probe, use
+    :func:`ivf_topk`."""
     base = emb_df.select(
         "vec_id", F.col(bucket_col).alias("bucket"), _as_double("embedding").alias("v"))
     q = (base.filter(F.col("vec_id") < n_queries)

@@ -41,9 +41,10 @@ def quality_score(df, text_col: str = "text"):
 
 
 def lang_signal(df, text_col: str = "text"):
-    """n-gram/script language-ID heuristic: CJK char presence, latin ratio,
-    English-stopword hits. (On the synthetic corpus this exposes the
-    declared-vs-detected gap, a standard web-pipeline signal.)"""
+    """Cheap language SIGNAL (CJK char presence + English-stopword
+    hits) — kept as the fast pre-filter column; actual language
+    identification is :func:`lang_detect` (char-trigram + script
+    model)."""
     has_cjk = F.col(text_col).rlike("[一-鿿]")
     n_en = F.size(F.array_intersect(
         F.array_distinct(F.split(F.col(text_col), " ")),
