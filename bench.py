@@ -117,10 +117,18 @@ def run_headline(n_cores: int, n_execs: int = 0):
         # multi_jvm_scaling) and the 1-executor level must hold ALL of
         # it in its storage pool — a partial spill at the small level
         # would inflate measured scaling efficiency.
+        # locality.wait=0: with the corpus persisted across executors,
+        # the default 3 s PROCESS_LOCAL wait stalls every task whose
+        # cached block lives on a busy executor — on one box a "remote"
+        # fetch is a loopback copy, orders of magnitude cheaper than a
+        # 3 s stall (measured: the 4-executor level loses ~25% of its
+        # throughput to locality waits with the default). Short-stage
+        # production jobs tune this down for the same reason.
         spark = get_spark(
             master=f"local-cluster[{n_execs},{n_cores},20480]",
             app=f"bench{n_execs}x{n_cores}", shuffle_partitions=total,
             extra_conf={"spark.executor.memory": "18g",
+                        "spark.locality.wait": "0s",
                         "spark.executorEnv.PYTHONPATH": repo})
     else:
         spark = get_spark(master=f"local[{n_cores}]", app=f"bench{n_cores}",
@@ -256,17 +264,29 @@ def multi_jvm_scaling():
     # stage, so the longer run is the representative regime.
     replicate = os.environ.get("BENCH_CLUSTER_REPLICATE",
                                str(REPLICATE * 3))
+    # 64 partitions over the ~7 GB cluster corpus ≈ 110 MB/task — the
+    # production granularity (maxPartitionBytes default). Event-log
+    # audit: at 16 partitions the 8-slot level runs exactly 2 task
+    # waves, so the ~25% run-to-run task-duration variance on this VM
+    # sets the wall at slowest-of-wave (11-17% slot idle), a
+    # quantization loss the 2-slot level (8 waves) averages away; at
+    # 64 partitions slot idle is <6% at BOTH levels and the task set
+    # is still identical across levels.
+    partitions = os.environ.get("BENCH_CLUSTER_PARTITIONS", "64")
     runs = {}
     cks_all = set()
-    saved = os.environ.get("BENCH_REPLICATE")
+    saved = {k: os.environ.get(k)
+             for k in ("BENCH_REPLICATE", "BENCH_PARTITIONS")}
     os.environ["BENCH_REPLICATE"] = replicate
+    os.environ["BENCH_PARTITIONS"] = partitions
     try:
         return _multi_jvm_levels(execs, cores, repeats, runs, cks_all)
     finally:
-        if saved is None:
-            os.environ.pop("BENCH_REPLICATE", None)
-        else:
-            os.environ["BENCH_REPLICATE"] = saved
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
 
 def _multi_jvm_levels(execs, cores, repeats, runs, cks_all):
