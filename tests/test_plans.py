@@ -110,6 +110,39 @@ def test_scoped_extraction_prunes_and_fuses(spark, tmp_path_factory):
     assert "MapInArrow" in plan
 
 
+def test_prepare_shard_three_shuffles_all_keyed(spark):
+    """The end-to-end shard pipeline (extract → gate → dedup → lang-ID →
+    rollup) must hold at exactly THREE shuffles: the tiny-base fan-out
+    repartition (doc_id), the md5-fingerprint dedup groupBy (fp), and
+    the final (shard, lang) rollup. Lang-ID and token stats run
+    MAP-SIDE before the dedup shuffle — an implementation that joins
+    lang back after dedup, or shuffles the corpus for the quality gate,
+    shows up here as a fourth Exchange."""
+    import re
+
+    import __spark_entry__ as E
+    df = E.queries()["prepare_shard"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "MapInArrow" in plan
+    assert "CartesianProduct" not in plan
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert sorted(keys) == ["_groupingexpression", "doc_id", "fp"], plan
+
+
+def test_line_dedup_linear_shuffles(spark):
+    """CCNet-style corpus line dedup: exactly two line_key shuffles
+    (frequency groupBy + probe join input) and one doc_id rebuild —
+    every stage linear in corpus bytes, nothing quadratic."""
+    import re
+
+    import __spark_entry__ as E
+    df = E.queries()["line_dedup"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert sorted(keys) == ["doc_id", "line_key", "line_key"], plan
+
+
 def test_host_sample_salted_two_phase(spark, tmp_path_factory):
     """The salted per-host min-K aggregates in TWO phases: a partial
     keyed by (host, salt) and a merge keyed by host — the physical plan
