@@ -740,6 +740,26 @@ def q_bpe_token_count(spark, sf_dir):
     return TX.bpe_token_count(d.select("doc_id", planted.alias("text")))
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style char-5-gram LM quality score (ops/ngramlm.py): the
+    model is trained on the deterministic doc_id % 20 == 0 sample
+    (min_count 5) and broadcast; every document is scored by
+    integer-exact hit coverage and log2-count "bits" (length of the
+    base-2 count string — no float log, whose libm last-ulp rounding
+    differs between the JVM and DuckDB). Docs with doc_id % 41 == 7 are
+    truncated to 'ab' to pin the shorter-than-n all-zeros path. Oracle
+    replays sampling, counting, pruning, the broadcast probe and the
+    integer math verbatim."""
+    from swiftsoup_spark.ops.ngramlm import char_ngram_model, lm_score
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 41 == 7, F.lit("ab"))
+         .otherwise(F.col("text")).alias("text"))
+    model = char_ngram_model(planted, sample_mod=20, min_count=5)
+    return lm_score(planted, model)
+
+
 _SPAN_PREFIX = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
                 "lambda mu nu xi omicron pi")  # exactly 16 words
 
@@ -1049,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_quota": q_sample_quota,
         "span_dedup": q_span_dedup,
         "bpe_token_count": q_bpe_token_count,
+        "lm_score": q_lm_score,
         "pagerank_hosts": q_pagerank_hosts,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
@@ -1714,6 +1735,33 @@ WHERE bit_count(xor(CAST(a.uv AS UBIGINT), CAST(b.uv AS UBIGINT))) <= 3
         "sample_quota": sample_quota,
         "span_dedup": span_dedup,
         "bpe_token_count": bpe_token_count,
+        "lm_score": """
+WITH t AS (SELECT doc_id,
+                  CASE WHEN doc_id % 41 = 7 THEN 'ab' ELSE text END AS text
+           FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, length(text) - 4),
+                                   i -> substring(text, i, 5))) AS gram
+      FROM t WHERE length(text) >= 5),
+m AS (SELECT gram, count(*) AS cnt
+      FROM g WHERE doc_id % 20 = 0
+      GROUP BY gram HAVING count(*) >= 5),
+p AS (SELECT g.doc_id,
+             count(*) AS n_grams,
+             count(m.cnt) AS n_hits,
+             sum(CASE WHEN m.cnt IS NULL THEN 0
+                      ELSE length(printf('%b', m.cnt)) END) AS sum_bits
+      FROM g LEFT JOIN m USING (gram)
+      GROUP BY g.doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS INTEGER) AS n_grams,
+       CAST(coalesce(p.n_hits, 0) AS INTEGER) AS n_hits,
+       CAST(coalesce(p.n_hits * 10000 // p.n_grams, 0) AS BIGINT)
+         AS coverage_e4,
+       CAST(coalesce(p.sum_bits * 1000 // p.n_grams, 0) AS BIGINT)
+         AS avg_bits_e3
+FROM t LEFT JOIN p USING (doc_id)
+""",
         "pagerank_hosts": pagerank_hosts,
         "audio_features": """
 SELECT doc_id, 64 AS n_bytes, 4 AS n_frames,
