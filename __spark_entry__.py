@@ -740,6 +740,46 @@ def q_bpe_token_count(spark, sf_dir):
     return TX.bpe_token_count(d.select("doc_id", planted.alias("text")))
 
 
+def _c4_corpus(spark, sf_dir):
+    """Line-structured corpus variant exercising every C4 rule: a
+    terminal-punctuation body line, a no-terminal line, a <3-word line,
+    plus per-class planted javascript / lorem-ipsum / curly-brace /
+    multi-sentence lines. The oracle replays the identical construction
+    with chr(10) concats."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    base = F.concat_ws(
+        "\n",
+        F.concat(F.col("text"), F.lit(".")),
+        F.lit("no terminal punctuation here"),
+        F.lit("Tiny."),
+        F.concat(F.lit("Line for doc "), did, F.lit(" stays!")))
+    extra = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit("\nOne two. Three four! Five six? Seven eight. Nine ten.")
+        ).otherwise(F.lit(""))
+    js = F.when(F.col("doc_id") % 5 == 0,
+                F.lit("\nSome JavaScript code must go.")).otherwise(F.lit(""))
+    lorem = F.when(F.col("doc_id") % 11 == 3,
+                   F.lit("\nLorem Ipsum dolor sit amet friend.")
+                   ).otherwise(F.lit(""))
+    brace = F.when(F.col("doc_id") % 13 == 4,
+                   F.lit("\nfunction f() { return 1; }")).otherwise(F.lit(""))
+    return d.select(
+        "doc_id", F.concat(base, extra, js, lorem, brace).alias("text"))
+
+
+def q_quality_c4(spark, sf_dir):
+    """C4 cleaning rules (ops/textstats.quality_c4) over the planted
+    line corpus: terminal-punctuation line filter, <3-word line drop,
+    javascript-line drop, lorem-ipsum / curly-brace page flags, and the
+    >=5-sentence gate — output includes the cleaned text_c4 itself so
+    the hash gate covers the actual cleaning output. Zero shuffle,
+    higher-order functions only; oracle replays every rule in DuckDB
+    list lambdas."""
+    return TX.quality_c4(_c4_corpus(spark, sf_dir))
+
+
 def q_lm_score(spark, sf_dir):
     """CCNet-style char-5-gram LM quality score (ops/ngramlm.py): the
     model is trained on the deterministic doc_id % 20 == 0 sample
@@ -1069,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_quota": q_sample_quota,
         "span_dedup": q_span_dedup,
         "bpe_token_count": q_bpe_token_count,
+        "quality_c4": q_quality_c4,
         "lm_score": q_lm_score,
         "pagerank_hosts": q_pagerank_hosts,
         "audio_features": q_audio_features,
@@ -1735,6 +1776,48 @@ WHERE bit_count(xor(CAST(a.uv AS UBIGINT), CAST(b.uv AS UBIGINT))) <= 3
         "sample_quota": sample_quota,
         "span_dedup": span_dedup,
         "bpe_token_count": bpe_token_count,
+        "quality_c4": """
+WITH t AS (SELECT doc_id,
+       text || '.' || chr(10) ||
+       'no terminal punctuation here' || chr(10) ||
+       'Tiny.' || chr(10) ||
+       'Line for doc ' || doc_id || ' stays!' ||
+       CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+            'One two. Three four! Five six? Seven eight. Nine ten.'
+            ELSE '' END ||
+       CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+            'Some JavaScript code must go.' ELSE '' END ||
+       CASE WHEN doc_id % 11 = 3 THEN chr(10) ||
+            'Lorem Ipsum dolor sit amet friend.' ELSE '' END ||
+       CASE WHEN doc_id % 13 = 4 THEN chr(10) ||
+            'function f() { return 1; }' ELSE '' END AS text
+  FROM documents),
+k AS (SELECT doc_id, text,
+             string_split(text, chr(10)) AS lines,
+             list_filter(string_split(text, chr(10)),
+                 l -> (ends_with(l, '.') OR ends_with(l, '!')
+                       OR ends_with(l, '?') OR ends_with(l, '"'))
+                      AND len(list_filter(string_split(l, ' '),
+                              w -> length(w) > 0)) >= 3
+                      AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM t),
+m AS (SELECT doc_id, text, lines, kept,
+             array_to_string(kept, chr(10)) AS text_c4
+      FROM k)
+SELECT doc_id,
+       CAST(len(lines) AS INTEGER) AS n_lines,
+       CAST(len(kept) AS INTEGER) AS n_kept,
+       CAST(len(list_filter(string_split_regex(text_c4, '[.!?]'),
+                x -> length(trim(x)) > 0)) AS INTEGER) AS n_sentences,
+       CAST(contains(lower(text), 'lorem ipsum') AS INTEGER) AS has_lorem,
+       CAST(contains(text, '{') AS INTEGER) AS has_brace,
+       CAST(len(list_filter(string_split_regex(text_c4, '[.!?]'),
+                x -> length(trim(x)) > 0)) >= 5
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{') AS INTEGER) AS c4_pass,
+       text_c4
+FROM m
+""",
         "lm_score": """
 WITH t AS (SELECT doc_id,
                   CASE WHEN doc_id % 41 = 7 THEN 'ab' ELSE text END AS text

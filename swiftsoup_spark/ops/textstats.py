@@ -304,3 +304,50 @@ def bpe_token_count(df, text_col: str = "text"):
         F.when(n_ws > 0,
                F.round(n_pre * 1000000 / n_ws).cast("long"))
          .otherwise(F.lit(0).cast("long")).alias("pretoken_ratio_e6"))
+
+
+def quality_c4(df, text_col: str = "text", min_sentences: int = 5,
+               min_words_per_line: int = 3):
+    """The C4 cleaning rules (Raffel et al., "Exploring the Limits of
+    Transfer Learning", §2.2) as one JVM-side pass — the other canonical
+    webtext rule-set next to the Gopher stats (:func:`quality_gopher`):
+
+    * keep only lines ending in terminal punctuation (``. ! ? "``),
+    * drop lines with fewer than ``min_words_per_line`` words,
+    * drop lines containing the word "javascript" (any case),
+    * flag pages containing "lorem ipsum" (any case) or a curly brace,
+    * require at least ``min_sentences`` sentences in the kept text.
+
+    Returns (doc_id, n_lines, n_kept, n_sentences, has_lorem, has_brace,
+    c4_pass, text_c4) — text_c4 is the line-filtered page (the rows a
+    C4-style pipeline would keep and feed to dedup), so the gate is on
+    the actual cleaning output, not just counters.
+
+    Scale: per-row higher-order array functions, zero shuffle, zero
+    Python — embarrassingly parallel over the corpus scan like every
+    filter in this family."""
+    lines = F.split(F.col(text_col), "\n")
+    n_words = (lambda l: F.size(F.filter(F.split(l, " "),
+                                         lambda w: F.length(w) > 0)))
+    kept = F.filter(
+        lines,
+        lambda l: (l.endswith(".") | l.endswith("!") | l.endswith("?")
+                   | l.endswith('"'))
+        & (n_words(l) >= min_words_per_line)
+        & ~F.lower(l).contains("javascript"))
+    text_c4 = F.array_join(kept, "\n")
+    sentences = F.filter(F.split(text_c4, "[.!?]"),
+                         lambda s: F.length(F.trim(s)) > 0)
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    n_sentences = F.size(sentences)
+    return df.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.cast("int").alias("has_lorem"),
+        has_brace.cast("int").alias("has_brace"),
+        ((n_sentences >= min_sentences) & ~has_lorem & ~has_brace)
+            .cast("int").alias("c4_pass"),
+        text_c4.alias("text_c4"))
