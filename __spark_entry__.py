@@ -740,6 +740,16 @@ def q_bpe_token_count(spark, sf_dir):
     return TX.bpe_token_count(d.select("doc_id", planted.alias("text")))
 
 
+def q_quality_topngram(spark, sf_dir):
+    """Gopher's top word-n-gram repetition filters (n=2,3) over the
+    multi-line gopher corpus (ops/textstats.top_ngram_share): one
+    tagged explode + two linear groupBys, argmax via the
+    partial-aggregable min(struct(-count, gram)) — no window sort at
+    corpus scale (the DuckDB oracle, which need not scale, replays the
+    argmax with row_number)."""
+    return TX.top_ngram_share(_gopher_corpus(spark, sf_dir))
+
+
 def _c4_corpus(spark, sf_dir):
     """Line-structured corpus variant exercising every C4 rule: a
     terminal-punctuation body line, a no-terminal line, a <3-word line,
@@ -1110,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "bpe_token_count": q_bpe_token_count,
         "quality_c4": q_quality_c4,
+        "quality_topngram": q_quality_topngram,
         "lm_score": q_lm_score,
         "pagerank_hosts": q_pagerank_hosts,
         "audio_features": q_audio_features,
@@ -1776,6 +1787,54 @@ WHERE bit_count(xor(CAST(a.uv AS UBIGINT), CAST(b.uv AS UBIGINT))) <= 3
         "sample_quota": sample_quota,
         "span_dedup": span_dedup,
         "bpe_token_count": bpe_token_count,
+        "quality_topngram": """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN text || chr(10) || 'second line of doc ' || doc_id ||
+                   chr(10) ||
+                   'third line with words and the of to in them all'
+              ELSE text || chr(10) || text || chr(10) ||
+                   '- bullet ' || (doc_id % 5) || chr(10) ||
+                   '- bullet ' || (doc_id % 5) || chr(10) ||
+                   '* item' || chr(10) || 'trailing thought...' ||
+                   chr(10) || '## header ##'
+         END AS text
+  FROM documents),
+w AS (SELECT doc_id, length(text) AS n_chars,
+             list_filter(string_split_regex(text, '[ \n]'),
+                         x -> length(x) > 0) AS ws
+      FROM t),
+g AS (SELECT doc_id, n.n,
+             unnest(CASE WHEN len(ws) >= n.n
+                    THEN list_transform(
+                           generate_series(1, len(ws) - n.n + 1),
+                           i -> array_to_string(
+                                  list_slice(ws, i, i + n.n - 1), ' '))
+                    ELSE [] END) AS gram
+      FROM w, (VALUES (2), (3)) n(n)),
+c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+r AS (SELECT doc_id, n, gram, c,
+             row_number() OVER (PARTITION BY doc_id, n
+                                ORDER BY c DESC, gram ASC) AS rk
+      FROM c),
+p AS (SELECT doc_id,
+             max(CASE WHEN n = 2 THEN gram END) AS g2,
+             max(CASE WHEN n = 2 THEN c END) AS c2,
+             max(CASE WHEN n = 3 THEN gram END) AS g3,
+             max(CASE WHEN n = 3 THEN c END) AS c3
+      FROM r WHERE rk = 1 GROUP BY doc_id)
+SELECT w.doc_id, CAST(w.n_chars AS INTEGER) AS n_chars,
+       coalesce(g2, '') AS top2_gram,
+       CAST(coalesce(c2, 0) AS BIGINT) AS top2_count,
+       CAST(coalesce(c2 * length(g2) * 1000000 // w.n_chars, 0) AS BIGINT)
+         AS top2_share_e6,
+       coalesce(g3, '') AS top3_gram,
+       CAST(coalesce(c3, 0) AS BIGINT) AS top3_count,
+       CAST(coalesce(c3 * length(g3) * 1000000 // w.n_chars, 0) AS BIGINT)
+         AS top3_share_e6
+FROM w LEFT JOIN p USING (doc_id)
+""",
         "quality_c4": """
 WITH t AS (SELECT doc_id,
        text || '.' || chr(10) ||

@@ -351,3 +351,62 @@ def quality_c4(df, text_col: str = "text", min_sentences: int = 5,
         ((n_sentences >= min_sentences) & ~has_lorem & ~has_brace)
             .cast("int").alias("c4_pass"),
         text_c4.alias("text_c4"))
+
+
+def top_ngram_share(df, text_col: str = "text", ns=(2, 3)):
+    """Gopher's remaining repetition filters: per document, the most
+    frequent word n-gram (for each n in ``ns``) and the fraction of the
+    document's characters its occurrences cover (count x gram length /
+    text length; overlapping occurrences may push the raw ratio past 1
+    on degenerate inputs — the metric is a filter signal, not a measure).
+
+    Returns (doc_id, n_chars, top{n}_gram, top{n}_count,
+    top{n}_share_e6 for each n). Docs with fewer than n words get
+    ('', 0, 0) for that n.
+
+    Scale: ONE exploded stream tagged by n -> a (doc_id, n, gram) count
+    groupBy -> a doc_id argmax groupBy using the partial-aggregable
+    min(struct(-count, gram)) trick from :func:`quality_repetition` —
+    two linear shuffles total for ALL n, no window sort, no quadratic
+    per-row scan. Integer-exact e6 share via DIV."""
+    words = F.filter(F.split(F.col(text_col), "[ \n]"),
+                     lambda w: F.length(w) > 0)
+    base = df.select("doc_id",
+                     F.length(F.col(text_col)).alias("n_chars"),
+                     words.alias("ws"))
+    streams = []
+    for n in ns:
+        grams = F.when(
+            F.size("ws") >= n,
+            F.transform(F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                        lambda i: F.array_join(
+                            F.slice("ws", i, F.lit(n)), " "))
+        ).otherwise(F.array().cast("array<string>"))
+        streams.append(base.select(
+            "doc_id", F.lit(n).alias("n"),
+            F.explode(grams).alias("gram")))
+    tagged = streams[0]
+    for s in streams[1:]:
+        tagged = tagged.unionByName(s)
+    counts = tagged.groupBy("doc_id", "n", "gram").agg(
+        F.count("*").alias("c"))
+    aggs = []
+    for n in ns:
+        aggs.append(F.min(F.when(F.col("n") == n,
+                                 F.struct((-F.col("c")).alias("negc"),
+                                          F.col("gram")))).alias(f"t{n}"))
+    top = counts.groupBy("doc_id").agg(*aggs)
+    out = base.select("doc_id", "n_chars").join(top, "doc_id", "left")
+    cols = [F.col("doc_id"), F.col("n_chars")]
+    for n in ns:
+        t = F.col(f"t{n}")
+        cnt = F.coalesce(-t["negc"], F.lit(0))
+        gram = F.coalesce(t["gram"], F.lit(""))
+        cols += [
+            gram.alias(f"top{n}_gram"),
+            cnt.cast("long").alias(f"top{n}_count"),
+            F.coalesce(
+                F.expr(f"(0 - t{n}.negc) * length(t{n}.gram) * 1000000 "
+                       f"DIV n_chars"), F.lit(0))
+             .cast("long").alias(f"top{n}_share_e6")]
+    return out.select(*cols)

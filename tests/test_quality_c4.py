@@ -69,3 +69,45 @@ def test_zero_shuffle_plan(spark):
     plan = (quality_c4(df)._jdf.queryExecution()
             .executedPlan().toString())
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+# --- Gopher top-n-gram repetition (ops/textstats.top_ngram_share) ----------
+
+from swiftsoup_spark.ops.textstats import top_ngram_share
+
+
+def test_topngram_hand_computed_and_tiebreak(spark):
+    df = spark.createDataFrame([(1, "a b a b a b c")],
+                               "doc_id long, text string")
+    r = top_ngram_share(df).collect()[0]
+    assert (r.top2_gram, r.top2_count) == ("a b", 3)
+    # 3 occurrences x 3 chars over 13 chars -> 692307 (integer DIV)
+    assert r.top2_share_e6 == 692307
+    # trigrams "a b a" and "b a b" both occur twice: smallest gram wins
+    assert (r.top3_gram, r.top3_count) == ("a b a", 2)
+
+
+def test_topngram_short_doc_zero_path(spark):
+    df = spark.createDataFrame([(1, "solo"), (2, "two words")],
+                               "doc_id long, text string")
+    got = {r.doc_id: r for r in top_ngram_share(df).collect()}
+    assert (got[1].top2_gram, got[1].top2_count, got[1].top2_share_e6) == \
+        ("", 0, 0)
+    assert got[2].top2_gram == "two words" and got[2].top3_count == 0
+
+
+def test_topngram_counts_across_newlines(spark):
+    # words split on both space and newline: the repeated line repeats
+    # its bigrams across the line boundary stream
+    df = spark.createDataFrame([(1, "x y\nx y")], "doc_id long, text string")
+    r = top_ngram_share(df).collect()[0]
+    assert r.top2_count == 2 and r.top2_gram == "x y"
+
+
+def test_topngram_no_cartesian_no_window(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (top_ngram_share(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    # argmax must be the partial-aggregable struct-min, not a sort window
+    assert "Window" not in plan
