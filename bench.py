@@ -156,15 +156,42 @@ def run_headline(n_cores: int, n_execs: int = 0):
             # measured steady-state runs are confined to the executor
             # cores (see _headline_subprocess docstring).
             _pin_process_tree(range(n_execs * n_cores))
+        calib = _kernel_calibration()  # machine-state probe, untimed
         warms = []
         for _ in range(WARM_RUNS):
             w, c = one_run()
             assert c == cks
             warms.append(w)
         pages.unpersist()
-        return min(warms), cold, n_docs, n_bytes / 1e6, cks
+        return min(warms), cold, n_docs, n_bytes / 1e6, cks, calib
     finally:
         spark.stop()
+
+
+def _kernel_calibration(mb: float = 96.0):
+    """Machine-state probe: one single-core C-kernel pass over an
+    in-memory buffer, recorded alongside every level's timing. This VM
+    throttles 2-4x run-to-run and the clamp drifts over tens of
+    minutes (recorded 4x2 walls: 7.1 -> 8.6 -> 9.3 -> 20.1 s across one
+    afternoon, identical code and checksums), so a scaling ratio is
+    only interpretable next to evidence of the machine state it was
+    measured under — this puts that evidence in the JSON instead of a
+    prose footnote. Healthy baseline on this VM: ~280-350 MB/s."""
+    try:
+        import pyarrow as pa
+        from swiftsoup_spark.kernel.fastpath import batch_doc_text, get_module
+        if get_module() is None:
+            return None
+        doc = ('<html><head><title>c</title></head><body><div id="m">'
+               + "<p>calibration paragraph text body</p>" * 40
+               + "</div></body></html>")
+        reps = max(1, int(mb * 1e6 / len(doc)))
+        col = pa.array([doc] * reps)
+        t0 = time.time()
+        batch_doc_text(col)
+        return round(reps * len(doc) / 1e6 / max(time.time() - t0, 1e-6), 1)
+    except Exception:
+        return None
 
 
 _KERNEL_COL = None
@@ -256,8 +283,13 @@ def multi_jvm_scaling():
     cores = int(os.environ.get("BENCH_CLUSTER_CORES", "2"))
     execs = sorted({int(x) for x in
                     os.environ.get("BENCH_CLUSTER_EXECS", "1,4").split(",")})
-    repeats = int(os.environ.get("BENCH_CLUSTER_REPEATS",
-                                 str(LEVEL_REPEATS)))
+    # best-of-3 per level (one more than the single-JVM levels): this
+    # VM's hypervisor throttles 2-4x run-to-run, and a throttled window
+    # spans a whole subprocess (all its warm runs) — recorded
+    # invocations at best-of-2 landed 0.79-1.0 on the same code purely
+    # by which level caught the throttle; a third independent window
+    # per level tightens each level toward its unthrottled steady state.
+    repeats = int(os.environ.get("BENCH_CLUSTER_REPEATS", "3"))
     # 3x the single-JVM bench corpus: the measured fixed per-job cost
     # (scheduling + result fetch, ~0.4 s) is 13% of a 3 s run but noise
     # on a 30 s one; production extraction jobs run minutes-to-hours per
@@ -290,39 +322,59 @@ def multi_jvm_scaling():
 
 
 def _multi_jvm_levels(execs, cores, repeats, runs, cks_all):
-    for ne in execs:
-        best = None
-        for _ in range(repeats):
+    # INTERLEAVED rounds, not level-major order: this VM's hypervisor
+    # CPU-credit throttling drifts over tens of minutes and punishes the
+    # higher-core level hardest (recorded 4x2 walls degraded 7.1 -> 8.6
+    # -> 9.3 s across one afternoon while 1x2 stayed flat), so running
+    # all of level A then all of level B confounds the efficiency ratio
+    # with WHEN each level ran. Each round runs every level back to
+    # back under the same throttle state and yields its own efficiency;
+    # per-level bests are still reported for throughput.
+    round_results = []          # [{level: (t, cold, n_docs, mb, cks)}]
+    for _ in range(repeats):
+        this = {}
+        for ne in execs:
             try:
-                t, cold, n_docs, mb, cks = _headline_subprocess(cores, ne)
+                this[ne] = _headline_subprocess(cores, ne)
             except RuntimeError as e:
                 # local-cluster launch is occasionally flaky on this VM
-                # (master/worker race at startup); a failed repeat is
-                # retried once and otherwise skipped, never silently —
-                # a level with zero successful repeats aborts the mode.
-                print(f"multi-jvm repeat failed ({ne}x{cores}): "
+                # (master/worker race at startup); a failed run is
+                # reported, never silent — a level with zero successful
+                # runs across all rounds aborts the mode.
+                print(f"multi-jvm run failed ({ne}x{cores}): "
                       f"{str(e)[-300:]}", file=sys.stderr)
                 continue
-            cks_all.add(cks)
-            if best is None or t < best[0]:
-                best = (t, cold, n_docs, mb, cks)
-        if best is None:
+            cks_all.add(this[ne][4])
+        round_results.append(this)
+    for ne in execs:
+        ok = [r[ne] for r in round_results if ne in r]
+        if not ok:
             return {"mode": "local-cluster (separate executor JVMs)",
-                    "error": f"level {ne}x{cores} failed every repeat"}
-        t, cold, n_docs, mb, cks = best
+                    "error": f"level {ne}x{cores} failed every round"}
+        t, cold, n_docs, mb, cks, calib = min(ok, key=lambda x: x[0])
         runs[f"{ne}x{cores}"] = {
             "executors": ne, "cores_per_executor": cores,
             "sec": round(t, 3), "cold_sec": round(cold, 3),
             "mb_per_sec": round(mb / t, 1),
-            "docs_per_sec": round(n_docs / t, 1), "checksum": cks}
+            "docs_per_sec": round(n_docs / t, 1), "checksum": cks,
+            "calib_kernel_mbps": calib}
     pairs = {}
+    per_round = {}
     for ne in execs:
         a, b = f"{ne}x{cores}", f"{ne * 4}x{cores}"
         if a in runs and b in runs:
             pairs[f"{ne}to{ne * 4}execs"] = round(
                 runs[b]["mb_per_sec"] / runs[a]["mb_per_sec"] / 4, 3)
+            effs = [round(r[ne][0] / r[ne * 4][0] / 4, 3)
+                    for r in round_results if ne in r and ne * 4 in r]
+            per_round[f"{ne}to{ne * 4}execs"] = {
+                "rounds": effs, "best": max(effs) if effs else None,
+                "calib_kernel_mbps": [
+                    [r[ne][5], r[ne * 4][5]]
+                    for r in round_results if ne in r and ne * 4 in r]}
     return {"mode": "local-cluster (separate executor JVMs)",
             "levels": runs, "efficiency_n_to_4n": pairs,
+            "efficiency_per_round": per_round,
             "checksum_match": len(cks_all) == 1}
 
 
@@ -379,9 +431,9 @@ def _headline_subprocess(n_cores: int, n_execs: int = 0):
     import subprocess
     code = (
         "import sys, json; sys.path.insert(0, %r); import bench; "
-        "t, cold, n, mb, c = bench.run_headline("
+        "t, cold, n, mb, c, calib = bench.run_headline("
         "int(sys.argv[1]), int(sys.argv[2])); "
-        "print('BENCHROW ' + json.dumps([t, cold, n, mb, c]))"
+        "print('BENCHROW ' + json.dumps([t, cold, n, mb, c, calib]))"
         % os.path.dirname(os.path.abspath(__file__)))
     argv = [sys.executable, "-c", code, str(n_cores), str(n_execs)]
     # single-JVM levels: static taskset over the whole run (setup is
@@ -407,15 +459,16 @@ def main():
     for n in levels:
         best = None
         for _ in range(LEVEL_REPEATS):
-            t, cold, n_docs, mb, cks = _headline_subprocess(n)
+            t, cold, n_docs, mb, cks, calib = _headline_subprocess(n)
             if best is not None:
                 assert cks == best[4], "checksum drift across repeats"
             if best is None or t < best[0]:
-                best = (t, cold, n_docs, mb, cks)
-        t, cold, n_docs, mb, cks = best
+                best = (t, cold, n_docs, mb, cks, calib)
+        t, cold, n_docs, mb, cks, calib = best
         runs[n] = {"sec": round(t, 3), "cold_sec": round(cold, 3),
                    "mb_per_sec": round(mb / t, 1),
-                   "docs_per_sec": round(n_docs / t, 1), "checksum": cks}
+                   "docs_per_sec": round(n_docs / t, 1), "checksum": cks,
+                   "calib_kernel_mbps": calib}
     n_docs_total = n_docs
     big = levels[-1]
     checksums = {r["checksum"] for r in runs.values()}
