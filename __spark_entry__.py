@@ -1004,6 +1004,16 @@ def q_image_features(spark, sf_dir):
                                       F.size("features").alias("n_features"))
 
 
+def q_image_resize(spark, sf_dir):
+    """Image resize plumbing (ops/multimodal.image_resize): every synth
+    image's stub-decoded grid nearest-neighbor-resized to a fixed 3x4
+    integer pixel grid inside one mapInPandas batch (vectorized numpy
+    indexing, no per-pixel Python). Exact integer coordinate map, so
+    the oracle rebuilds every output pixel from the md5 hex string."""
+    from swiftsoup_spark.ops.multimodal import image_resize
+    return image_resize(synth_image_table(_docs(spark, sf_dir)))
+
+
 def q_host_url_sample(spark, sf_dir):
     """Per-host K-first urls via the salted two-phase min-K (explicit
     host-skew handling; see ops/hoststats.py)."""
@@ -1127,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "image_meta": q_image_meta,
         "image_features": q_image_features,
+        "image_resize": q_image_resize,
         "events_hourly": q_events_hourly,
         "host_url_sample": q_host_url_sample,
         "host_stats": q_host_stats,
@@ -1921,6 +1932,23 @@ WITH f AS (SELECT doc_id, unnest([0, 4]) AS frame_idx,
 SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
        md5(substr(hx, frame_idx * 64 + 1, 64)) AS frame_hash
 FROM f
+""",
+        "image_resize": """
+WITH d AS (SELECT doc_id, md5(text) AS hx,
+                  CAST(1 + doc_id % 64 AS INTEGER) AS width,
+                  CAST(1 + doc_id % 48 AS INTEGER) AS height
+           FROM documents)
+SELECT doc_id, width, height,
+       list_transform(generate_series(0, 11), l ->
+           CAST(16 * (strpos('0123456789abcdef',
+                    substr(hx, 2 * ((((l // 4) * height // 3) * width
+                                     + ((l % 4) * width // 4)) % 16) + 1,
+                           1)) - 1)
+                + (strpos('0123456789abcdef',
+                    substr(hx, 2 * ((((l // 4) * height // 3) * width
+                                     + ((l % 4) * width // 4)) % 16) + 2,
+                           1)) - 1) AS BIGINT)) AS pixels
+FROM d
 """,
         "image_meta": (
             "SELECT doc_id, 16 AS n_payload, "

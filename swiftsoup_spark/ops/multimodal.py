@@ -173,3 +173,47 @@ def video_frame_sample(video_df, every: int = 4, frame_bytes: int = 32):
             yield pd.DataFrame(out)
 
     return video_df.mapInPandas(batches, VIDEO_FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("pixels", T.ArrayType(T.LongType())),
+])
+
+
+def image_resize(img_df, out_w: int = 4, out_h: int = 3):
+    """mapInPandas image resize: binary payload -> fixed ``out_h x
+    out_w`` pixel grid (row-major array<long>), nearest-neighbor over
+    the stub-decoded source grid (pixel(y, x) = payload byte at
+    ``(y*width + x) mod len(payload)`` — swap the stub for a real
+    PIL/libvips decode+resize on a cluster with codecs; the batch
+    contract is the point: binary + dims in, fixed-width integer grid
+    out, the whole batch resized with vectorized numpy indexing, no
+    per-pixel Python). Source coordinates use the exact integer map
+    ``y = (i*height) DIV out_h`` / ``x = (j*width) DIV out_w`` so the
+    output is bit-identical across partitionings and replayable by the
+    DuckDB oracle from the md5 hex string."""
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        oy = np.arange(out_h)
+        ox = np.arange(out_w)
+        for pdf in it:
+            out = {"doc_id": pdf["doc_id"], "width": pdf["width"],
+                   "height": pdf["height"], "pixels": []}
+            for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                if p is None or len(p) == 0 or w <= 0 or h <= 0:
+                    out["pixels"].append([])
+                    continue
+                buf = np.frombuffer(p, dtype=np.uint8)
+                ys = (oy * int(h)) // out_h
+                xs = (ox * int(w)) // out_w
+                idx = (ys[:, None] * int(w) + xs[None, :]) % len(buf)
+                out["pixels"].append(
+                    buf[idx].ravel().astype("int64").tolist())
+            yield pd.DataFrame(out)
+
+    return img_df.mapInPandas(batches, RESIZE_SCHEMA)
