@@ -1004,6 +1004,60 @@ def q_image_features(spark, sf_dir):
                                       F.size("features").alias("n_features"))
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Cross-micro-batch stateful exact dedup
+    (streaming/stateful.dedup_stream, applyInPandasWithState): batch A
+    (even docs) and batch B (all docs) arrive as two file-source
+    micro-batches (maxFilesPerTrigger=1, mtime-ordered, availableNow);
+    B's even-doc rows must be dropped because their texts were seen in
+    A's state. Output is per-batch (n_docs, sum_chars) over the KEPT
+    rows — aggregate form so the result is deterministic even where
+    the corpus has verbatim duplicate texts (which row of an in-batch
+    dup survives is partition-order dependent; how many survive is
+    not). Oracle: A keeps its distinct texts, B keeps distinct texts
+    not present in A — closed-form SQL over documents."""
+    import os
+    import shutil
+    import tempfile
+
+    from swiftsoup_spark.streaming.stateful import dedup_stream
+
+    base = tempfile.mkdtemp(prefix="swiftsoup_sdedup_q_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    batches = [
+        ("a", d.filter(F.col("doc_id") % 2 == 0)
+               .select(F.concat(F.lit("A/"), did).alias("url"), "text")),
+        ("b", d.select(F.concat(F.lit("B/"), did).alias("url"), "text")),
+    ]
+    for i, (name, df) in enumerate(batches):
+        tmp = os.path.join(base, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(in_dir, f"{name}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (1700000000 + i * 3600, 1700000000 + i * 3600))
+        shutil.rmtree(tmp, ignore_errors=True)
+    src = (spark.readStream.schema("url string, text string")
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    out_dir = os.path.join(base, "out")
+    ck = os.path.join(base, "ck")
+    q = (dedup_stream(src, text_col="text")
+         .select("url", F.length("text").alias("n_chars"))
+         .writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    kept = spark.read.parquet(out_dir)
+    shutil.rmtree(in_dir, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    return (kept.groupBy(F.substring("url", 1, 1).alias("batch"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
 def q_image_resize(spark, sf_dir):
     """Image resize plumbing (ops/multimodal.image_resize): every synth
     image's stub-decoded grid nearest-neighbor-resized to a fixed 3x4
@@ -1138,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": q_image_meta,
         "image_features": q_image_features,
         "image_resize": q_image_resize,
+        "streaming_dedup": q_streaming_dedup,
         "events_hourly": q_events_hourly,
         "host_url_sample": q_host_url_sample,
         "host_stats": q_host_stats,
@@ -1932,6 +1987,18 @@ WITH f AS (SELECT doc_id, unnest([0, 4]) AS frame_idx,
 SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
        md5(substr(hx, frame_idx * 64 + 1, 64)) AS frame_hash
 FROM f
+""",
+        "streaming_dedup": """
+WITH a AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+     b AS (SELECT DISTINCT text FROM documents),
+     bk AS (SELECT text FROM b WHERE text NOT IN (SELECT text FROM a))
+SELECT 'A' AS batch,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM a
+UNION ALL
+SELECT 'B', CAST(count(*) AS BIGINT), CAST(sum(length(text)) AS BIGINT)
+FROM bk
 """,
         "image_resize": """
 WITH d AS (SELECT doc_id, md5(text) AS hx,
