@@ -849,6 +849,33 @@ def q_host_blocklist(spark, sf_dir):
             .agg(F.count("*").alias("n_docs")))
 
 
+def q_host_regdom(spark, sf_dir):
+    """Registered-domain (eTLD+1) grouping via the Public Suffix List
+    (ops/urlnorm.registered_domain + ops/psl_data.py): docs get hosts
+    across the PSL classes — a 2-label ccSLD (.co.uk), a plain TLD
+    (.com), a 3-label suffix (.k12.ca.us), and a PRIVATE-section
+    hosting suffix (.github.io) — with subdomain and :port variants,
+    then group to (regdom, n_urls, n_hosts). Pure codegen (the PSL
+    renders as InSet probes) + one groupBy; the oracle replays the url
+    construction and the generated registered_domain_sql()."""
+    from swiftsoup_spark.ops.urlnorm import host_of, registered_domain
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    suffix = (F.when(F.col("doc_id") % 4 == 0, ".co.uk")
+              .when(F.col("doc_id") % 4 == 1, ".com")
+              .when(F.col("doc_id") % 4 == 2, ".k12.ca.us")
+              .otherwise(".github.io"))
+    sub = F.when(F.col("doc_id") % 5 == 0, "sub.").otherwise("")
+    port = F.when(F.col("doc_id") % 7 == 0, ":8080").otherwise("")
+    url = F.concat(F.lit("https://"), sub, F.col("source"), suffix, port,
+                   F.lit("/"), F.col("lang"), F.lit("/p"), did)
+    u = d.select(url.alias("url"))
+    bare_host = F.regexp_replace(host_of(F.col("url")), r":\d+$", "")
+    return (u.groupBy(registered_domain(F.col("url")).alias("regdom"))
+            .agg(F.count("*").alias("n_urls"),
+                 F.countDistinct(bare_host).alias("n_hosts")))
+
+
 def q_sample_quota(spark, sf_dir):
     """Deterministic per-language mixture sampling (ops/mixing.py):
     quota rate_permille = 100 + (137 * length(lang)) % 800, rows keyed
@@ -1116,24 +1143,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER is load-bearing: the driver's CORRECTNESS gate records
+    # roughly the first 50 entries. Round-5 rotation puts first the
+    # queries with no driver row in any round (r4 verdict list), then
+    # the ones whose last green row is r1-r3, then a window of core
+    # extraction queries; the r4-green remainder follows. Every entry
+    # stays pytest-gated regardless via tests/test_oracle_parity.py.
     return {
+        # -- never driver-gated before r5 -------------------------------
+        "lang_detect": q_lang_detect,
+        "ann_ivf": q_ann_ivf,
+        "embed_lsh_near_dup": q_embed_lsh_near_dup,
+        "decontam": q_decontam,
+        "line_dedup": q_line_dedup,
+        "url_canon_dedup": q_url_canon_dedup,
+        "prepare_shard": q_prepare_shard,
+        "redact_pii": q_redact_pii,
+        "host_blocklist": q_host_blocklist,
+        "sample_quota": q_sample_quota,
+        "span_dedup": q_span_dedup,
+        "bpe_token_count": q_bpe_token_count,
+        "quality_c4": q_quality_c4,
+        "quality_topngram": q_quality_topngram,
+        "lm_score": q_lm_score,
+        "pagerank_hosts": q_pagerank_hosts,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
+        "image_resize": q_image_resize,
+        "streaming_dedup": q_streaming_dedup,
+        # -- new in r5 ---------------------------------------------------
+        "host_regdom": q_host_regdom,
+        # -- last green row r1-r3 ---------------------------------------
+        "fingerprint": q_fingerprint,
+        "ann_brute_force": q_ann_brute_force,
+        "ann_bucketed": q_ann_bucketed,
+        "cosine_near_dup": q_cosine_near_dup,
+        "image_meta": q_image_meta,
+        "image_features": q_image_features,
+        "events_hourly": q_events_hourly,
+        "host_url_sample": q_host_url_sample,
+        "host_stats": q_host_stats,
+        # -- core extraction window (r4-green, kept in the gate) --------
         "extract_text": q_extract_text,
         "extract_main_text": q_extract_main_text,
         "extract_title": q_extract_title,
         "select_count": q_select_count,
         "select_all_count": q_select_all_count,
         "select_abs_href": q_select_abs_href,
-        "clean_isvalid": q_clean_isvalid,
-        "form_data": q_form_data,
         "select_attr": q_select_attr,
-        "own_text": q_own_text,
-        "outer_html": q_outer_html,
-        "selector_spans": q_selector_spans,
         "select_has": q_select_has,
         "select_nth": q_select_nth,
         "select_matches_icu": q_select_matches_icu,
         "clean_basic": q_clean_basic,
         "clean_simpletext": q_clean_simpletext,
+        "clean_isvalid": q_clean_isvalid,
+        "outer_html": q_outer_html,
+        "html_roundtrip": q_html_roundtrip,
+        "rewrite_links_raw": q_rewrite_links_raw,
+        "selector_spans": q_selector_spans,
+        "own_text": q_own_text,
+        "form_data": q_form_data,
+        "parse_xml": q_parse_xml,
+        # ---- ~position 50: r4-green remainder --------------------------
         "parse_metrics": q_parse_metrics,
         "corpus_metrics": q_corpus_metrics,
         "extract_quality_pipeline": q_extract_quality_pipeline,
@@ -1145,10 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_entities": q_extract_text_entities,
         "extract_text_charset": q_extract_text_charset,
         "streaming_extract": q_streaming_extract,
-        "parse_xml": q_parse_xml,
         "rewrite_links": q_rewrite_links,
-        "html_roundtrip": q_html_roundtrip,
-        "rewrite_links_raw": q_rewrite_links_raw,
         "select_attr_entities": q_select_attr_entities,
         "parse_error_positions": q_parse_error_positions,
         "dedup_exact": q_dedup_exact,
@@ -1167,35 +1235,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gopher": q_quality_gopher,
         "quality_repetition": q_quality_repetition,
         "lang_signal": q_lang_signal,
-        "lang_detect": q_lang_detect,
-        "fingerprint": q_fingerprint,
-        "ann_brute_force": q_ann_brute_force,
-        "ann_bucketed": q_ann_bucketed,
-        "ann_ivf": q_ann_ivf,
-        "cosine_near_dup": q_cosine_near_dup,
-        "embed_lsh_near_dup": q_embed_lsh_near_dup,
-        "decontam": q_decontam,
-        "line_dedup": q_line_dedup,
-        "url_canon_dedup": q_url_canon_dedup,
-        "prepare_shard": q_prepare_shard,
-        "redact_pii": q_redact_pii,
-        "host_blocklist": q_host_blocklist,
-        "sample_quota": q_sample_quota,
-        "span_dedup": q_span_dedup,
-        "bpe_token_count": q_bpe_token_count,
-        "quality_c4": q_quality_c4,
-        "quality_topngram": q_quality_topngram,
-        "lm_score": q_lm_score,
-        "pagerank_hosts": q_pagerank_hosts,
-        "audio_features": q_audio_features,
-        "video_frames": q_video_frames,
-        "image_meta": q_image_meta,
-        "image_features": q_image_features,
-        "image_resize": q_image_resize,
-        "streaming_dedup": q_streaming_dedup,
-        "events_hourly": q_events_hourly,
-        "host_url_sample": q_host_url_sample,
-        "host_stats": q_host_stats,
     }
 
 
@@ -1470,6 +1509,27 @@ SELECT source || '.docs.test' AS host, count(*) AS n_docs
 FROM documents
 WHERE source || '.docs.test' NOT IN (SELECT host FROM b)
 GROUP BY 1
+"""
+    from swiftsoup_spark.ops.urlnorm import (registered_domain_sql,
+                                             _HOST_RE as _H)
+    _bare_host = (f"regexp_replace(lower(coalesce(regexp_extract("
+                  f"trim(url), '{_H}', 1), '')), ':[0-9]+$', '')")
+    host_regdom = f"""
+WITH u AS (
+  SELECT 'https://'
+         || (CASE WHEN doc_id % 5 = 0 THEN 'sub.' ELSE '' END)
+         || source
+         || (CASE WHEN doc_id % 4 = 0 THEN '.co.uk'
+                  WHEN doc_id % 4 = 1 THEN '.com'
+                  WHEN doc_id % 4 = 2 THEN '.k12.ca.us'
+                  ELSE '.github.io' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
+         || '/' || lang || '/p' || doc_id AS url
+  FROM documents)
+SELECT {registered_domain_sql('url')} AS regdom,
+       count(*) AS n_urls,
+       CAST(count(DISTINCT {_bare_host}) AS BIGINT) AS n_hosts
+FROM u GROUP BY 1
 """
     from swiftsoup_spark.ops.mixing import bucket1000_sql
     sample_quota = f"""
@@ -1850,6 +1910,7 @@ WHERE bit_count(xor(CAST(a.uv AS UBIGINT), CAST(b.uv AS UBIGINT))) <= 3
         "prepare_shard": prepare_shard,
         "redact_pii": redact,
         "host_blocklist": host_blocklist,
+        "host_regdom": host_regdom,
         "sample_quota": sample_quota,
         "span_dedup": span_dedup,
         "bpe_token_count": bpe_token_count,

@@ -4055,12 +4055,14 @@ static void b_foster_parent(AB *ab, int nid) {
             break;
         }
     }
-    /* the fostered node's source lies INSIDE the target's span but
-     * OUTSIDE its DOM subtree (treebuilder._foster_parent -2) */
-    if (ab->track_spans) {
-        int tgt = (last_table != -1) ? last_table
-                  : (ab->stack.len ? ab->stack.d[0] : -1);
-        if (tgt >= 0) ab->nodes[tgt].src_close = -2;
+    /* the fostered node's source lies INSIDE the span of the target
+     * AND of every open element below it (tbody/tr/... down to the
+     * current node) but OUTSIDE their DOM subtrees
+     * (treebuilder._foster_parent -2) */
+    if (ab->track_spans && ab->stack.len) {
+        int from = (last_table != -1) ? lt_idx : 0;
+        for (int i = from; i < ab->stack.len; i++)
+            ab->nodes[ab->stack.d[i]].src_close = -2;
     }
     if (last_table != -1) {
         if (ab->nodes[last_table].parent != -1)

@@ -602,6 +602,7 @@ class Element(Node):
         """Create a child element and return it (reference
         Element.appendElement, Element.swift)."""
         nid = self.arena.new_element(name, attrs)
+        self.arena.mark_dirty(self.id)
         self.arena.append_child(self.id, nid)
         return Element(self.arena, nid)
 

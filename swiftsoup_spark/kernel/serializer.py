@@ -103,7 +103,10 @@ def _patched_doc(arena: Arena, out: OutputSettings) -> str | None:
     dirty nodes without complete ranges); we deliberately deviate and
     bail to the slow path so output always reflects the DOM."""
     src = arena.source
-    if src is None or out.pretty_print:
+    if src is None or out.pretty_print or (
+            out.syntax == "xml" and not arena.parsed_xml):
+        # the xml-syntax guard mirrors the per-node raw path below:
+        # raw HTML source is not valid under xml output syntax
         return None
     if not arena.mutated:
         return src

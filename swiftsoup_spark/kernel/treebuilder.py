@@ -285,14 +285,14 @@ class HtmlTreeBuilder:
             if self._name(el) == "table":
                 last_table = el
                 break
-        # the fostered node's source lies INSIDE the table's source span
-        # but OUTSIDE its DOM subtree: the table (or fallback target) can
-        # never re-emit from raw source (-2 = permanently incomplete)
-        if self.track_spans:
-            tgt = last_table if last_table is not None else (
-                self.stack[0] if self.stack else None)
-            if tgt is not None:
-                a.src_close[tgt] = -2
+        # the fostered node's source lies INSIDE the source span of the
+        # table AND of every open element below it (tbody/tr/... down to
+        # the current node) but OUTSIDE their DOM subtrees: none of them
+        # can ever re-emit from raw source (-2 = permanently incomplete)
+        if self.track_spans and self.stack:
+            tgt = last_table if last_table is not None else self.stack[0]
+            for el in self.stack[self.stack.index(tgt):]:
+                a.src_close[el] = -2
         if last_table is not None:
             if a.parent[last_table] != -1:
                 a.insert_before(last_table, nid)

@@ -301,7 +301,11 @@ def _scan_objects(data: bytes):
     None for non-stream objects; ``ok`` is False when the stream exists
     but could not be decoded (unsupported filter / corrupt Flate) — the
     caller bails only if it actually NEEDS that object, so a JPEG image
-    stream no longer poisons a perfectly extractable document."""
+    stream no longer poisons a perfectly extractable document.
+
+    Re-definitions overwrite (LAST occurrence wins): in incrementally
+    updated PDFs the appended object body is the current one — PDF 1.7
+    §7.5.6 incremental updates."""
     objs: dict[int, tuple[bytes, bytes | None, bool]] = {}
     pos = 0
     while True:
@@ -314,7 +318,7 @@ def _scan_objects(data: bytes):
                                   endobj if endobj >= 0 else len(data))
         if not sm:
             body = data[start:endobj if endobj >= 0 else len(data)]
-            objs.setdefault(num, (body, None, True))
+            objs[num] = (body, None, True)
             pos = endobj + 6 if endobj >= 0 else len(data)
             continue
         head = data[start:sm.start()]
@@ -341,7 +345,7 @@ def _scan_objects(data: bytes):
                 payload = zlib.decompress(payload)
             except zlib.error:
                 payload, ok = None, False
-        objs.setdefault(num, (head, payload, ok))
+        objs[num] = (head, payload, ok)
         endobj = data.find(b"endobj", pend)
         pos = endobj + 6 if endobj >= 0 else pend + 9
     return objs

@@ -143,13 +143,45 @@ def host_of(col):
     return F.lower(F.regexp_extract(F.trim(col), _HOST_RE, 1))
 
 
+_LAST2_RE = r"([^.]+\.[^.]+)$"
+_LAST3_RE = r"([^.]+\.[^.]+\.[^.]+)$"
+_LAST4_RE = r"([^.]+\.[^.]+\.[^.]+\.[^.]+)$"
+
+
 def registered_domain(col):
-    """Last two dot-labels of the host — the simplified eTLD+1 used for
-    per-site grouping. Documented approximation: a real pipeline ships
-    the public-suffix list (a broadcast table keyed by suffix); the
-    2-label fallback is exact for .com/.org/.net-style hosts and merely
-    over-groups country-code second-level domains."""
-    return F.regexp_extract(host_of(col), r"([^.]+\.[^.]+)$", 1)
+    """eTLD+1 of the URL's host — the per-site grouping key. Ports are
+    stripped; the Public Suffix List (curated subset, ``psl_data.py``,
+    regenerable via ``scripts/gen_psl.py``) decides how many labels the
+    public suffix takes: a host ending in a listed 3-label suffix keeps
+    4 labels, a listed 2-label suffix (``co.uk``/``com.au``/...) keeps
+    3, anything else keeps 2 (the PSL default ``*`` rule: every bare
+    TLD is a public suffix). A host that IS a public suffix yields ''.
+    Pure codegen — the tuples render as IN-lists (Catalyst InSet), so
+    this stays a zero-shuffle map-side expression at 10^12 rows."""
+    from swiftsoup_spark.ops.psl_data import PSL2, PSL3
+    host = F.regexp_replace(host_of(col), r":\d+$", "")
+    last2 = F.regexp_extract(host, _LAST2_RE, 1)
+    last3 = F.regexp_extract(host, _LAST3_RE, 1)
+    last4 = F.regexp_extract(host, _LAST4_RE, 1)
+    return (F.when(last3.isin(list(PSL3)), last4)
+            .when(last2.isin(list(PSL2)), last3)
+            .otherwise(last2))
+
+
+def registered_domain_sql(expr: str) -> str:
+    """DuckDB replay of :func:`registered_domain` over SQL ``expr`` —
+    rendered from the same PSL tables and regexes."""
+    from swiftsoup_spark.ops.psl_data import PSL2, PSL3
+    host = (f"regexp_replace(lower(coalesce(regexp_extract("
+            f"trim({expr}), '{_HOST_RE}', 1), '')), ':[0-9]+$', '')")
+    last2 = f"coalesce(regexp_extract({host}, '{_LAST2_RE}', 1), '')"
+    last3 = f"coalesce(regexp_extract({host}, '{_LAST3_RE}', 1), '')"
+    last4 = f"coalesce(regexp_extract({host}, '{_LAST4_RE}', 1), '')"
+    in3 = ", ".join(f"'{s}'" for s in PSL3)
+    in2 = ", ".join(f"'{s}'" for s in PSL2)
+    return (f"CASE WHEN {last3} IN ({in3}) THEN {last4} "
+            f"WHEN {last2} IN ({in2}) THEN {last3} "
+            f"ELSE {last2} END")
 
 
 def filter_host_blocklist(df, blocked_df, url_col: str = "url"):

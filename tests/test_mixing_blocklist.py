@@ -87,9 +87,29 @@ def test_blocklist_filter(spark):
 
 
 def test_registered_domain(spark):
-    df = spark.createDataFrame(
-        [("https://a.b.example.com/x",), ("https://example.com/x",),
-         ("https://localhost/x",)], "url: string")
+    cases = [
+        ("https://a.b.example.com/x", "example.com"),
+        ("https://example.com/x", "example.com"),
+        ("https://localhost/x", ""),
+        # PSL 2-label suffixes: eTLD+1 keeps three labels
+        ("https://a.b.example.co.uk/x", "example.co.uk"),
+        ("https://foo.com.au/", "foo.com.au"),
+        ("https://x.blogspot.com/p", "x.blogspot.com"),
+        # PSL 3-label suffixes keep four
+        ("http://deep.sub.school.k12.ny.us/", "school.k12.ny.us"),
+        # a host that IS a public suffix has no registered domain
+        ("https://co.uk/", ""),
+        # ports never leak into the grouping key
+        ("http://a.example.com:8080/", "example.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url: string")
     got = [r["d"] for r in
            df.select(U.registered_domain(F.col("url")).alias("d")).collect()]
-    assert got == ["example.com", "example.com", ""]
+    assert got == [w for _, w in cases]
+    # the DuckDB rendering replays identically (oracle contract)
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u, _ in cases])
+    sql = f"SELECT {U.registered_domain_sql('url')} FROM t"
+    assert [r[0] for r in con.execute(sql).fetchall()] == got

@@ -198,3 +198,25 @@ def test_truncation_fuzz_never_crashes():
     for cut in range(0, len(pdf), 7):
         out = extract_pdf_text_bytes(pdf[:cut])
         assert out is None or isinstance(out, str)
+
+
+def test_incremental_update_last_definition_wins():
+    # PDF 1.7 §7.5.6: an incremental update APPENDS a new body for an
+    # existing object number; the later definition is current. The
+    # sequential scan must overwrite, not keep the first.
+    base = build_mini_pdf("old stale text", 0)
+    # append a replacement content stream for the same object number
+    # holding the page content; find which object carries BT..ET
+    from swiftsoup_spark.ops.pdftext import _scan_objects
+    objs = _scan_objects(base)
+    content_num = next(
+        n for n, (_, payload, _ok) in objs.items()
+        if payload is not None and b"BT" in payload)
+    new_stream = b"BT 72 720 Td (fresh updated text) Tj ET"
+    update = (str(content_num).encode() + b" 1 obj\n<< /Length "
+              + str(len(new_stream)).encode() + b" >>\nstream\n"
+              + new_stream + b"\nendstream\nendobj\n"
+              b"trailer\n<< >>\n%%EOF\n")
+    updated = base + update
+    got = extract_pdf_text_bytes(updated)
+    assert got == "fresh updated text"

@@ -277,3 +277,49 @@ def test_fragment_parse_raw():
     out = OutputSettings(pretty_print=False)
     b = roots[0]
     assert serialize(a, b, out) == '<b id=x >bold</b>'
+
+
+def test_append_element_marks_dirty():
+    # arena.py Element.append_element reaches arena.append_child
+    # directly; without mark_dirty the raw document path returned the
+    # original source verbatim, silently dropping the new element
+    from swiftsoup_spark.api import parse
+    d = parse('<html><head></head><body><p>hi</p></body></html>')
+    d.output_settings.pretty_print = False
+    d.body().append_element('div').set_text('new')
+    out = d.outer_html()
+    assert '<div>new</div>' in out
+
+
+def test_foster_parent_invalidates_row_spans():
+    # 'X' is foster-parented before the table but lies inside the
+    # source spans of tbody AND tr: none of them may raw re-emit
+    from swiftsoup_spark.api import parse
+    src = ('<table><tbody><tr>X<td>a</td></tr>'
+           '<tr><td>b</td></tr></tbody></table>')
+    d = parse(src)
+    d.output_settings.pretty_print = False
+    tr = d.select('tr')[0]
+    assert 'X' not in tr.outer_html()
+    assert tr.outer_html() == '<tr><td>a</td></tr>'
+    # a patch anchored inside the tr must keep the fostered node in
+    # the document splice
+    d.select('td')[0].set_text('MUT')
+    out = d.outer_html()
+    assert 'X' in out and 'MUT' in out
+    assert out == ('<table><tbody><tr>X<td>MUT</td></tr>'
+                   '<tr><td>b</td></tr></tbody></table>')
+
+
+def test_patched_doc_respects_xml_syntax():
+    # _patched_doc must honor the same xml-syntax guard as the
+    # per-node raw path: raw HTML bytes are not valid xml output
+    from swiftsoup_spark.api import parse
+    d = parse('<p>hi<br></p>')
+    d.output_settings.pretty_print = False
+    d.output_settings.syntax = 'xml'
+    assert '<br />' in d.outer_html()
+    # and a mutated document must not mix dialects
+    d.select('p').first().set_attr('k', 'v')
+    out = d.outer_html()
+    assert '<br />' in out and 'k="v"' in out
