@@ -1020,12 +1020,20 @@ def q_video_frames(spark, sf_dir):
 
 
 def q_image_meta(spark, sf_dir):
-    img = synth_image_table(_docs(spark, sf_dir))
-    return img.select("doc_id", F.length("payload").alias("n_payload"),
-                      "width", "height", "format")
+    """Image metadata PARSED from payload bytes (ops/png.parse_ihdr):
+    PNG rows carry real encoder output, so width/height come from the
+    IHDR chunk and must match the synth formulas; jpeg rows take the
+    metadata fallback with parsed=false. Oracle: the dim formulas +
+    parsed = (doc_id % 2 = 0)."""
+    from swiftsoup_spark.ops.multimodal import image_meta
+    return image_meta(synth_image_table(_docs(spark, sf_dir)))
 
 
 def q_image_features(spark, sf_dir):
+    """Feature extraction over REAL PNG decode (ops/png.decode_png):
+    n_bytes counts decoded pixels (width*height) for PNG rows — a value
+    only a correct full decode (unfilter + reshape) produces — and
+    payload length for the stub path."""
     img = synth_image_table(_docs(spark, sf_dir))
     return image_features(img).select("doc_id", "n_bytes",
                                       F.size("features").alias("n_features"))
@@ -2079,13 +2087,20 @@ SELECT doc_id, width, height,
 FROM d
 """,
         "image_meta": (
-            "SELECT doc_id, 16 AS n_payload, "
+            "SELECT doc_id, "
             "CAST(1 + doc_id % 64 AS INTEGER) AS width, "
             "CAST(1 + doc_id % 48 AS INTEGER) AS height, "
-            "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format "
+            "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, "
+            "(doc_id % 2 = 0) AS parsed "
             "FROM documents"),
         "image_features": (
-            "SELECT doc_id, 16 AS n_bytes, 8 AS n_features FROM documents"),
+            "SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 2 = 0 "
+            "THEN (1 + doc_id % 64) * (1 + doc_id % 48) "
+            "ELSE 16 END AS INTEGER) AS n_bytes, "
+            "CAST(CASE WHEN doc_id % 2 = 0 "
+            "THEN least(8, (1 + doc_id % 64) * (1 + doc_id % 48)) "
+            "ELSE 8 END AS INTEGER) AS n_features FROM documents"),
         "events_hourly": (
             "SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT) "
             "AS hour_epoch, event_type, count(*) AS n, "

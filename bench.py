@@ -7,10 +7,13 @@ Run at two parallelism levels (N and 4N local cores) on the SAME input to
 evidence the north rule's cluster-size scaling efficiency; correctness of
 the scaled run is pinned by the order-independent corpus checksum.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (headline queries + scaling efficiencies;
+kept short so a driver that captures only a stdout tail still parses it):
   {"metric": ..., "value": <headline sec at 4N>, "unit": "sec",
-   "queries": {...}, "sf": ..., "docs_per_sec": ..., "mb_per_sec": ...,
-   "scaling": {"n_cores": ..., "eff": ...}}
+   "queries": {<headline subset>}, "sf": ..., "docs_per_sec": ...,
+   "mb_per_sec": ..., "scaling": {...}}
+The FULL detail (all ~80 query timings, per-level runs, per-round
+multi-JVM history, calibration probes) is written to BENCH_LOCAL.json.
 """
 
 from __future__ import annotations
@@ -363,15 +366,33 @@ def _multi_jvm_levels(execs, cores, repeats, runs, cks_all):
     for ne in execs:
         a, b = f"{ne}x{cores}", f"{ne * 4}x{cores}"
         if a in runs and b in runs:
-            pairs[f"{ne}to{ne * 4}execs"] = round(
-                runs[b]["mb_per_sec"] / runs[a]["mb_per_sec"] / 4, 3)
-            effs = [round(r[ne][0] / r[ne * 4][0] / 4, 3)
-                    for r in round_results if ne in r and ne * 4 in r]
+            rounds = [r for r in round_results if ne in r and ne * 4 in r]
+            effs = [round(r[ne][0] / r[ne * 4][0] / 4, 3) for r in rounds]
+            calibs = [[r[ne][5], r[ne * 4][5]] for r in rounds]
+            # HEADLINE ratio: the matched-machine-state round. Each
+            # round runs both levels back to back; its ratio is only
+            # meaningful if the hypervisor clamp held still across the
+            # pair (the clamp punishes whichever level it catches —
+            # catching the 4N level deflates the ratio, catching the N
+            # level inflates it). The per-level single-core calibration
+            # probe measures the clamp at each run, so the round whose
+            # two probes are CLOSEST (tie-break: least clamped) is the
+            # one measuring executor scaling instead of machine
+            # weather. All rounds + calibrations stay in the JSON.
+            def _key(i):
+                ca, cb = calibs[i]
+                if ca and cb:
+                    bal = max(ca, cb) / min(ca, cb)
+                    return (bal, -min(ca, cb))
+                return (float("inf"), 0)
+            best_i = min(range(len(rounds)), key=_key)
+            pairs[f"{ne}to{ne * 4}execs"] = effs[best_i]
             per_round[f"{ne}to{ne * 4}execs"] = {
                 "rounds": effs, "best": max(effs) if effs else None,
-                "calib_kernel_mbps": [
-                    [r[ne][5], r[ne * 4][5]]
-                    for r in round_results if ne in r and ne * 4 in r]}
+                "matched_state_round": best_i,
+                "levelbest_ratio": round(
+                    runs[b]["mb_per_sec"] / runs[a]["mb_per_sec"] / 4, 3),
+                "calib_kernel_mbps": calibs}
     return {"mode": "local-cluster (separate executor JVMs)",
             "levels": runs, "efficiency_n_to_4n": pairs,
             "efficiency_per_round": per_round,
@@ -451,10 +472,24 @@ def _headline_subprocess(n_cores: int, n_execs: int = 0):
     raise RuntimeError("no BENCHROW in output")
 
 
+# the headline queries reported inline on the final JSON line; the full
+# per-query map (80 entries, ~2.5 KB — past drivers truncated stdout
+# tails and recorded "parsed": null) goes to BENCH_LOCAL.json instead
+HEADLINE_QUERIES = (
+    "extract_text", "extract_main_text", "prepare_shard", "dedup_exact",
+    "minhash_lsh_pairs", "near_dup_clusters", "ann_ivf", "lang_detect",
+    "quality_gopher", "lm_score", "url_canon_dedup", "clean_basic",
+)
+
+
 def main():
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     levels_env = os.environ.get("BENCH_LEVELS", f"{max(CPUS // 16, 2)},{CPUS // 4},{CPUS}")
     levels = sorted({int(x) for x in levels_env.split(",") if x.strip()})
+    # multi-JVM executor scaling runs FIRST: the hypervisor's CPU-credit
+    # clamp tightens under sustained load, and this is the north-rule
+    # headline measurement — give it the freshest machine state
+    mjvm = multi_jvm_scaling()
     runs = {}
     for n in levels:
         best = None
@@ -479,9 +514,8 @@ def main():
             pairs[f"{a}to{b4}"] = round(
                 runs[b4]["mb_per_sec"] / runs[a]["mb_per_sec"] / 4, 3)
     kscale = kernel_scaling(levels=tuple(levels))
-    mjvm = multi_jvm_scaling()
     queries = run_query_timings()
-    out = {
+    full = {
         "metric": f"html_to_text_extraction_sf{sf}",
         "value": runs[big]["sec"],
         "unit": "sec",
@@ -499,7 +533,41 @@ def main():
             "multi_jvm": mjvm,
         },
     }
-    print(json.dumps(out))
+    # full detail (all query timings, per-round scaling history,
+    # calibration probes) -> file; stdout gets ONE compact line the
+    # driver can always capture whole
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "queries": {k: queries[k] for k in HEADLINE_QUERIES
+                    if k in queries},
+        "n_queries_total": len(queries),
+        "queries_full": "BENCH_LOCAL.json",
+        "sf": full["sf"],
+        "n_docs": full["n_docs"],
+        "input_mb": full["input_mb"],
+        "docs_per_sec": full["docs_per_sec"],
+        "mb_per_sec": full["mb_per_sec"],
+        "scaling": {
+            "efficiency_n_to_4n": pairs,
+            "checksum_match": len(checksums) == 1,
+            "kernel_efficiency_n_to_4n":
+                (kscale or {}).get("efficiency_n_to_4n"),
+            "multi_jvm_efficiency_n_to_4n":
+                (mjvm or {}).get("efficiency_n_to_4n"),
+            "multi_jvm_checksum_match":
+                (mjvm or {}).get("checksum_match"),
+        },
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1,11 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Real Spark-side plumbing (schema, Arrow batching, mapInPandas batch shape)
-with a STUBBED decode: the container has no image/audio codecs, so the
-"decode" derives a deterministic fake payload (md5 bytes of the text).
-Swap ``_fake_decode`` for a real PIL/ffmpeg call on a cluster with codecs —
-the batch contract (binary in, fixed-width float features out) is what the
-engine guarantees."""
+Real Spark-side plumbing (schema, Arrow batching, mapInPandas batch
+shape) with a REAL from-scratch PNG decode path (``ops/png.py``, stdlib
+zlib only): PNG payloads are genuinely parsed — IHDR dims, row
+unfiltering, pixel access. Formats with no stdlib codec (jpeg here)
+take the documented STUB path: a deterministic fake decode over the
+payload bytes. Swap the stub for PIL/libvips/ffmpeg on a cluster with
+codecs — the batch contract (binary in, fixed-width features out) is
+what the engine guarantees either way."""
 
 from __future__ import annotations
 
@@ -19,6 +21,14 @@ IMAGE_META_SCHEMA = T.StructType([
     T.StructField("format", T.StringType()),
 ])
 
+PARSED_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("parsed", T.BooleanType()),
+])
+
 FEATURE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("n_bytes", T.IntegerType()),
@@ -27,9 +37,18 @@ FEATURE_SCHEMA = T.StructType([
 
 
 def synth_image_table(docs_df):
-    """Documents -> opaque binary 'image' column + typed metadata.
-    Deterministic: payload = md5 digest bytes, dims derived from doc_id."""
-    return docs_df.select(
+    """Documents -> binary 'image' column + typed metadata. PNG rows
+    (even doc_id) carry a REAL greyscale PNG whose (height x width)
+    pixel grid tiles the md5 digest — pixel(y, x) = digest[(y*width +
+    x) mod 16] — so every decoded pixel is replayable from md5(text) in
+    SQL; jpeg rows stay an opaque 16-byte digest payload (no stdlib
+    jpeg codec — stub path)."""
+    import numpy as np
+    import pandas as pd
+
+    from swiftsoup_spark.ops.png import encode_png
+
+    base = docs_df.select(
         "doc_id",
         F.unhex(F.md5("text")).alias("payload"),
         (1 + F.col("doc_id") % 64).cast("int").alias("width"),
@@ -37,26 +56,97 @@ def synth_image_table(docs_df):
         F.when(F.col("doc_id") % 2 == 0, "png").otherwise("jpeg").alias("format"),
     )
 
+    def batches(it):
+        for pdf in it:
+            payloads = []
+            for p, w, h, fmt in zip(pdf["payload"], pdf["width"],
+                                    pdf["height"], pdf["format"]):
+                if fmt == "png":
+                    dig = np.frombuffer(p, dtype=np.uint8)
+                    idx = (np.arange(int(h) * int(w)) % 16).reshape(
+                        int(h), int(w))
+                    payloads.append(encode_png(dig[idx]))
+                else:
+                    payloads.append(bytes(p))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "payload": payloads,
+                "width": pdf["width"], "height": pdf["height"],
+                "format": pdf["format"]})
+
+    return base.mapInPandas(batches, IMAGE_META_SCHEMA)
+
+
+def image_meta(img_df):
+    """mapInPandas metadata extraction: dims/format PARSED from the
+    payload bytes (PNG IHDR via ops/png.parse_ihdr — cheap, no
+    decompression) with the metadata columns as the fallback for
+    formats without a stdlib parser. ``parsed`` records which path each
+    row took."""
+    def batches(it):
+        import pandas as pd
+
+        from swiftsoup_spark.ops.png import parse_ihdr
+
+        for pdf in it:
+            ws, hs, fmts, parsed = [], [], [], []
+            for p, w, h, fmt in zip(pdf["payload"], pdf["width"],
+                                    pdf["height"], pdf["format"]):
+                hdr = parse_ihdr(bytes(p)) if p is not None else None
+                if hdr is not None:
+                    ws.append(hdr[0])
+                    hs.append(hdr[1])
+                    fmts.append("png")
+                    parsed.append(True)
+                else:
+                    ws.append(w)
+                    hs.append(h)
+                    fmts.append(fmt)
+                    parsed.append(False)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "width": ws, "height": hs,
+                "format": fmts, "parsed": parsed})
+
+    return img_df.mapInPandas(batches, PARSED_META_SCHEMA)
+
 
 def _fake_decode(payload: bytes) -> list[float]:
-    """STUB decode: real deployments replace this with PIL/libvips; here we
-    emit a deterministic 8-dim feature from the payload bytes."""
+    """STUB decode for formats without a stdlib codec: deterministic
+    8-dim feature from the payload bytes."""
     if payload is None:
         return []
     return [b / 255.0 for b in payload[:8]]
 
 
 def image_features(img_df):
-    """mapInPandas feature extraction: binary -> fixed-width float vector.
-    One Arrow batch per call; decode loop stays inside the batch."""
+    """mapInPandas feature extraction: binary -> fixed-width float
+    vector. PNG payloads REALLY decode (ops/png.decode_png) — features
+    are the first 8 pixels / 255 and n_bytes counts decoded pixels;
+    other formats take the stub over raw payload bytes. One Arrow batch
+    per call; the decode loop stays inside the batch."""
     def batches(it):
         import pandas as pd
 
+        from swiftsoup_spark.ops.png import decode_png
+
         for pdf in it:
-            feats = [_fake_decode(p) for p in pdf["payload"]]
+            feats, nbytes = [], []
+            for p in pdf["payload"]:
+                if p is None:
+                    feats.append([])
+                    nbytes.append(0)
+                    continue
+                dec = decode_png(bytes(p))
+                if dec is not None:
+                    w, h, _ch, arr = dec
+                    flat = arr[:, :, 0].reshape(-1)
+                    feats.append([int(v) / 255.0 for v in flat[:8]])
+                    nbytes.append(w * h)
+                else:
+                    feats.append(_fake_decode(p))
+                    nbytes.append(len(p))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                "n_bytes": nbytes,
                 "features": feats,
             })
 
@@ -185,19 +275,22 @@ RESIZE_SCHEMA = T.StructType([
 
 def image_resize(img_df, out_w: int = 4, out_h: int = 3):
     """mapInPandas image resize: binary payload -> fixed ``out_h x
-    out_w`` pixel grid (row-major array<long>), nearest-neighbor over
-    the stub-decoded source grid (pixel(y, x) = payload byte at
-    ``(y*width + x) mod len(payload)`` — swap the stub for a real
-    PIL/libvips decode+resize on a cluster with codecs; the batch
-    contract is the point: binary + dims in, fixed-width integer grid
-    out, the whole batch resized with vectorized numpy indexing, no
-    per-pixel Python). Source coordinates use the exact integer map
-    ``y = (i*height) DIV out_h`` / ``x = (j*width) DIV out_w`` so the
-    output is bit-identical across partitionings and replayable by the
-    DuckDB oracle from the md5 hex string."""
+    out_w`` pixel grid (row-major array<long>), nearest-neighbor. PNG
+    payloads REALLY decode (ops/png.decode_png: IHDR dims, row
+    unfiltering) and resize over the true pixel grid; formats without a
+    stdlib codec fall back to the stub grid (pixel(y, x) = payload byte
+    at ``(y*width + x) mod len(payload)``). Source coordinates use the
+    exact integer map ``y = (i*height) DIV out_h`` / ``x = (j*width)
+    DIV out_w`` so the output is bit-identical across partitionings and
+    replayable by the DuckDB oracle from the md5 hex string (the synth
+    PNG's pixel grid tiles the digest, so decode correctness is itself
+    hash-gated). Batch contract: binary + dims in, fixed-width integer
+    grid out; indexing vectorized per image, no per-pixel Python."""
     def batches(it):
         import numpy as np
         import pandas as pd
+
+        from swiftsoup_spark.ops.png import decode_png
 
         oy = np.arange(out_h)
         ox = np.arange(out_w)
@@ -207,6 +300,16 @@ def image_resize(img_df, out_w: int = 4, out_h: int = 3):
             for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
                 if p is None or len(p) == 0 or w <= 0 or h <= 0:
                     out["pixels"].append([])
+                    continue
+                dec = decode_png(bytes(p))
+                if dec is not None:
+                    dw, dh, _ch, arr = dec
+                    grid = arr[:, :, 0]
+                    ys = (oy * dh) // out_h
+                    xs = (ox * dw) // out_w
+                    out["pixels"].append(
+                        grid[ys[:, None], xs[None, :]]
+                        .ravel().astype("int64").tolist())
                     continue
                 buf = np.frombuffer(p, dtype=np.uint8)
                 ys = (oy * int(h)) // out_h

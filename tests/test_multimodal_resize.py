@@ -59,3 +59,36 @@ def test_partitioning_invariance(spark):
     one = sorted(map(tuple, image_resize(df.repartition(1)).collect()))
     many = sorted(map(tuple, image_resize(df.repartition(7)).collect()))
     assert one == many
+
+
+def test_real_png_path_decodes_true_pixels(spark):
+    # a REAL PNG whose decoded grid disagrees with the stub's modular
+    # map: payload pixels are (y*w + x) * 3 % 251 over a 10x8 grid.
+    # If resize took the stub path the values would be payload BYTES
+    # (PNG file bytes), not pixels — only a correct decode matches.
+    import numpy as np
+    from swiftsoup_spark.ops.png import encode_png
+    h, w = 8, 10
+    grid = ((np.arange(h * w).reshape(h, w) * 3) % 251).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, encode_png(grid), w, h, "png")], SCHEMA)
+    r = image_resize(df).collect()[0]
+    ys = [(i * h) // 3 for i in range(3)]
+    xs = [(j * w) // 4 for j in range(4)]
+    assert r.pixels == [int(grid[y, x]) for y in ys for x in xs]
+
+
+def test_image_meta_parses_ihdr_over_metadata(spark):
+    # metadata columns LIE (w=1,h=1,'jpeg'); IHDR says 10x8 — the
+    # parsed path must win for real PNG payloads
+    import numpy as np
+    from swiftsoup_spark.ops.multimodal import image_meta
+    from swiftsoup_spark.ops.png import encode_png
+    png = encode_png(np.zeros((8, 10), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, png, 1, 1, "jpeg"), (2, b"\xff\xd8notapng", 5, 6, "jpeg")],
+        SCHEMA)
+    got = {r.doc_id: (r.width, r.height, r.format, r.parsed)
+           for r in image_meta(df).collect()}
+    assert got[1] == (10, 8, "png", True)
+    assert got[2] == (5, 6, "jpeg", False)
