@@ -292,7 +292,7 @@ def multi_jvm_scaling():
     # invocations at best-of-2 landed 0.79-1.0 on the same code purely
     # by which level caught the throttle; a third independent window
     # per level tightens each level toward its unthrottled steady state.
-    repeats = int(os.environ.get("BENCH_CLUSTER_REPEATS", "3"))
+    repeats = int(os.environ.get("BENCH_CLUSTER_REPEATS", "4"))
     # 3x the single-JVM bench corpus: the measured fixed per-job cost
     # (scheduling + result fetch, ~0.4 s) is 13% of a 3 s run but noise
     # on a 30 s one; production extraction jobs run minutes-to-hours per

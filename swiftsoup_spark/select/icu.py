@@ -23,9 +23,17 @@ through a generated exact Script-property table
 (:mod:`swiftsoup_spark.select.scripts_data`, 35 scripts extracted from
 the public UCD tables shipped in RE2 — see scripts/gen_script_ranges.py;
 fidelity is gated against RE2 itself in tests/test_icu_scripts.py).
-Property names the shim still cannot resolve (rare scripts outside the
-generated set, non-script binary properties) raise ``re.error`` with a
-clear message — a documented boundary, not a silent mismatch.
+Unicode BINARY properties exactly derivable from the stdlib are swept
+from their true predicates (``Uppercase``/``Lowercase`` via
+str.isupper/islower — the *derived* properties, including
+Other_Uppercase code points like Roman numerals — plus ``Cased``,
+``Assigned``, and the closed-form ``Noncharacter_Code_Point`` /
+``Bidi_Control`` / ``Join_Control``). Property names the shim still
+cannot resolve (rare scripts outside the generated set; binary
+properties needing PropList data the stdlib lacks, e.g. ``Alphabetic``
+whose Other_Alphabetic marks unicodedata cannot see, ``Ideographic``,
+``Dash``) raise ``re.error`` with a clear message — a documented
+boundary, not a silent mismatch.
 """
 
 from __future__ import annotations
@@ -77,6 +85,50 @@ _ALIASES: dict[str, tuple[str, ...]] = {
     "ascii": ("+" + "".join(chr(c) for c in range(128)),),
     "any": ("L", "M", "N", "P", "S", "Z", "C"),
 }
+
+# Unicode BINARY properties exactly derivable from the stdlib: each
+# entry is a predicate over a single character; the code space is swept
+# once per property (run-length, lru-cached) exactly like the category
+# table. Python's str.isupper()/islower() implement the DERIVED
+# Uppercase/Lowercase properties (Lu/Ll plus Other_Uppercase/
+# Other_Lowercase — e.g. Roman numeral Ⅰ is Uppercase but category Nl),
+# so these sweeps are faithful to the UCD, not category approximations.
+# Properties needing PropList data the stdlib lacks (Alphabetic's
+# Other_Alphabetic marks, Ideographic, Math's Other_Math, ...) still
+# raise re.error — the documented loud boundary.
+_BINARY_PREDICATES: dict[str, object] = {
+    "uppercase": lambda c: c.isupper(),
+    "lowercase": lambda c: c.islower(),
+    # Cased = Lowercase | Uppercase | Lt (Unicode DerivedCoreProperties)
+    "cased": lambda c: (c.isupper() or c.islower()
+                        or unicodedata.category(c) == "Lt"),
+    "assigned": lambda c: unicodedata.category(c) != "Cn",
+    # closed forms from the spec, not sweeps (exact, tiny)
+    "noncharactercodepoint": lambda c: (
+        0xFDD0 <= ord(c) <= 0xFDEF or (ord(c) & 0xFFFE) == 0xFFFE),
+    "bidicontrol": lambda c: ord(c) in (
+        0x061C, 0x200E, 0x200F, 0x202A, 0x202B, 0x202C, 0x202D, 0x202E,
+        0x2066, 0x2067, 0x2068, 0x2069),
+    "joincontrol": lambda c: ord(c) in (0x200C, 0x200D),
+}
+
+
+@lru_cache(maxsize=16)
+def _binary_ranges(key: str) -> tuple[tuple[int, int], ...]:
+    pred = _BINARY_PREDICATES[key]
+    ranges: list[tuple[int, int]] = []
+    run_start = None
+    for cp in range(_MAX_CP + 1):
+        if pred(chr(cp)):
+            if run_start is None:
+                run_start = cp
+        elif run_start is not None:
+            ranges.append((run_start, cp - 1))
+            run_start = None
+    if run_start is not None:
+        ranges.append((run_start, _MAX_CP))
+    return tuple(ranges)
+
 
 # Long ICU/Unicode names for the two-letter general categories.
 _LONG_CATEGORY = {
@@ -187,6 +239,8 @@ def _name_to_ranges(name: str) -> tuple[tuple[int, int], ...]:
         if key.startswith(prefix) and len(key) > len(prefix):
             key = key[len(prefix):]
             break
+    if key in _BINARY_PREDICATES:
+        return _binary_ranges(key)
     if key in _ALIASES:
         return _prop_ranges(_ALIASES[key])
     if key in _LONG_CATEGORY:
