@@ -708,11 +708,14 @@ def q_line_dedup(spark, sf_dir):
 def q_pagerank_hosts(spark, sf_dir):
     """Fixed-point weighted PageRank over a planted host link graph
     (ops/linkgraph.py): doc d on host source(d) links to the host of
-    doc (17*d + 3) mod 97 — every host has outlinks, so no dangling
-    leak. 5 iterations of BIGINT-e12 ranks; the per-edge float step is
-    the same correctly-rounded IEEE expression in both engines and all
-    summation is over exact integers, so ranks are bit-identical across
-    partitionings and vs the unrolled-CTE DuckDB oracle."""
+    doc (17*d + 3) mod 97, PLUS every 13th doc links to a pure sink
+    host with no outlinks — exercising the dangling-mass
+    redistribution (uniform share of the damped dangling rank, exact
+    integer split). 5 iterations of BIGINT-e12 ranks; the per-edge
+    float step is the same correctly-rounded IEEE expression in both
+    engines and all summation is over exact integers, so ranks are
+    bit-identical across partitionings and vs the unrolled-CTE DuckDB
+    oracle."""
     from swiftsoup_spark.ops.linkgraph import pagerank_fixedpoint
     d = _docs(spark, sf_dir)
     host = F.concat(F.col("source"), F.lit(".docs.test"))
@@ -720,8 +723,14 @@ def q_pagerank_hosts(spark, sf_dir):
                    ((F.col("doc_id") * 17 + 3) % 97).alias("k"))
     dst = (d.filter(F.col("doc_id") < 97)
            .select(F.col("doc_id").alias("k"), host.alias("dst_host")))
+    sink = (d.filter(F.col("doc_id") % 13 == 0)
+            .groupBy(host.alias("src_host"))
+            .agg(F.count("*").alias("w"))
+            .select("src_host", F.lit("sink.docs.test").alias("dst_host"),
+                    "w"))
     edges = (src.join(F.broadcast(dst), "k")
-             .groupBy("src_host", "dst_host").agg(F.count("*").alias("w")))
+             .groupBy("src_host", "dst_host").agg(F.count("*").alias("w"))
+             .unionByName(sink))
     return pagerank_fixedpoint(edges, iters=5)
 
 
@@ -1579,7 +1588,10 @@ FROM (SELECT source || '.docs.test' AS src_host,
              (doc_id * 17 + 3) % 97 AS k FROM documents) a
 JOIN (SELECT doc_id AS k, source || '.docs.test' AS dst_host
       FROM documents WHERE doc_id < 97) b USING (k)
-GROUP BY 1, 2""", iters=5)
+GROUP BY 1, 2
+UNION ALL
+SELECT source || '.docs.test', 'sink.docs.test', count(*)
+FROM documents WHERE doc_id % 13 = 0 GROUP BY 1""", iters=5)
     from swiftsoup_spark.ops.textstats import BPE_TOKEN_RE
     bpe_token_count = f"""
 WITH t AS (SELECT doc_id,

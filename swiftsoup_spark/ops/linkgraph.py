@@ -32,16 +32,23 @@ SCALE = 10 ** 12
 
 
 def pagerank_fixedpoint(edges, iters: int = 5, damping_permille: int = 850,
-                        checkpoint: bool = True):
+                        checkpoint: bool = True, dangling: bool = True):
     """Weighted PageRank over (src_host, dst_host, w) edges.
 
     Returns (host, rank_e12). Every host present as src or dst is a
     node starting at rank 1.0 (= 10^12); per iteration
     ``rank' = (1000 - damping) * 10^9 + Σ_in floor(((rank * damping) *
-    (w / outw)) / 1000)``. Hosts without inlinks keep the teleport term.
-    Dangling hosts (no outlinks) leak their damped mass — documented,
-    standard for ranking use; the planted graph in the driver query has
-    none by construction.
+    (w / outw)) / 1000) + share`` where ``share`` redistributes the
+    damped mass of DANGLING hosts (no outlinks) uniformly — the
+    standard correction, kept fixed-point exact: the dangling mass
+    ``dm`` is summed as DECIMAL(38,0) (hosts * 10^12 can exceed int64)
+    and the per-node share uses the exact split
+    ``floor(dm*d/M) = (dm DIV M)*d + ((dm MOD M)*d) DIV M`` with
+    ``M = 1000*n_nodes`` — every term int64-safe and identical in
+    DuckDB HUGEINT arithmetic. The share is a one-row aggregate
+    broadcast-crossed into the update (no driver collect, no extra
+    shuffle of the edge table). ``dangling=False`` restores the
+    leak-the-mass variant.
     """
     teleport = (1000 - damping_permille) * (SCALE // 1000)
     nodes = (edges.select(F.col("src_host").alias("host"))
@@ -50,6 +57,14 @@ def pagerank_fixedpoint(edges, iters: int = 5, damping_permille: int = 850,
     outw = edges.groupBy("src_host").agg(F.sum("w").alias("outw"))
     ew = edges.join(outw, "src_host")
     rank = nodes.select("host", F.lit(SCALE).cast("long").alias("rank_e12"))
+    if dangling:
+        # hosts with no outgoing edges; their count is tiny next to the
+        # corpus (host-graph scale), the anti-join is one broadcast
+        dang = nodes.join(
+            F.broadcast(outw.select(F.col("src_host").alias("host"))),
+            "host", "left_anti")
+        n_nodes = nodes.count()   # scalar, once (like CC convergence)
+        m = 1000 * n_nodes
     for _ in range(iters):
         contrib = (ew.join(F.broadcast(rank),
                            F.col("src_host") == F.col("host"))
@@ -59,34 +74,63 @@ def pagerank_fixedpoint(edges, iters: int = 5, damping_permille: int = 850,
                                        / F.col("outw"))) / 1000)
                            .cast("long").alias("c"))
                    .groupBy("dst_host").agg(F.sum("c").alias("c")))
-        rank = (nodes.join(contrib,
-                           nodes["host"] == contrib["dst_host"], "left")
-                .select("host",
-                        (F.lit(teleport)
-                         + F.coalesce("c", F.lit(0))).cast("long")
-                        .alias("rank_e12")))
+        upd = nodes.join(contrib, nodes["host"] == contrib["dst_host"],
+                         "left")
+        if dangling:
+            dm = (rank.join(F.broadcast(dang), "host")
+                  .agg(F.coalesce(
+                      F.sum(F.col("rank_e12").cast("decimal(38,0)")),
+                      F.lit(0).cast("decimal(38,0)")).alias("dm")))
+            share = (F.expr(f"CAST(dm DIV {m} AS BIGINT)")
+                     * damping_permille
+                     + F.expr(f"CAST(((dm % {m}) * {damping_permille})"
+                              f" DIV {m} AS BIGINT)"))
+            rank = (upd.crossJoin(F.broadcast(dm))
+                    .select("host",
+                            (F.lit(teleport) + F.coalesce("c", F.lit(0))
+                             + share).cast("long").alias("rank_e12")))
+        else:
+            rank = upd.select(
+                "host",
+                (F.lit(teleport)
+                 + F.coalesce("c", F.lit(0))).cast("long")
+                .alias("rank_e12"))
         if checkpoint:
             rank = rank.localCheckpoint(eager=False)
     return rank
 
 
 def pagerank_oracle_sql(edges_cte: str, iters: int = 5,
-                        damping_permille: int = 850) -> str:
+                        damping_permille: int = 850,
+                        dangling: bool = True) -> str:
     """DuckDB replay of :func:`pagerank_fixedpoint` as unrolled CTEs.
     ``edges_cte`` must be a CTE body selecting (src_host, dst_host, w).
-    Returns a full query ``WITH ... SELECT host, rank_e12``."""
+    Returns a full query ``WITH ... SELECT host, rank_e12``. The
+    dangling share replays the identical integer split (DuckDB sums
+    BIGINT into HUGEINT, so the DECIMAL(38) path maps to ``//``/``%``
+    hugeint arithmetic)."""
     teleport = (1000 - damping_permille) * (SCALE // 1000)
+    d = damping_permille
     parts = [f"edges AS ({edges_cte})",
              "nodes AS (SELECT DISTINCT src_host AS host FROM edges "
              "UNION SELECT DISTINCT dst_host FROM edges)",
              "outw AS (SELECT src_host, SUM(w) AS outw FROM edges "
              "GROUP BY 1)",
+             "nn AS (SELECT count(*) AS n FROM nodes)",
+             "dang AS (SELECT host FROM nodes WHERE host NOT IN "
+             "(SELECT src_host FROM outw))",
              f"r0 AS (SELECT host, CAST({SCALE} AS BIGINT) AS rank_e12 "
              f"FROM nodes)"]
+    share = ""
     for i in range(iters):
+        if dangling:
+            share = f""" + (SELECT (dm // m) * {d} + ((dm % m) * {d}) // m
+       FROM (SELECT coalesce((SELECT SUM(r.rank_e12) FROM r{i} r
+                              JOIN dang USING (host)), 0) AS dm,
+                    1000 * (SELECT n FROM nn) AS m))"""
         parts.append(f"""r{i + 1} AS (
   SELECT n.host,
-         CAST({teleport} + coalesce(s.c, 0) AS BIGINT) AS rank_e12
+         CAST({teleport} + coalesce(s.c, 0){share} AS BIGINT) AS rank_e12
   FROM nodes n LEFT JOIN (
     SELECT e.dst_host AS host,
            SUM(CAST(floor(((r.rank_e12 * {damping_permille})

@@ -83,3 +83,34 @@ def test_weight_shifts_rank(spark):
     r1 = _ranks(L.pagerank_fixedpoint(_edges(spark, heavy)))
     assert r0["b"] == r0["c"]
     assert r1["b"] > r1["c"]
+
+
+def test_dangling_mass_redistributed(spark):
+    # 'sink' has no outlinks; its damped mass must flow back uniformly.
+    # Graph: a->sink, b->sink, a<->b — sink would otherwise leak ~all
+    # damped mass and every rank would decay toward teleport-only.
+    rows = [("a", "sink", 1), ("b", "sink", 1),
+            ("a", "b", 1), ("b", "a", 1)]
+    r = _ranks(L.pagerank_fixedpoint(_edges(spark, rows), iters=5))
+    leak = _ranks(L.pagerank_fixedpoint(_edges(spark, rows), iters=5,
+                                        dangling=False))
+    # redistribution conserves mass: total stays ~n * 1e12 (floor slack
+    # < iters * n * 1000); the leaking variant loses sink's damped mass
+    n = 3
+    assert sum(r.values()) > 0.999 * n * 10 ** 12
+    assert sum(leak.values()) < 0.9 * n * 10 ** 12
+    assert r["sink"] > leak["sink"]
+    # DuckDB unrolled-CTE replay with the dangling share is bit-exact
+    import duckdb as dk
+    vals = ", ".join(f"('{s}', '{d}', {w})" for s, d, w in rows)
+    sql = L.pagerank_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src_host, dst_host, w)")
+    assert r == dict(dk.connect().execute(sql).fetchall())
+
+
+def test_dangling_bit_determinism(spark):
+    rows = [(f"h{i}", f"h{(i * 3 + 1) % 9}", 1 + i % 4) for i in range(7)]
+    rows.append(("h1", "lonesink", 2))
+    one = _ranks(L.pagerank_fixedpoint(_edges(spark, rows, parts=1)))
+    many = _ranks(L.pagerank_fixedpoint(_edges(spark, rows, parts=5)))
+    assert one == many
