@@ -1565,9 +1565,15 @@ WITH t AS (SELECT doc_id,
            FROM documents),
 w AS (SELECT doc_id, string_split(text, ' ') AS w FROM t),
 e AS (SELECT doc_id,
-             unnest(list_transform(
-                 generate_series(0, CAST(floor(len(w) / 16) AS INTEGER) - 1),
-                 i -> md5(array_to_string(w[i*16+1 : i*16+16], ' ')))) AS h
+             unnest(list_concat(
+                 list_transform(
+                     generate_series(0,
+                         CAST(floor(len(w) / 16) AS INTEGER) - 1),
+                     i -> md5(array_to_string(w[i*16+1 : i*16+16], ' '))),
+                 list_transform(
+                     generate_series(0,
+                         CAST(floor((len(w) - 8) / 16) AS INTEGER) - 1),
+                     i -> md5(array_to_string(w[i*16+9 : i*16+24], ' '))))) AS h
       FROM w),
 occ AS (SELECT h, count(*) AS n_occ FROM e GROUP BY h),
 d AS (SELECT doc_id, count(*) AS n_blocks,

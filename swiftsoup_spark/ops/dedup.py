@@ -473,7 +473,8 @@ def remove_boilerplate_lines(df, text_col: str = "text", max_docs: int = 5,
 # --- duplicated-span detection (block rolling-hash) --------------------------
 
 
-def duplicate_span_blocks(df, text_col: str = "text", block: int = 16):
+def duplicate_span_blocks(df, text_col: str = "text", block: int = 16,
+                          offsets: tuple[int, ...] | None = None):
     """Cross-document duplicated-SPAN detection: the distributed stand-in
     for suffix-array substring dedup (Lee et al.'s "Deduplicating
     Training Data Makes Language Models Better" at the granularity that
@@ -485,25 +486,37 @@ def duplicate_span_blocks(df, text_col: str = "text", block: int = 16):
     docs OR a repeat within the same doc) is a duplicated span. Returns
     (doc_id, n_blocks, n_dup_blocks, dup_block_frac_e6).
 
-    Granularity caveat (documented): duplicates misaligned by less than
-    a block can be missed — production runs add a half-offset second
-    pass (same plan, ``slice`` origin shifted by block/2) which bounds
-    the miss to spans shorter than 1.5 blocks.
+    Blocks are hashed on an OFFSET GRID — one grid per entry in
+    ``offsets`` (default 0 and block/2) — so two copies of a span
+    whose document positions differ by any multiple of block/2 share
+    at least one grid alignment and collide. Granularity caveat
+    (documented): copies misaligned by a non-multiple of block/2 can
+    still be missed for spans shorter than ~1.5 blocks; each extra
+    offset is one more linear pass over the token stream and halves
+    the residue again.
 
-    Scale: explode is ~n_tokens/block rows per doc; the occurrence count
-    is one groupBy on uniform md5 keys with map-side combines; the
-    flag-back join is hash-equi on the same keys; the final rollup is
-    doc_id-keyed. Nothing quadratic, no Python.
+    Scale: explode is ~len(offsets) * n_tokens/block rows per doc; the
+    occurrence count is one groupBy on uniform md5 keys with map-side
+    combines; the flag-back join is hash-equi on the same keys; the
+    final rollup is doc_id-keyed. Nothing quadratic, no Python.
     """
+    if offsets is None:
+        offsets = (0, block // 2)
     w = F.split(F.col(text_col), " ")
-    nb = F.floor(F.size(w) / block).cast("int")
-    blocks = F.transform(
-        F.sequence(F.lit(0), nb - 1),
-        lambda i: F.md5(F.array_join(
-            F.slice(w, i * block + 1, block), " ")))
-    exploded = (df.select("doc_id",
-                          F.explode(F.when(nb >= 1, blocks).otherwise(
-                              F.array().cast("array<string>"))).alias("h")))
+    empty = F.array().cast("array<string>")
+
+    def grid(o):
+        nbo = F.floor((F.size(w) - o) / block).cast("int")
+        return F.when(nbo >= 1, F.transform(
+            F.sequence(F.lit(0), nbo - 1),
+            lambda i: F.md5(F.array_join(
+                F.slice(w, i * block + o + 1, block), " ")))
+        ).otherwise(empty)
+
+    blocks = grid(offsets[0])
+    for o in offsets[1:]:
+        blocks = F.concat(blocks, grid(o))
+    exploded = (df.select("doc_id", F.explode(blocks).alias("h")))
     occ = exploded.groupBy("h").agg(F.count("*").alias("n_occ"))
     dup = (exploded.join(occ, "h")
            .groupBy("doc_id")
