@@ -110,6 +110,36 @@ def q_streaming_extract(spark, sf_dir):
     return out.select("url", "text")
 
 
+def q_warc_extract(spark, sf_dir):
+    """WARC source round trip (sources/warc.py, from-scratch ISO 28500
+    reader/writer over stdlib gzip): the pages table is serialized to
+    Common-Crawl-framed ``.warc.gz`` bytes (one gzip member per
+    record), re-parsed through the WARC record reader, and fed to the
+    extraction kernel — all inside one mapInPandas batch, so the
+    serialize→compress→decompress→header-parse→extract chain is
+    hash-gated end to end against the closed-form template oracle."""
+    import pandas as pd
+
+    from swiftsoup_spark.sources.warc import build_warc_gz, response_pages
+
+    pages = pages_df(spark, sf_dir)
+
+    def batches(it):
+        for pdf in it:
+            recs = [(u, "2026-01-01T00:00:00Z", h.encode())
+                    for u, h in zip(pdf["url"], pdf["html"])]
+            data = build_warc_gz(recs)
+            rows = {"url": [], "html": []}
+            for url, _date, body in response_pages(data):
+                rows["url"].append(url)
+                rows["html"].append(body.decode())
+            yield pd.DataFrame(rows)
+
+    warced = pages.select("url", "html").mapInPandas(
+        batches, "url string, html string")
+    return X.extract_pages(warced).select("url", "text")
+
+
 def q_parse_xml(spark, sf_dir):
     """parse() XML auto-detect (leading <?xml -> XmlTreeBuilder,
     reference SwiftSoup.swift:20-43): per-doc text + round-trip
@@ -1190,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         # -- new in r5 ---------------------------------------------------
         "host_regdom": q_host_regdom,
+        "warc_extract": q_warc_extract,
         # -- last green row r1-r3 ---------------------------------------
         "fingerprint": q_fingerprint,
         "ann_brute_force": q_ann_brute_force,
@@ -1737,6 +1768,9 @@ FROM t
         "extract_text": (
             f"SELECT {URL_SQL} AS url, {EXPECTED_DOC_TEXT_SQL} AS text "
             f"FROM documents ORDER BY url"),
+        "warc_extract": (
+            f"SELECT {URL_SQL} AS url, {EXPECTED_DOC_TEXT_SQL} AS text "
+            f"FROM documents"),
         "extract_main_heuristic": (
             f"SELECT {URL_SQL} AS url, {EXPECTED_MAIN_TEXT_SQL} AS text "
             f"FROM documents"),
