@@ -915,6 +915,39 @@ def q_host_regdom(spark, sf_dir):
                  F.countDistinct(bare_host).alias("n_hosts")))
 
 
+def q_robots_filter(spark, sf_dir):
+    """robots.txt governance (ops/robots.py): per-host robots bodies are
+    synthesized by formula (a specific-UA group that must be ignored, a
+    ``*`` group disallowing /de everywhere and /es on even-length
+    hosts, comments, empty Disallow), parsed with the pure-SQL window
+    plan into (host, prefixes), and applied to the corpus urls with the
+    broadcast array-probe filter. Output: surviving (host, n_docs).
+    The oracle replays BOTH stages — the rendered parser SQL and the
+    prefix filter — end to end."""
+    from swiftsoup_spark.ops.robots import (filter_robots,
+                                            robots_disallow_rules)
+    from swiftsoup_spark.ops.urlnorm import host_of
+    d = _docs(spark, sf_dir)
+    host = F.concat(F.col("source"), F.lit(".docs.test"))
+    robots = (d.select("source").distinct()
+              .select(host.alias("host"),
+                      F.concat(
+                          F.lit("User-agent: fetchbot\nDisallow: /\n\n"
+                                "User-agent: *\nDisallow: /de"),
+                          F.when(F.length("source") % 2 == 0,
+                                 F.lit("\nDisallow: /es"))
+                          .otherwise(F.lit("")),
+                          F.lit("\nDisallow:\n# generated"))
+                      .alias("robots_txt")))
+    rules = robots_disallow_rules(robots)
+    urls = d.select(
+        F.concat(F.lit("https://"), host, F.lit("/"), F.col("lang"),
+                 F.lit("/p"), F.col("doc_id").cast("string")).alias("url"))
+    kept = filter_robots(urls, rules)
+    return (kept.groupBy(host_of(F.col("url")).alias("host"))
+            .agg(F.count("*").alias("n_docs")))
+
+
 def q_sample_quota(spark, sf_dir):
     """Deterministic per-language mixture sampling (ops/mixing.py):
     quota rate_permille = 100 + (137 * length(lang)) % 800, rows keyed
@@ -1221,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r5 ---------------------------------------------------
         "host_regdom": q_host_regdom,
         "warc_extract": q_warc_extract,
+        "robots_filter": q_robots_filter,
         # -- last green row r1-r3 ---------------------------------------
         "fingerprint": q_fingerprint,
         "ann_brute_force": q_ann_brute_force,
@@ -1578,6 +1612,27 @@ SELECT {registered_domain_sql('url')} AS regdom,
        count(*) AS n_urls,
        CAST(count(DISTINCT {_bare_host}) AS BIGINT) AS n_hosts
 FROM u GROUP BY 1
+"""
+    from swiftsoup_spark.ops.robots import robots_disallow_rules_sql
+    _robots_cte = """
+SELECT source || '.docs.test' AS host,
+       'User-agent: fetchbot' || chr(10) || 'Disallow: /' || chr(10)
+       || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /de'
+       || CASE WHEN length(source) % 2 = 0
+               THEN chr(10) || 'Disallow: /es' ELSE '' END
+       || chr(10) || 'Disallow:' || chr(10) || '# generated'
+       AS robots_txt
+FROM (SELECT DISTINCT source FROM documents)"""
+    robots_filter = f"""
+WITH rules AS (SELECT * FROM ({robots_disallow_rules_sql(_robots_cte)}) q),
+u AS (SELECT source || '.docs.test' AS host,
+             '/' || lang || '/p' || doc_id AS path
+      FROM documents)
+SELECT u.host, count(*) AS n_docs
+FROM u LEFT JOIN rules r ON u.host = r.host
+WHERE r.prefixes IS NULL
+   OR len(list_filter(r.prefixes, p -> starts_with(u.path, p))) = 0
+GROUP BY 1
 """
     from swiftsoup_spark.ops.mixing import bucket1000_sql
     sample_quota = f"""
@@ -1971,6 +2026,7 @@ WHERE bit_count(xor(CAST(a.uv AS UBIGINT), CAST(b.uv AS UBIGINT))) <= 3
         "redact_pii": redact,
         "host_blocklist": host_blocklist,
         "host_regdom": host_regdom,
+        "robots_filter": robots_filter,
         "sample_quota": sample_quota,
         "span_dedup": span_dedup,
         "bpe_token_count": bpe_token_count,
