@@ -164,6 +164,43 @@ def q_parse_xml(spark, sf_dir):
          T.StructField("xml", T.StringType())])
 
 
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap discovery through the XML kernel: per-host sitemap.xml
+    (synthesized by formula, 2-4 <url> entries each) is parsed by the
+    auto-detected XmlTreeBuilder and the crawl frontier is read back
+    with the selector engine ('url > loc', 'url > lastmod') — the
+    from-scratch XML path doing a real corpus job. Output (host,
+    n_urls, locs, lastmods); the oracle inverts the template."""
+    from pyspark.sql import types as T
+    from swiftsoup_spark.spark.pages import load_documents
+    load_documents(spark, sf_dir)
+    pages = spark.sql("""
+        SELECT source || '.docs.test' AS url,
+               '<?xml version="1.0" encoding="UTF-8"?>'
+               || '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+               || array_join(transform(sequence(1, 2 + length(source) % 3),
+                      i -> '<url><loc>https://' || source
+                           || '.docs.test/s/p' || i || '</loc>'
+                           || '<lastmod>2026-01-0' || i
+                           || '</lastmod></url>'), '')
+               || '</urlset>' AS html
+        FROM (SELECT DISTINCT source FROM documents)""")
+
+    def row(tb, s):
+        from swiftsoup_spark.api import parse
+        d = parse(s)   # leading <?xml -> XmlTreeBuilder
+        locs = [e.text() for e in d.select("url > loc")]
+        mods = [e.text() for e in d.select("url > lastmod")]
+        return (len(locs), "|".join(locs), "|".join(mods))
+
+    out = X.apply_kernel(
+        pages, row,
+        [T.StructField("n_urls", T.IntegerType()),
+         T.StructField("locs", T.StringType()),
+         T.StructField("lastmods", T.StringType())])
+    return out.withColumnRenamed("url", "host")
+
+
 def q_rewrite_links(spark, sf_dir):
     """DOM mutation through the driver gate: parse a body fragment,
     rewrite every a[href] to an absolute mirror URL via attr set
@@ -1255,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_regdom": q_host_regdom,
         "warc_extract": q_warc_extract,
         "robots_filter": q_robots_filter,
+        "sitemap_urls": q_sitemap_urls,
         # -- last green row r1-r3 ---------------------------------------
         "fingerprint": q_fingerprint,
         "ann_brute_force": q_ann_brute_force,
@@ -2027,6 +2065,18 @@ WHERE bit_count(xor(CAST(a.uv AS UBIGINT), CAST(b.uv AS UBIGINT))) <= 3
         "host_blocklist": host_blocklist,
         "host_regdom": host_regdom,
         "robots_filter": robots_filter,
+        "sitemap_urls": """
+WITH h AS (SELECT DISTINCT source FROM documents),
+n AS (SELECT source, 2 + length(source) % 3 AS k FROM h)
+SELECT source || '.docs.test' AS host,
+       CAST(k AS INTEGER) AS n_urls,
+       array_to_string(list_transform(generate_series(1, k),
+           i -> 'https://' || source || '.docs.test/s/p' || i), '|')
+       AS locs,
+       array_to_string(list_transform(generate_series(1, k),
+           i -> '2026-01-0' || i), '|') AS lastmods
+FROM n
+""",
         "sample_quota": sample_quota,
         "span_dedup": span_dedup,
         "bpe_token_count": bpe_token_count,
