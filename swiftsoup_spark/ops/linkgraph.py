@@ -59,12 +59,24 @@ def pagerank_fixedpoint(edges, iters: int = 5, damping_permille: int = 850,
     rank = nodes.select("host", F.lit(SCALE).cast("long").alias("rank_e12"))
     if dangling:
         # hosts with no outgoing edges; their count is tiny next to the
-        # corpus (host-graph scale), the anti-join is one broadcast
+        # corpus (host-graph scale), the anti-join is one broadcast.
+        # Materialize ONCE (eager localCheckpoint) — the per-iteration
+        # dangling-mass aggregate must not re-derive the edge pipeline
+        # five times (measured 2.5x query wall without this).
         dang = nodes.join(
             F.broadcast(outw.select(F.col("src_host").alias("host"))),
-            "host", "left_anti")
-        n_nodes = nodes.count()   # scalar, once (like CC convergence)
-        m = 1000 * n_nodes
+            "host", "left_anti").localCheckpoint()
+        if dang.count() == 0:
+            # no dangling hosts -> the share is identically zero; skip
+            # the per-iteration scalar reduce entirely (the common case
+            # for pre-filtered host graphs). With dangling hosts the
+            # correction costs one tiny reduce over the host-level rank
+            # + a one-row broadcast per iteration — fixed job overhead
+            # at toy scale, noise next to the edge join at 10^12 rows.
+            dangling = False
+        else:
+            n_nodes = nodes.count()  # scalar, once (like CC convergence)
+            m = 1000 * n_nodes
     for _ in range(iters):
         contrib = (ew.join(F.broadcast(rank),
                            F.col("src_host") == F.col("host"))
@@ -96,7 +108,10 @@ def pagerank_fixedpoint(edges, iters: int = 5, damping_permille: int = 850,
                  + F.coalesce("c", F.lit(0))).cast("long")
                 .alias("rank_e12"))
         if checkpoint:
-            rank = rank.localCheckpoint(eager=False)
+            # eager when the dangling aggregate will read this rank
+            # next iteration (two consumers; lazy checkpointing would
+            # let each trigger its own materialization), lazy otherwise
+            rank = rank.localCheckpoint(eager=dangling)
     return rank
 
 
