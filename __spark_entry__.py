@@ -164,6 +164,24 @@ def q_parse_xml(spark, sf_dir):
          T.StructField("xml", T.StringType())])
 
 
+def q_extract_markdown(spark, sf_dir):
+    """HTML -> Markdown (ops/markdown.py): structure-preserving corpus
+    conversion (headings, links, emphasis, lists) — the modern
+    pipeline's upgrade over flat text(). Runs in the fused apply_kernel
+    stage; the template's markdown is closed-form, so the whole parse +
+    convert chain is hash-gated."""
+    from pyspark.sql import types as T
+    pages = pages_df(spark, sf_dir)
+
+    def row(tb, s):
+        from swiftsoup_spark.api import parse
+        from swiftsoup_spark.ops.markdown import markdown_of
+        return (markdown_of(parse(s)),)
+
+    return X.apply_kernel(
+        pages, row, [T.StructField("markdown", T.StringType())])
+
+
 def q_sitemap_urls(spark, sf_dir):
     """Sitemap discovery through the XML kernel: per-host sitemap.xml
     (synthesized by formula, 2-4 <url> entries each) is parsed by the
@@ -1293,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "robots_filter": q_robots_filter,
         "sitemap_urls": q_sitemap_urls,
+        "extract_markdown": q_extract_markdown,
         # -- last green row r1-r3 ---------------------------------------
         "fingerprint": q_fingerprint,
         "ann_brute_force": q_ann_brute_force,
@@ -1863,6 +1882,12 @@ FROM t
             f"FROM documents ORDER BY url"),
         "warc_extract": (
             f"SELECT {URL_SQL} AS url, {EXPECTED_DOC_TEXT_SQL} AS text "
+            f"FROM documents"),
+        "extract_markdown": (
+            f"SELECT {URL_SQL} AS url, "
+            f"'# Doc ' || doc_id || chr(10) || chr(10) || "
+            f"repeat(text || chr(10) || chr(10), {NP_SQL}) || "
+            f"'[next >](/l/' || doc_id || ')' AS markdown "
             f"FROM documents"),
         "extract_main_heuristic": (
             f"SELECT {URL_SQL} AS url, {EXPECTED_MAIN_TEXT_SQL} AS text "
