@@ -164,6 +164,16 @@ def q_parse_xml(spark, sf_dir):
          T.StructField("xml", T.StringType())])
 
 
+def q_html_tables(spark, sf_dir):
+    """Structured table extraction (ops/tables.py): the tables_clean
+    variant corpus (caption/thead/tbody/th/td/colspan) explodes to
+    (url, table_idx, row_idx, cells) — header row, data row, colspan
+    row per document, replayed closed-form by the oracle."""
+    from swiftsoup_spark.ops.tables import extract_tables
+    from swiftsoup_spark.spark.pages import variant_pages_df
+    return extract_tables(variant_pages_df(spark, sf_dir, "tables_clean"))
+
+
 def q_extract_markdown(spark, sf_dir):
     """HTML -> Markdown (ops/markdown.py): structure-preserving corpus
     conversion (headings, links, emphasis, lists) — the modern
@@ -1312,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "sitemap_urls": q_sitemap_urls,
         "extract_markdown": q_extract_markdown,
+        "html_tables": q_html_tables,
         # -- last green row r1-r3 ---------------------------------------
         "fingerprint": q_fingerprint,
         "ann_brute_force": q_ann_brute_force,
@@ -1883,6 +1894,14 @@ FROM t
         "warc_extract": (
             f"SELECT {URL_SQL} AS url, {EXPECTED_DOC_TEXT_SQL} AS text "
             f"FROM documents"),
+        "html_tables": f"""
+SELECT {URL_SQL} AS url, 0 AS table_idx, 0 AS row_idx,
+       ['H1', 'H2'] AS cells FROM documents
+UNION ALL
+SELECT {URL_SQL}, 0, 1, ['A ' || text, 'B' || doc_id] FROM documents
+UNION ALL
+SELECT {URL_SQL}, 0, 2, ['C' || doc_id] FROM documents
+""",
         "extract_markdown": (
             f"SELECT {URL_SQL} AS url, "
             f"'# Doc ' || doc_id || chr(10) || chr(10) || "
