@@ -174,6 +174,15 @@ def q_html_tables(spark, sf_dir):
     return extract_tables(variant_pages_df(spark, sf_dir, "tables_clean"))
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Token-window chunking (ops/chunking.py): every document split
+    into 32-token windows with 8-token overlap — the shard-prep step
+    between cleaning and sequence packing. Pure codegen, map-side
+    explode, no shuffle; DuckDB replays the identical window math."""
+    from swiftsoup_spark.ops.chunking import chunk_documents
+    return chunk_documents(_docs(spark, sf_dir), chunk=32, overlap=8)
+
+
 def q_extract_markdown(spark, sf_dir):
     """HTML -> Markdown (ops/markdown.py): structure-preserving corpus
     conversion (headings, links, emphasis, lists) — the modern
@@ -1323,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": q_sitemap_urls,
         "extract_markdown": q_extract_markdown,
         "html_tables": q_html_tables,
+        "chunk_docs": q_chunk_docs,
         # -- last green row r1-r3 ---------------------------------------
         "fingerprint": q_fingerprint,
         "ann_brute_force": q_ann_brute_force,
@@ -1894,6 +1904,9 @@ FROM t
         "warc_extract": (
             f"SELECT {URL_SQL} AS url, {EXPECTED_DOC_TEXT_SQL} AS text "
             f"FROM documents"),
+        "chunk_docs": __import__("swiftsoup_spark.ops.chunking",
+                                 fromlist=["chunk_documents_sql"]
+                                 ).chunk_documents_sql(chunk=32, overlap=8),
         "html_tables": f"""
 SELECT {URL_SQL} AS url, 0 AS table_idx, 0 AS row_idx,
        ['H1', 'H2'] AS cells FROM documents
