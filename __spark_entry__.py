@@ -174,6 +174,32 @@ def q_html_tables(spark, sf_dir):
     return extract_tables(variant_pages_df(spark, sf_dir, "tables_clean"))
 
 
+def q_nb_quality(spark, sf_dir):
+    """Supervised quality classifier (ops/nbclassify.py): a Naive-Bayes
+    linear scorer with integer bit-length log weights — the fastText-
+    style "good corpus vs crawl" filter family. Docs get a NOISY
+    planted marker (80%% of positives carry three marker words, 10%% of
+    negatives carry one), the model trains on the EVEN half and scores
+    every doc, so the driver row gates train + prune + broadcast score
+    end to end and the test asserts real held-out accuracy. Output
+    (doc_id, n_hits, score, pred)."""
+    from swiftsoup_spark.ops.nbclassify import score_nb, train_nb
+    d = _docs(spark, sf_dir)
+    label = F.col("doc_id") % 3 == 0
+    planted = d.select(
+        "doc_id", label.alias("label"),
+        F.concat(
+            F.col("text"),
+            F.when(label & (F.col("doc_id") % 10 < 8),
+                   F.lit(" qualmark clean wellformed"))
+            .when(~label & (F.col("doc_id") % 10 == 0),
+                  F.lit(" qualmark"))
+            .otherwise(F.lit(""))).alias("text"))
+    model = train_nb(
+        planted.filter(F.col("doc_id") % 2 == 0).select("label", "text"))
+    return score_nb(planted, model)
+
+
 def q_chunk_docs(spark, sf_dir):
     """Token-window chunking (ops/chunking.py): every document split
     into 32-token windows with 8-token overlap — the shard-prep step
@@ -1333,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_markdown": q_extract_markdown,
         "html_tables": q_html_tables,
         "chunk_docs": q_chunk_docs,
+        "nb_quality": q_nb_quality,
         # -- last green row r1-r3 ---------------------------------------
         "fingerprint": q_fingerprint,
         "ann_brute_force": q_ann_brute_force,
@@ -1904,6 +1931,15 @@ FROM t
         "warc_extract": (
             f"SELECT {URL_SQL} AS url, {EXPECTED_DOC_TEXT_SQL} AS text "
             f"FROM documents"),
+        "nb_quality": __import__(
+            "swiftsoup_spark.ops.nbclassify",
+            fromlist=["nb_oracle_sql"]).nb_oracle_sql(
+            "doc_id % 3 = 0", "doc_id % 2 = 0",
+            table="""(SELECT doc_id, text ||
+       CASE WHEN doc_id % 3 = 0 AND doc_id % 10 < 8
+            THEN ' qualmark clean wellformed'
+            WHEN doc_id % 3 <> 0 AND doc_id % 10 = 0
+            THEN ' qualmark' ELSE '' END AS text FROM documents)"""),
         "chunk_docs": __import__("swiftsoup_spark.ops.chunking",
                                  fromlist=["chunk_documents_sql"]
                                  ).chunk_documents_sql(chunk=32, overlap=8),
