@@ -1016,16 +1016,17 @@ def q_host_regdom(spark, sf_dir):
 
 
 def q_robots_filter(spark, sf_dir):
-    """robots.txt governance (ops/robots.py): per-host robots bodies are
-    synthesized by formula (a specific-UA group that must be ignored, a
-    ``*`` group disallowing /de everywhere and /es on even-length
-    hosts, comments, empty Disallow), parsed with the pure-SQL window
-    plan into (host, prefixes), and applied to the corpus urls with the
-    broadcast array-probe filter. Output: surviving (host, n_docs).
-    The oracle replays BOTH stages — the rendered parser SQL and the
-    prefix filter — end to end."""
-    from swiftsoup_spark.ops.robots import (filter_robots,
-                                            robots_disallow_rules)
+    """robots.txt governance (ops/robots.py): per-host robots bodies
+    are synthesized by formula (a specific-UA group that must be
+    ignored; a ``*`` group disallowing /de everywhere and /es on
+    even-length hosts with an ``Allow: /de/p1`` carve-out; comments;
+    empty Disallow), parsed with the pure-SQL window plan into (host,
+    rules), and applied to the corpus urls with the broadcast
+    longest-match fold (RFC 9309: longest prefix wins, Allow wins
+    ties). Output: surviving (host, n_docs). The oracle replays BOTH
+    stages — the rendered parser SQL and the decision fold — end to
+    end."""
+    from swiftsoup_spark.ops.robots import filter_robots, robots_rules
     from swiftsoup_spark.ops.urlnorm import host_of
     d = _docs(spark, sf_dir)
     host = F.concat(F.col("source"), F.lit(".docs.test"))
@@ -1033,13 +1034,14 @@ def q_robots_filter(spark, sf_dir):
               .select(host.alias("host"),
                       F.concat(
                           F.lit("User-agent: fetchbot\nDisallow: /\n\n"
-                                "User-agent: *\nDisallow: /de"),
+                                "User-agent: *\nDisallow: /de"
+                                "\nAllow: /de/p1"),
                           F.when(F.length("source") % 2 == 0,
                                  F.lit("\nDisallow: /es"))
                           .otherwise(F.lit("")),
                           F.lit("\nDisallow:\n# generated"))
                       .alias("robots_txt")))
-    rules = robots_disallow_rules(robots)
+    rules = robots_rules(robots)
     urls = d.select(
         F.concat(F.lit("https://"), host, F.lit("/"), F.col("lang"),
                  F.lit("/p"), F.col("doc_id").cast("string")).alias("url"))
@@ -1718,25 +1720,27 @@ SELECT {registered_domain_sql('url')} AS regdom,
        CAST(count(DISTINCT {_bare_host}) AS BIGINT) AS n_hosts
 FROM u GROUP BY 1
 """
-    from swiftsoup_spark.ops.robots import robots_disallow_rules_sql
+    from swiftsoup_spark.ops.robots import (robots_decision_sql,
+                                            robots_rules_sql)
     _robots_cte = """
 SELECT source || '.docs.test' AS host,
        'User-agent: fetchbot' || chr(10) || 'Disallow: /' || chr(10)
        || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /de'
+       || chr(10) || 'Allow: /de/p1'
        || CASE WHEN length(source) % 2 = 0
                THEN chr(10) || 'Disallow: /es' ELSE '' END
        || chr(10) || 'Disallow:' || chr(10) || '# generated'
        AS robots_txt
 FROM (SELECT DISTINCT source FROM documents)"""
     robots_filter = f"""
-WITH rules AS (SELECT * FROM ({robots_disallow_rules_sql(_robots_cte)}) q),
+WITH rr AS (SELECT * FROM ({robots_rules_sql(_robots_cte)}) q),
 u AS (SELECT source || '.docs.test' AS host,
              '/' || lang || '/p' || doc_id AS path
       FROM documents)
 SELECT u.host, count(*) AS n_docs
-FROM u LEFT JOIN rules r ON u.host = r.host
-WHERE r.prefixes IS NULL
-   OR len(list_filter(r.prefixes, p -> starts_with(u.path, p))) = 0
+FROM u LEFT JOIN rr r ON u.host = r.host
+WHERE r.rules IS NULL
+   OR {robots_decision_sql("u.path", "r.rules")}
 GROUP BY 1
 """
     from swiftsoup_spark.ops.mixing import bucket1000_sql
