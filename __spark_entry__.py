@@ -174,6 +174,19 @@ def q_html_tables(spark, sf_dir):
     return extract_tables(variant_pages_df(spark, sf_dir, "tables_clean"))
 
 
+def q_pack_chunks(spark, sf_dir):
+    """Sequence packing (ops/packing.py): chunked docs concatenated per
+    md5 shard in (doc_id, chunk_idx) order and cut into fixed 64-token
+    sequences — the layout step before shard writes. One shard-
+    partitioned window over chunk METADATA (text never sorts);
+    boundary-straddling chunks carry (seq_first, seq_last). Oracle
+    replays the identical window sum."""
+    from swiftsoup_spark.ops.chunking import chunk_documents
+    from swiftsoup_spark.ops.packing import pack_chunks
+    ch = chunk_documents(_docs(spark, sf_dir), chunk=32, overlap=8)
+    return pack_chunks(ch, seq_len=64, n_shards=4)
+
+
 def q_nb_quality(spark, sf_dir):
     """Supervised quality classifier (ops/nbclassify.py): a Naive-Bayes
     linear scorer with integer bit-length log weights — the fastText-
@@ -1362,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tables": q_html_tables,
         "chunk_docs": q_chunk_docs,
         "nb_quality": q_nb_quality,
+        "pack_chunks": q_pack_chunks,
         # -- last green row r1-r3 ---------------------------------------
         "fingerprint": q_fingerprint,
         "ann_brute_force": q_ann_brute_force,
@@ -1935,6 +1949,14 @@ FROM t
         "warc_extract": (
             f"SELECT {URL_SQL} AS url, {EXPECTED_DOC_TEXT_SQL} AS text "
             f"FROM documents"),
+        "pack_chunks": __import__(
+            "swiftsoup_spark.ops.packing",
+            fromlist=["pack_chunks_sql"]).pack_chunks_sql(
+            "SELECT doc_id, chunk_idx, n_tokens FROM ("
+            + __import__("swiftsoup_spark.ops.chunking",
+                         fromlist=["chunk_documents_sql"]
+                         ).chunk_documents_sql(chunk=32, overlap=8)
+            + ")", seq_len=64, n_shards=4),
         "nb_quality": __import__(
             "swiftsoup_spark.ops.nbclassify",
             fromlist=["nb_oracle_sql"]).nb_oracle_sql(
