@@ -174,6 +174,23 @@ def q_html_tables(spark, sf_dir):
     return extract_tables(variant_pages_df(spark, sf_dir, "tables_clean"))
 
 
+def q_sample_temperature(spark, sf_dir):
+    """Temperature mixture rebalancing (ops/mixing.temperature_quota,
+    T=2): keep-rates derived FROM corpus counts (∝ 1/sqrt(n_g), the
+    smallest language keeps everything), applied with the deterministic
+    md5-bucket sampler. sqrt is correctly-rounded IEEE in both engines,
+    so the derived integer rates — and therefore the surviving row set
+    — replay exactly. Output (lang, rate_permille, n_docs, sum_chars)."""
+    from swiftsoup_spark.ops.mixing import sample_quota, temperature_quota
+    d = _docs(spark, sf_dir)
+    q = temperature_quota(d, "lang")
+    kept = sample_quota(d, q)
+    return (kept.join(F.broadcast(q), "lang")
+            .groupBy("lang", "rate_permille")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length("text")).alias("sum_chars")))
+
+
 def q_pack_chunks(spark, sf_dir):
     """Sequence packing (ops/packing.py): chunked docs concatenated per
     md5 shard in (doc_id, chunk_idx) order and cut into fixed 64-token
@@ -1376,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "nb_quality": q_nb_quality,
         "pack_chunks": q_pack_chunks,
+        "sample_temperature": q_sample_temperature,
         # -- last green row r1-r3 ---------------------------------------
         "fingerprint": q_fingerprint,
         "ann_brute_force": q_ann_brute_force,
@@ -1757,7 +1775,17 @@ WHERE r.rules IS NULL
    OR {robots_decision_sql("u.path", "r.rules")}
 GROUP BY 1
 """
-    from swiftsoup_spark.ops.mixing import bucket1000_sql
+    from swiftsoup_spark.ops.mixing import (bucket1000_sql,
+                                            temperature_quota_sql)
+    sample_temperature = f"""
+WITH q AS (SELECT * FROM ({temperature_quota_sql("lang")}) t),
+k AS (SELECT d.*, q.rate_permille FROM documents d
+      JOIN q ON d.lang = q.g
+      WHERE {bucket1000_sql('doc_id')} < q.rate_permille)
+SELECT lang, rate_permille, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM k GROUP BY 1, 2
+"""
     sample_quota = f"""
 WITH q AS (SELECT lang, 100 + (137 * length(lang)) % 800 AS rate_permille
            FROM (SELECT DISTINCT lang FROM documents)),
@@ -2197,6 +2225,7 @@ SELECT source || '.docs.test' AS host,
 FROM n
 """,
         "sample_quota": sample_quota,
+        "sample_temperature": sample_temperature,
         "span_dedup": span_dedup,
         "bpe_token_count": bpe_token_count,
         "quality_topngram": """

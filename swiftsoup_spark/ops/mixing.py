@@ -47,3 +47,43 @@ def sample_quota(df, quota_df, key_col: str = "doc_id",
                    < F.coalesce(F.col("__r"), F.lit(default_permille)))
            .drop("__g", "__r"))
     return out
+
+
+def temperature_quota(df, group_col: str = "lang", temperature: int = 2):
+    """Derive the quota table FROM the corpus: multilingual temperature
+    rebalancing (keep-rate ∝ n_g^(1/T - 1), scaled so the smallest
+    group keeps everything). With the default T=2 the only floating
+    step is ``sqrt`` — correctly rounded IEEE in both engines, so the
+    derived integer rates replay exactly in DuckDB; other temperatures
+    use ``pow`` and are documented as engine-exact only where libm
+    agrees (stick to T=2 for oracle-gated paths).
+
+    One count aggregate over the corpus (map-side combines) + one
+    1-row broadcast for the scale constant — the quota table stays
+    tiny and the corpus side map-only, like :func:`sample_quota`.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    if temperature == 2:
+        weight = F.sqrt(F.col("__n"))
+    else:
+        weight = F.pow(F.col("__n"),
+                       1.0 - 1.0 / temperature)  # n^(1 - 1/T)
+    # keep-rate ∝ n^(1/T) / n = 1 / n^(1 - 1/T): LARGE groups
+    # downsample, and the smallest group (min weight) keeps 1000‰
+    w = counts.select(group_col, weight.alias("__w"))
+    mn = w.agg(F.min("__w").alias("__mn"))
+    return (w.crossJoin(F.broadcast(mn))
+            .select(group_col,
+                    F.floor(1000 * F.col("__mn") / F.col("__w"))
+                    .cast("int").alias("rate_permille")))
+
+
+def temperature_quota_sql(group_expr: str, table: str = "documents") -> str:
+    """DuckDB replay of :func:`temperature_quota` (T=2)."""
+    return f"""
+WITH c AS (SELECT {group_expr} AS g, count(*) AS n FROM {table} GROUP BY 1),
+w AS (SELECT g, sqrt(n) AS w FROM c),
+mn AS (SELECT min(w) AS mn FROM w)
+SELECT g, CAST(floor(1000 * mn / w) AS INTEGER) AS rate_permille
+FROM w, mn
+"""

@@ -113,3 +113,38 @@ def test_registered_domain(spark):
     con.executemany("INSERT INTO t VALUES (?)", [(u,) for u, _ in cases])
     sql = f"SELECT {U.registered_domain_sql('url')} FROM t"
     assert [r[0] for r in con.execute(sql).fetchall()] == got
+
+
+def test_temperature_quota(spark):
+    from swiftsoup_spark.ops.mixing import (sample_quota,
+                                            temperature_quota,
+                                            temperature_quota_sql)
+    import duckdb
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = temperature_quota(docs, "lang")
+    rates = {r["lang"]: r["rate_permille"] for r in q.collect()}
+    counts = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # smallest group keeps everything; larger groups downsample
+    smallest = min(counts, key=counts.get)
+    largest = max(counts, key=counts.get)
+    assert rates[smallest] == 1000
+    assert rates[largest] < rates[smallest]
+    # rate ratio tracks sqrt of the inverse count ratio
+    import math
+    want = math.floor(1000 * math.sqrt(counts[smallest])
+                      / math.sqrt(counts[largest]))
+    assert rates[largest] == want
+    # DuckDB replay identical
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+    ora = dict(con.execute(temperature_quota_sql("lang")).fetchall())
+    assert ora == rates
+    # applying the quota shrinks imbalance (max/min count ratio)
+    kept = {r["lang"]: r["n"] for r in
+            sample_quota(docs, q).groupBy("lang")
+            .agg(F.count("*").alias("n")).collect()}
+    before = counts[largest] / counts[smallest]
+    after = max(kept.values()) / min(kept.values())
+    assert after < before
