@@ -174,6 +174,17 @@ def q_html_tables(spark, sf_dir):
     return extract_tables(variant_pages_df(spark, sf_dir, "tables_clean"))
 
 
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (streaming/windows.sessionized_events,
+    pyspark session_window with a 12h gap): one row per user session
+    with start/end epochs and value rollups. Batch form here (the same
+    dynamic-window aggregate runs watermarked on a stream —
+    tests/test_streaming_window.py pins stream==batch); the oracle is
+    the classic islands query (lag + running sum of session starts)."""
+    from swiftsoup_spark.streaming.windows import sessionized_events
+    return sessionized_events(_events(spark, sf_dir), gap="12 hours")
+
+
 def q_sample_temperature(spark, sf_dir):
     """Temperature mixture rebalancing (ops/mixing.temperature_quota,
     T=2): keep-rates derived FROM corpus counts (∝ 1/sqrt(n_g), the
@@ -1394,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality": q_nb_quality,
         "pack_chunks": q_pack_chunks,
         "sample_temperature": q_sample_temperature,
+        "event_sessions": q_event_sessions,
         # -- last green row r1-r3 ---------------------------------------
         "fingerprint": q_fingerprint,
         "ann_brute_force": q_ann_brute_force,
@@ -2226,6 +2238,27 @@ FROM n
 """,
         "sample_quota": sample_quota,
         "sample_temperature": sample_temperature,
+        "event_sessions": """
+WITH l AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 > INTERVAL 12 HOUR
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l)
+SELECT user_id,
+       CAST(floor(extract(epoch FROM min(ts))) AS BIGINT)
+       AS session_epoch,
+       CAST(floor(extract(epoch FROM max(ts))) + 43200 AS BIGINT)
+       AS session_end_epoch,
+       count(*) AS n_events,
+       CAST(round(sum(value) * 1000000) AS BIGINT) AS sum_value_e6
+FROM g GROUP BY user_id, sid
+""",
         "span_dedup": span_dedup,
         "bpe_token_count": bpe_token_count,
         "quality_topngram": """

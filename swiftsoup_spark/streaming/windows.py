@@ -35,3 +35,32 @@ def windowed_event_counts(events, window: str = "1 hour",
             .select(F.unix_timestamp("w.start").cast("long")
                      .alias("window_epoch"),
                     "event_type", "n", "sum_value_e6"))
+
+
+def sessionized_events(events, gap: str = "10 minutes",
+                       watermark: str = "30 minutes"):
+    """Gap-based sessionization: (user_id, session_epoch, session_end_epoch,
+    n_events, sum_value_e6) — one row per user session, a session being
+    a maximal run of events with inter-event gaps below ``gap``
+    (pyspark ``session_window``: on a stream the state per key closes
+    ``gap`` after the last event once the watermark passes, so state is
+    bounded; on a batch frame it is the same dynamic-window aggregate).
+
+    The batch SQL replay is the classic islands query: per user, order
+    by ts, start a new island when ts - lag(ts) > gap, island id =
+    running sum of starts — which is exactly what the oracle renders.
+    """
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = (events.withWatermark("ts", watermark)
+           if events.isStreaming else events)
+    return (src
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value") * 1000000).cast("long")
+                  .alias("sum_value_e6"))
+            .select("user_id",
+                    F.unix_timestamp("w.start").cast("long")
+                     .alias("session_epoch"),
+                    F.unix_timestamp("w.end").cast("long")
+                     .alias("session_end_epoch"),
+                    "n_events", "sum_value_e6"))

@@ -60,3 +60,29 @@ def test_windowed_counts_match_batch(spark, tmp_path_factory):
     assert any(p.get("eventTime", {}).get("watermark") for p in prog), (
         "no watermark advanced in streaming progress")
     shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_sessionized_stream_matches_batch(spark, tmp_path_factory):
+    # session windows (dynamic gap windows) over micro-batches must
+    # converge to the batch sessionization of the same events
+    from swiftsoup_spark.streaming.windows import sessionized_events
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch = {tuple(r) for r in
+             sessionized_events(events, gap="12 hours").collect()}
+
+    src_dir = str(tmp_path_factory.mktemp("sess_src"))
+    events.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    q = (sessionized_events(stream, gap="12 hours",
+                            watermark="3650 days")
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("sessagg")
+         .option("checkpointLocation", str(tmp_path_factory.mktemp("ck2")))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.sql(
+        "SELECT user_id, session_epoch, session_end_epoch, n_events, "
+        "sum_value_e6 FROM sessagg").collect()}
+    assert got == batch
