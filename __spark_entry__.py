@@ -174,6 +174,17 @@ def q_html_tables(spark, sf_dir):
     return extract_tables(variant_pages_df(spark, sf_dir, "tables_clean"))
 
 
+def q_embed_pool(spark, sf_dir):
+    """Exact vector pooling (ops/similarity.pool_embeddings): per-label
+    element-wise sums of the embedding column in e6 fixed point — each
+    float quantized by ONE correctly-rounded IEEE multiply + round,
+    reduction over exact BIGINTs, so results are bit-identical across
+    partitionings and engines. One posexplode + one (label, dim)
+    groupBy — the 10^9-vector centroid-update shape."""
+    from swiftsoup_spark.ops.similarity import pool_embeddings
+    return pool_embeddings(_emb(spark, sf_dir))
+
+
 def q_event_sessions(spark, sf_dir):
     """Gap-based sessionization (streaming/windows.sessionized_events,
     pyspark session_window with a 12h gap): one row per user session
@@ -1406,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "sample_temperature": q_sample_temperature,
         "event_sessions": q_event_sessions,
+        "embed_pool": q_embed_pool,
         # -- last green row r1-r3 ---------------------------------------
         "fingerprint": q_fingerprint,
         "ann_brute_force": q_ann_brute_force,
@@ -2238,6 +2250,9 @@ FROM n
 """,
         "sample_quota": sample_quota,
         "sample_temperature": sample_temperature,
+        "embed_pool": __import__(
+            "swiftsoup_spark.ops.similarity",
+            fromlist=["pool_embeddings_sql"]).pool_embeddings_sql(),
         "event_sessions": """
 WITH l AS (
   SELECT user_id, ts, value,

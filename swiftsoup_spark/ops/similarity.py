@@ -256,3 +256,44 @@ def cosine_near_dup_pairs(emb_df, threshold: float = 0.95, limit_ids: int = 200)
     return (a.crossJoin(b).filter(F.col("i") < F.col("j"))
             .select("i", "j", F.round(_cosine(F.col("va"), F.col("vb")), 4).alias("sim"))
             .filter(F.col("sim") >= threshold))
+
+
+def pool_embeddings(emb_df, group_col: str = "label",
+                    vec_col: str = "embedding"):
+    """Element-wise vector pooling per group: (group, dim, sum_e6,
+    n_vecs) — the centroid/mean-pool building block (doc embeddings
+    from chunk embeddings, class prototypes, cluster updates) in an
+    EXACT form. Each float element is quantized once —
+    ``round(v * 1e6)``, a single correctly-rounded IEEE multiply + an
+    away-from-zero round, identical in Spark and DuckDB — and all
+    reduction is over exact BIGINTs, so the pooled sums are
+    bit-identical across partitionings and engines (the mean is
+    ``sum_e6 / n_vecs / 1e6``, left to the caller).
+
+    Scale: one posexplode (dim × rows) + one (group, dim)-keyed groupBy
+    with map-side combines — the standard shape for 10^9 vectors; no
+    Python, no window, no collect."""
+    return (emb_df.select(F.col(group_col).alias("grp"),
+                          F.posexplode(vec_col).alias("dim", "v"))
+            .groupBy("grp", "dim")
+            .agg(F.sum(F.round(F.col("v").cast("double") * 1000000)
+                       .cast("long")).alias("sum_e6"),
+                 F.count("*").alias("n_vecs"))
+            .select(F.col("grp").alias(group_col),
+                    F.col("dim").cast("int").alias("dim"),
+                    "sum_e6", "n_vecs"))
+
+
+def pool_embeddings_sql(group_expr: str = "label",
+                        table: str = "embeddings") -> str:
+    """DuckDB replay of :func:`pool_embeddings`."""
+    return f"""
+WITH e AS (SELECT {group_expr} AS grp, embedding AS v FROM {table}),
+x AS (SELECT grp, i - 1 AS dim,
+             CAST(round(CAST(v[CAST(i AS INTEGER)] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS q
+      FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i))
+SELECT grp AS {group_expr}, CAST(dim AS INTEGER) AS dim,
+       SUM(q) AS sum_e6, count(*) AS n_vecs
+FROM x GROUP BY 1, 2
+"""

