@@ -213,6 +213,58 @@ def q_sample_temperature(spark, sf_dir):
                  F.sum(F.length("text")).alias("sum_chars")))
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Politeness-cycle fetch scheduling (ops/crawl.crawl_frontier):
+    ≤3 urls per host per cycle, shallow-first, host pinned to a stable
+    fetcher slot. Per-host top-K is the salted two-phase min-K (no
+    per-host window over the corpus); the oracle is the naive
+    row_number window."""
+    from swiftsoup_spark.ops.crawl import crawl_frontier
+    return crawl_frontier(pages_df(spark, sf_dir))
+
+
+# snapshot-1 html: every doc_id % 3 == 0 page gains one paragraph —
+# the deterministic "site updated between crawls" corpus, shared
+# verbatim with the DuckDB oracle
+_NP_SNAP1_SQL = "(1 + doc_id % 4 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)"
+DELTA_SNAPS_SQL = (
+    f"SELECT {URL_SQL} AS url, 0 AS snap, {HTML_SQL} AS html FROM documents "
+    "UNION ALL "
+    f"SELECT {URL_SQL} AS url, 1 AS snap, "
+    f"{HTML_SQL.replace(NP_SQL, _NP_SNAP1_SQL)} AS html FROM documents")
+
+
+def q_crawl_delta(spark, sf_dir):
+    """CDX-style revisit detection (ops/crawl.crawl_delta): per url,
+    did the content digest change between two crawl snapshots? Bodies
+    are md5-hashed map-side; only (url, snap, digest) rides the
+    groupBy shuffle."""
+    from swiftsoup_spark.ops.crawl import crawl_delta
+    load_documents(spark, sf_dir)
+    return crawl_delta(spark.sql(DELTA_SNAPS_SQL))
+
+
+def q_doclen_quantiles(spark, sf_dir):
+    """Scale-exact per-language length quantiles
+    (ops/corpusstats.int_quantiles): quantile_cont semantics computed
+    from the per-group distinct-value histogram — the window runs over
+    ≤|value domain| rows per group, never |corpus| rows, so the classic
+    exact-percentile reducer OOM cannot happen. Oracle: DuckDB's native
+    quantile_cont."""
+    from swiftsoup_spark.ops.corpusstats import int_quantiles
+    return int_quantiles(_docs(spark, sf_dir), "lang", "n_chars")
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 tf-idf keywords (ops/corpusstats.tfidf_topk):
+    two linear groupBys + one term-keyed equi join; per-doc top-k
+    sorted in-array (bounded by the document's distinct terms). Ties
+    break on (−score, term); scores rounded 6dp so ln replays across
+    engines."""
+    from swiftsoup_spark.ops.corpusstats import tfidf_topk
+    return tfidf_topk(_docs(spark, sf_dir))
+
+
 def q_pack_chunks(spark, sf_dir):
     """Sequence packing (ops/packing.py): chunked docs concatenated per
     md5 shard in (doc_id, chunk_idx) order and cut into fixed 64-token
@@ -1418,6 +1470,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": q_sample_temperature,
         "event_sessions": q_event_sessions,
         "embed_pool": q_embed_pool,
+        "crawl_frontier": q_crawl_frontier,
+        "crawl_delta": q_crawl_delta,
+        "doclen_quantiles": q_doclen_quantiles,
+        "tfidf_topk": q_tfidf_topk,
         # -- last green row r1-r3 ---------------------------------------
         "fingerprint": q_fingerprint,
         "ann_brute_force": q_ann_brute_force,
@@ -2274,6 +2330,27 @@ SELECT user_id,
        CAST(round(sum(value) * 1000000) AS BIGINT) AS sum_value_e6
 FROM g GROUP BY user_id, sid
 """,
+        "crawl_frontier": __import__(
+            "swiftsoup_spark.ops.crawl",
+            fromlist=["crawl_frontier_sql"]).crawl_frontier_sql(
+                f"SELECT {URL_SQL} AS url FROM documents"),
+        "crawl_delta": f"""
+WITH s AS ({DELTA_SNAPS_SQL}),
+d AS (SELECT url, snap, md5(html) AS dg FROM s)
+SELECT url,
+       max(CASE WHEN snap = 0 THEN dg END) AS digest_old,
+       max(CASE WHEN snap = 1 THEN dg END) AS digest_new,
+       max(CASE WHEN snap = 0 THEN dg END)
+         <> max(CASE WHEN snap = 1 THEN dg END) AS changed
+FROM d GROUP BY url
+""",
+        "doclen_quantiles": __import__(
+            "swiftsoup_spark.ops.corpusstats",
+            fromlist=["int_quantiles_sql"]).int_quantiles_sql(
+                "documents", "lang", "n_chars"),
+        "tfidf_topk": __import__(
+            "swiftsoup_spark.ops.corpusstats",
+            fromlist=["tfidf_topk_sql"]).tfidf_topk_sql(),
         "span_dedup": span_dedup,
         "bpe_token_count": bpe_token_count,
         "quality_topngram": """
