@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from swiftsoup_spark.spark.pages import (
     EXPECTED_DOC_TEXT_SQL, EXPECTED_MAIN_TEXT_SQL, EXPECTED_TITLE_SQL,
-    HTML_SQL, NP_SQL, URL_SQL, pages_df, load_documents,
+    HTML_SQL, NP_SQL, TS0, URL_SQL, pages_df, load_documents,
 )
 from swiftsoup_spark.spark import extract as X
 from swiftsoup_spark.ops import dedup as D, similarity as S, textstats as TX
@@ -263,6 +263,43 @@ def q_tfidf_topk(spark, sf_dir):
     engines."""
     from swiftsoup_spark.ops.corpusstats import tfidf_topk
     return tfidf_topk(_docs(spark, sf_dir))
+
+
+# links variant: 2 cross-host absolute anchors + 1 relative (resolves
+# against the page url) per doc — shared verbatim with the oracle
+LINKS_HTML_SQL = (
+    "'<html><body><p>' || text || '</p>"
+    "<a href=\"https://h' || (doc_id % 7) || '.ext.test/a/' || doc_id || "
+    "'\">to ' || (doc_id % 7) || '</a>"
+    "<a href=\"/l/' || doc_id || '\">self</a>"
+    "<a href=\"https://h' || ((doc_id + 3) % 7) || "
+    "'.ext.test/b\">alt ' || ((doc_id + 3) % 7) || '</a>"
+    "</body></html>'")
+
+
+def q_outlink_hosts(spark, sf_dir):
+    """Kernel-extracted host-graph edges
+    (ops/linkgraph.outlink_host_edges): parse → a[href] → absUrl →
+    (src_host, dst_host, n_links, top-3 anchors). The acquisition-side
+    edge extraction that feeds pagerank_hosts, with anchor state
+    bounded by the salted two-phase min-K."""
+    from swiftsoup_spark.ops.linkgraph import outlink_host_edges
+    load_documents(spark, sf_dir)
+    pages = spark.sql(
+        f"SELECT {URL_SQL} AS url, {LINKS_HTML_SQL} AS html FROM documents")
+    return outlink_host_edges(pages)
+
+
+def q_wet_export(spark, sf_dir):
+    """WET conversion-record sink (sources/warc.wet_records): the
+    kernel-extracted text re-published in Common Crawl's WET format —
+    header block with octet-exact Content-Length + payload. Extraction
+    is the fused mapInArrow stage; the formatting is one JVM
+    projection."""
+    from swiftsoup_spark.sources.warc import wet_records
+    pages = pages_df(spark, sf_dir)
+    ex = X.extract_pages(pages, keep_cols=("ts_epoch",))
+    return wet_records(ex)
 
 
 def q_pack_chunks(spark, sf_dir):
@@ -1474,6 +1511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,
         "doclen_quantiles": q_doclen_quantiles,
         "tfidf_topk": q_tfidf_topk,
+        "outlink_hosts": q_outlink_hosts,
+        "wet_export": q_wet_export,
         # -- last green row r1-r3 ---------------------------------------
         "fingerprint": q_fingerprint,
         "ann_brute_force": q_ann_brute_force,
@@ -2344,6 +2383,26 @@ SELECT url,
          <> max(CASE WHEN snap = 1 THEN dg END) AS changed
 FROM d GROUP BY url
 """,
+        "outlink_hosts": """
+WITH p AS (SELECT source || '.docs.test' AS src_host, doc_id
+           FROM documents),
+e AS (
+  SELECT src_host, 'h' || (doc_id % 7) || '.ext.test' AS dst_host,
+         'to ' || (doc_id % 7) AS anchor FROM p
+  UNION ALL
+  SELECT src_host, src_host, 'self' FROM p
+  UNION ALL
+  SELECT src_host, 'h' || ((doc_id + 3) % 7) || '.ext.test',
+         'alt ' || ((doc_id + 3) % 7) FROM p)
+SELECT src_host, dst_host, count(*) AS n_links,
+       array_to_string(list_sort(list_distinct(list(anchor)))[1:3], '|')
+       AS anchors
+FROM e GROUP BY src_host, dst_host
+""",
+        "wet_export": __import__(
+            "swiftsoup_spark.sources.warc",
+            fromlist=["wet_records_sql"]).wet_records_sql(
+                EXPECTED_DOC_TEXT_SQL, URL_SQL, f"{TS0} + doc_id"),
         "doclen_quantiles": __import__(
             "swiftsoup_spark.ops.corpusstats",
             fromlist=["int_quantiles_sql"]).int_quantiles_sql(

@@ -157,3 +157,65 @@ def pagerank_oracle_sql(edges_cte: str, iters: int = 5,
     GROUP BY 1) s ON n.host = s.host)""")
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT host, rank_e12 FROM r{iters}")
+
+
+def outlink_host_edges(pages, k_anchors: int = 3, salt: int = 8):
+    """Kernel-extracted host-graph edges with anchor-text summaries.
+
+    The real acquisition-side edge extraction (vs. the formula edges the
+    PageRank tests use): parse each page with the HTML kernel, select
+    ``a[href]``, resolve each href against the document base
+    (Node.absUrl semantics — <base href> honored), and aggregate to
+    (src_host, dst_host, n_links, anchors) where ``anchors`` is the
+    first ``k_anchors`` distinct anchor texts, lexicographic.
+
+    Scale shape: the kernel pass is one fused mapInArrow stage emitting
+    per-link (abs_href, anchor) array pairs; the explode is linear; the
+    only shuffle is the (src,dst) groupBy. Anchor-text state is bounded
+    by the salted two-phase min-K (a viral edge — every page of one CDN
+    linking one tracker — never funnels its anchor list into one task);
+    anchor text is truncated to 64 chars BEFORE the shuffle so the
+    bounded state is also byte-bounded.
+    """
+    from pyspark.sql import types as T
+
+    from swiftsoup_spark.spark.extract import apply_kernel, fast_parse
+    from swiftsoup_spark.ops.hoststats import HOST_RE
+
+    def row(tb, s, url):
+        from swiftsoup_spark.kernel.arena import Element
+        from swiftsoup_spark.select.engine import select as sel
+
+        arena = fast_parse(tb, s)
+        if not arena.base_uri:        # no <base href> -> page url is base
+            arena.base_uri = url
+        ids = sel(arena, 0, "a[href]")
+        return ([Element(arena, i).abs_url("href") for i in ids],
+                [arena.node_text(i) for i in ids])
+
+    links = apply_kernel(
+        pages, row,
+        [T.StructField("hrefs", T.ArrayType(T.StringType())),
+         T.StructField("texts", T.ArrayType(T.StringType()))],
+        ctx_col="url")
+    pairs = (links
+             .select("url", F.explode(F.arrays_zip("hrefs", "texts"))
+                     .alias("l"))
+             .select(F.regexp_extract("url", HOST_RE, 1).alias("src_host"),
+                     F.regexp_extract(F.col("l.hrefs"), HOST_RE, 1)
+                      .alias("dst_host"),
+                     F.substring(F.col("l.texts"), 1, 64).alias("anchor"))
+             .filter(F.col("dst_host") != ""))
+    pairs = pairs.withColumn(
+        "s", F.pmod(F.xxhash64("src_host", "dst_host", "anchor"),
+                    F.lit(salt)))
+    part = pairs.groupBy("src_host", "dst_host", "s").agg(
+        F.count("*").alias("n"),
+        F.slice(F.array_sort(F.collect_set("anchor")), 1, k_anchors)
+         .alias("a"))
+    return (part.groupBy("src_host", "dst_host")
+            .agg(F.sum("n").alias("n_links"),
+                 F.concat_ws("|", F.slice(
+                     F.array_sort(F.array_distinct(
+                         F.flatten(F.collect_list("a")))), 1, k_anchors))
+                 .alias("anchors")))

@@ -146,3 +146,57 @@ def warc_pages(archives_df, content_col: str = "content"):
 
     return archives_df.select(content_col).mapInPandas(
         batches, WARC_PAGE_SCHEMA)
+
+
+def wet_records(extracted, ts_col: str = "ts_epoch"):
+    """WET ("WARC Encapsulated Text") conversion-record formatting: the
+    sink side of a Common-Crawl-style extraction job, which publishes
+    extracted text as ``conversion`` records rather than parquet.
+
+    Input: (url, text, ts_epoch) rows from ``extract_pages``; output
+    (url, wet) where ``wet`` is the full record — header block
+    (WARC/1.0, WARC-Type: conversion, target URI, date, Content-Type,
+    octet-exact Content-Length) + blank line + the text payload.
+
+    Pure JVM codegen over already-extracted columns (one projection,
+    no shuffle, no Python); Content-Length counts UTF-8 octets, not
+    chars, per the spec.
+    """
+    from pyspark.sql import functions as F
+
+    crlf = "\r\n"
+    return extracted.select(
+        "url",
+        F.concat(
+            F.lit("WARC/1.0" + crlf),
+            F.lit("WARC-Type: conversion" + crlf),
+            F.lit("WARC-Target-URI: "), F.col("url"), F.lit(crlf),
+            F.lit("WARC-Date: "),
+            F.from_unixtime(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            F.lit(crlf),
+            F.lit("Content-Type: text/plain" + crlf),
+            F.lit("Content-Length: "),
+            F.octet_length("text").cast("string"),
+            F.lit(crlf + crlf),
+            F.col("text")).alias("wet"))
+
+
+def wet_records_sql(text_expr: str, url_expr: str, ts_expr: str,
+                    docs_table: str = "documents") -> str:
+    """DuckDB oracle for :func:`wet_records` over the synth corpus."""
+    crlf = "chr(13) || chr(10)"
+    return f"""
+WITH x AS (SELECT {url_expr} AS url, {ts_expr} AS ts_epoch,
+                  {text_expr} AS text FROM {docs_table})
+SELECT url,
+       'WARC/1.0' || {crlf} ||
+       'WARC-Type: conversion' || {crlf} ||
+       'WARC-Target-URI: ' || url || {crlf} ||
+       'WARC-Date: ' ||
+         strftime(make_timestamp(ts_epoch * 1000000),
+                  '%Y-%m-%dT%H:%M:%SZ') || {crlf} ||
+       'Content-Type: text/plain' || {crlf} ||
+       'Content-Length: ' || octet_length(encode(text)) ||
+       {crlf} || {crlf} || text AS wet
+FROM x
+"""

@@ -42,7 +42,7 @@ def fast_parse(tb, s: str, track_spans: bool = False):
 
 
 def apply_kernel(df, row_fn, out_fields, in_col="html", keep_cols=("url",),
-                 track_spans=False):
+                 track_spans=False, ctx_col=None):
     """Generic Arrow-batched kernel stage.
 
     ``row_fn(tree_builder, html_str) -> tuple`` runs per document inside
@@ -50,6 +50,10 @@ def apply_kernel(df, row_fn, out_fields, in_col="html", keep_cols=("url",),
     appended to ``keep_cols``. One fused stage pipelined with the scan
     (no shuffle, no pandas); Catalyst prunes the scan to
     (keep_cols, in_col).
+
+    ``ctx_col``: name of a keep column whose per-row value is passed as
+    a third argument — ``row_fn(tb, s, ctx)`` — e.g. the page url as
+    the document base URI for absUrl resolution.
     """
     import pyarrow as pa
 
@@ -67,8 +71,12 @@ def apply_kernel(df, row_fn, out_fields, in_col="html", keep_cols=("url",),
         out_types = [to_arrow_type(f.dataType) for f in out_fields]
         for batch in it:
             cols = [[] for _ in out_fields]
-            for raw in batch.column(in_col):
-                vals = row_fn(tb, _to_str(raw.as_py()))
+            ctx = batch.column(ctx_col) if ctx_col is not None else None
+            for i, raw in enumerate(batch.column(in_col)):
+                if ctx is None:
+                    vals = row_fn(tb, _to_str(raw.as_py()))
+                else:
+                    vals = row_fn(tb, _to_str(raw.as_py()), ctx[i].as_py())
                 for c, v in zip(cols, vals):
                     c.append(v)
             arrays = [batch.column(nm) for nm in keep_names] + [
