@@ -290,6 +290,32 @@ def q_outlink_hosts(spark, sf_dir):
     return outlink_host_edges(pages)
 
 
+# non-NFC corpus: even docs get an NFD prefix (e + combining acute),
+# doc_id%4==1 docs a singleton-composition char (U+212B ANGSTROM SIGN
+# -> U+00C5); the rest are already NFC. hex bytes shared across engines
+_NFC_CASE = ("CASE WHEN doc_id % 2 = 0 THEN {nfd} || text "
+             "WHEN doc_id % 4 = 1 THEN {ang} || text "
+             "ELSE text END")
+NFC_INPUT_SPARK = _NFC_CASE.format(
+    nfd="decode(unhex('65CC8120'), 'UTF-8')",
+    ang="decode(unhex('E284AB20'), 'UTF-8')")
+NFC_INPUT_DUCK = _NFC_CASE.format(
+    nfd="decode(unhex('65CC8120'))", ang="decode(unhex('E284AB20'))")
+
+
+def q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization (ops/unicode_norm.nfc_normalize):
+    canonical composition before any hashing/dedup — combining-sequence
+    and singleton (U+212B) inputs compose, already-NFC text passes the
+    O(n) is_normalized fast path untouched. Oracle: DuckDB's utf8proc
+    nfc_normalize."""
+    from swiftsoup_spark.ops.unicode_norm import nfc_normalize
+    load_documents(spark, sf_dir)
+    d = spark.sql(
+        f"SELECT doc_id, {NFC_INPUT_SPARK} AS text FROM documents")
+    return nfc_normalize(d)
+
+
 def q_wet_export(spark, sf_dir):
     """WET conversion-record sink (sources/warc.wet_records): the
     kernel-extracted text re-published in Common Crawl's WET format —
@@ -1513,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "outlink_hosts": q_outlink_hosts,
         "wet_export": q_wet_export,
+        "nfc_normalize": q_nfc_normalize,
         # -- last green row r1-r3 ---------------------------------------
         "fingerprint": q_fingerprint,
         "ann_brute_force": q_ann_brute_force,
@@ -2403,6 +2430,10 @@ FROM e GROUP BY src_host, dst_host
             "swiftsoup_spark.sources.warc",
             fromlist=["wet_records_sql"]).wet_records_sql(
                 EXPECTED_DOC_TEXT_SQL, URL_SQL, f"{TS0} + doc_id"),
+        "nfc_normalize": __import__(
+            "swiftsoup_spark.ops.unicode_norm",
+            fromlist=["nfc_normalize_sql"]).nfc_normalize_sql(
+                NFC_INPUT_DUCK),
         "doclen_quantiles": __import__(
             "swiftsoup_spark.ops.corpusstats",
             fromlist=["int_quantiles_sql"]).int_quantiles_sql(
