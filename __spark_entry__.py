@@ -316,6 +316,36 @@ def q_nfc_normalize(spark, sf_dir):
     return nfc_normalize(d)
 
 
+def q_bloom_seen(spark, sf_dir):
+    """Broadcastable Bloom-filter membership (ops/membership.py):
+    the "already fetched?" check — build bits with bit_or aggregates
+    from the seen set (urls of doc_id%7==0), probe every url via a
+    broadcast join. Positions from md5 hex digits, so the DuckDB
+    oracle replays the filter bit-for-bit, false positives included."""
+    from swiftsoup_spark.ops.membership import bloom_build, bloom_probe
+    pages = pages_df(spark, sf_dir)
+    seen = pages.filter(F.col("doc_id") % 7 == 0).select("url")
+    bloom = bloom_build(seen, "url")
+    probed = bloom_probe(pages.select("url", "doc_id"), "url", bloom)
+    truth = pages.select(
+        "url", (F.col("doc_id") % 7 == 0).alias("seen"))
+    return (probed.join(truth, "url")
+            .select("url", "bloom_positive", "seen",
+                    (F.col("bloom_positive") & ~F.col("seen"))
+                    .alias("false_positive")))
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """New-batch-vs-corpus dedup (ops/dedup.incremental_dedup): docs
+    with doc_id%5==0 are the incoming batch; verdict exact/near/kept
+    against the rest via distinct fingerprint + band-key sets (the
+    write-once incremental index shape — no self-join, no O(g^2))."""
+    from swiftsoup_spark.ops.dedup import incremental_dedup
+    d = _docs(spark, sf_dir).withColumn(
+        "is_new", F.col("doc_id") % 5 == 0)
+    return incremental_dedup(d)
+
+
 def q_wet_export(spark, sf_dir):
     """WET conversion-record sink (sources/warc.wet_records): the
     kernel-extracted text re-published in Common Crawl's WET format —
@@ -1540,6 +1570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_hosts": q_outlink_hosts,
         "wet_export": q_wet_export,
         "nfc_normalize": q_nfc_normalize,
+        "bloom_seen": q_bloom_seen,
+        "incremental_dedup": q_incremental_dedup,
         # -- last green row r1-r3 ---------------------------------------
         "fingerprint": q_fingerprint,
         "ann_brute_force": q_ann_brute_force,
@@ -2434,6 +2466,38 @@ FROM e GROUP BY src_host, dst_host
             "swiftsoup_spark.ops.unicode_norm",
             fromlist=["nfc_normalize_sql"]).nfc_normalize_sql(
                 NFC_INPUT_DUCK),
+        "bloom_seen": f"""
+SELECT bp.k AS url, bp.bloom_positive, d.seen,
+       bp.bloom_positive AND NOT d.seen AS false_positive
+FROM ({__import__("swiftsoup_spark.ops.membership",
+                  fromlist=["bloom_sql"]).bloom_sql(
+    f"SELECT {URL_SQL} AS k FROM documents WHERE doc_id % 7 = 0",
+    f"SELECT {URL_SQL} AS k FROM documents")}) bp
+JOIN (SELECT {URL_SQL} AS url, doc_id % 7 = 0 AS seen
+      FROM documents) d ON bp.k = d.url
+""",
+        "incremental_dedup": f"""
+WITH d AS (SELECT doc_id, text, doc_id % 5 = 0 AS is_new FROM documents),
+nf AS (SELECT doc_id, md5(text) AS fp FROM d WHERE is_new),
+cf AS (SELECT DISTINCT md5(text) AS fp FROM d WHERE NOT is_new),
+w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM d),
+sig AS (SELECT doc_id, {minhash_cols} FROM w GROUP BY doc_id),
+bl AS (SELECT doc_id,
+              unnest([md5('0' || h0 || h1 || h2 || h3),
+                      md5('1' || h4 || h5 || h6 || h7)]) AS bk FROM sig),
+cbk AS (SELECT DISTINCT bk FROM bl JOIN d USING (doc_id) WHERE NOT is_new),
+nhit AS (SELECT DISTINCT bl.doc_id FROM bl
+         JOIN d USING (doc_id) JOIN cbk USING (bk) WHERE is_new),
+ehit AS (SELECT DISTINCT nf.doc_id FROM nf JOIN cf USING (fp))
+SELECT d.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+            WHEN n.doc_id IS NOT NULL THEN 'near'
+            ELSE 'kept' END AS verdict
+FROM d LEFT JOIN ehit e ON d.doc_id = e.doc_id
+       LEFT JOIN nhit n ON d.doc_id = n.doc_id
+WHERE d.is_new
+""",
         "doclen_quantiles": __import__(
             "swiftsoup_spark.ops.corpusstats",
             fromlist=["int_quantiles_sql"]).int_quantiles_sql(
