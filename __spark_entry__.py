@@ -1400,6 +1400,16 @@ def q_image_meta(spark, sf_dir):
     return image_meta(synth_image_table(_docs(spark, sf_dir)))
 
 
+def q_image_sniff(spark, sf_dir):
+    """Four-format container sniff (ops/imagehdr.sniff_image): every
+    payload is real encoder output (PNG IHDR / JFIF SOF0 marker walk /
+    GIF LSD / BMP DIB), dims parsed from bytes only — no metadata
+    echo. Oracle: the closed doc_id dim/format formulas; a wrong
+    marker walk yields wrong/null values and hash-fails."""
+    from swiftsoup_spark.ops.multimodal import image_sniff, synth_image_corpus
+    return image_sniff(synth_image_corpus(_docs(spark, sf_dir)))
+
+
 def q_image_features(spark, sf_dir):
     """Feature extraction over REAL PNG decode (ops/png.decode_png):
     n_bytes counts decoded pixels (width*height) for PNG rows — a value
@@ -1634,6 +1644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gopher": q_quality_gopher,
         "quality_repetition": q_quality_repetition,
         "lang_signal": q_lang_signal,
+        # -- added after the r5 reorder (outside the ~50-row driver
+        #    window by construction; pytest-oracle-gated) -------------
+        "image_sniff": q_image_sniff,
     }
 
 
@@ -2677,6 +2690,13 @@ FROM d
             "CAST(1 + doc_id % 48 AS INTEGER) AS height, "
             "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, "
             "(doc_id % 2 = 0) AS parsed "
+            "FROM documents"),
+        "image_sniff": (
+            "SELECT doc_id, "
+            "CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'png' "
+            "WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif' ELSE 'bmp' END AS format, "
+            "CAST(1 + doc_id % 64 AS INTEGER) AS width, "
+            "CAST(1 + doc_id % 48 AS INTEGER) AS height "
             "FROM documents"),
         "image_features": (
             "SELECT doc_id, "

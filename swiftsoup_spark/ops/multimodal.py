@@ -76,6 +76,89 @@ def synth_image_table(docs_df):
     return base.mapInPandas(batches, IMAGE_META_SCHEMA)
 
 
+SNIFF_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def synth_image_corpus(docs_df):
+    """Documents -> a four-format image corpus (doc_id % 4: png, jpeg,
+    gif, bmp), every payload a structurally-valid container written by
+    the from-scratch encoders (ops/png.py, ops/imagehdr.py).  PNG and
+    BMP carry REAL pixel grids (the md5-digest tiling); JPEG/GIF shells
+    carry the digest in the scan/comment section.  Dims use the same
+    closed doc_id formulas as synth_image_table so oracles replay them
+    without parsing."""
+    import numpy as np
+    import pandas as pd
+
+    from swiftsoup_spark.ops.imagehdr import (encode_bmp, encode_gif_shell,
+                                              encode_jpeg_shell)
+    from swiftsoup_spark.ops.png import encode_png
+
+    base = docs_df.select(
+        "doc_id",
+        F.unhex(F.md5("text")).alias("digest"),
+        (1 + F.col("doc_id") % 64).cast("int").alias("width"),
+        (1 + F.col("doc_id") % 48).cast("int").alias("height"),
+        (F.col("doc_id") % 4).cast("int").alias("fsel"),
+    )
+
+    def batches(it):
+        for pdf in it:
+            payloads = []
+            for d, w, h, sel in zip(pdf["digest"], pdf["width"],
+                                    pdf["height"], pdf["fsel"]):
+                w, h, d = int(w), int(h), bytes(d)
+                if sel in (0, 3):
+                    dig = np.frombuffer(d, dtype=np.uint8)
+                    grid = dig[(np.arange(h * w) % 16).reshape(h, w)]
+                    payloads.append(encode_png(grid) if sel == 0
+                                    else encode_bmp(grid))
+                elif sel == 1:
+                    payloads.append(encode_jpeg_shell(w, h, d))
+                else:
+                    payloads.append(encode_gif_shell(w, h, d))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return base.mapInPandas(batches, T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]))
+
+
+def image_sniff(img_df):
+    """Container-only metadata pass (format + dims) parsed from payload
+    bytes alone — no metadata-column fallback, so a wrong marker walk
+    shows up as a wrong/null value, not a silent echo.  mapInPandas,
+    one Arrow batch per call."""
+    def batches(it):
+        import pandas as pd
+
+        from swiftsoup_spark.ops.imagehdr import sniff_image
+
+        for pdf in it:
+            fmts, ws, hs = [], [], []
+            for p in pdf["payload"]:
+                r = sniff_image(p)
+                if r is None:
+                    fmts.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                else:
+                    fmts.append(r[0])
+                    ws.append(r[1])
+                    hs.append(r[2])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "format": fmts,
+                                "width": ws, "height": hs})
+
+    return img_df.mapInPandas(batches, SNIFF_SCHEMA)
+
+
 def image_meta(img_df):
     """mapInPandas metadata extraction: dims/format PARSED from the
     payload bytes (PNG IHDR via ops/png.parse_ihdr — cheap, no
@@ -119,13 +202,15 @@ def _fake_decode(payload: bytes) -> list[float]:
 
 def image_features(img_df):
     """mapInPandas feature extraction: binary -> fixed-width float
-    vector. PNG payloads REALLY decode (ops/png.decode_png) — features
-    are the first 8 pixels / 255 and n_bytes counts decoded pixels;
-    other formats take the stub over raw payload bytes. One Arrow batch
-    per call; the decode loop stays inside the batch."""
+    vector. PNG and BMP payloads REALLY decode (ops/png.decode_png,
+    ops/imagehdr.decode_bmp) — features are the first 8 pixels / 255
+    and n_bytes counts decoded pixels; formats without an in-scope
+    codec take the stub over raw payload bytes. One Arrow batch per
+    call; the decode loop stays inside the batch."""
     def batches(it):
         import pandas as pd
 
+        from swiftsoup_spark.ops.imagehdr import decode_bmp
         from swiftsoup_spark.ops.png import decode_png
 
         for pdf in it:
@@ -139,11 +224,15 @@ def image_features(img_df):
                 if dec is not None:
                     w, h, _ch, arr = dec
                     flat = arr[:, :, 0].reshape(-1)
-                    feats.append([int(v) / 255.0 for v in flat[:8]])
-                    nbytes.append(w * h)
+                elif (bmp := decode_bmp(bytes(p))) is not None:
+                    w, h, grey = bmp
+                    flat = grey.reshape(-1)
                 else:
                     feats.append(_fake_decode(p))
                     nbytes.append(len(p))
+                    continue
+                feats.append([int(v) / 255.0 for v in flat[:8]])
+                nbytes.append(w * h)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "n_bytes": nbytes,
