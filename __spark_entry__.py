@@ -1400,6 +1400,25 @@ def q_image_meta(spark, sf_dir):
     return image_meta(synth_image_table(_docs(spark, sf_dir)))
 
 
+def q_flesch(spark, sf_dir):
+    """Flesch reading-ease (ops/textstats.flesch_score): vowel-group
+    syllables, [.!?]+ sentence runs, milli-point score via the
+    offset-floor integer trick — bit-exact vs the DuckDB replay, no
+    float anywhere."""
+    from swiftsoup_spark.ops.textstats import flesch_score
+    return flesch_score(_docs(spark, sf_dir))
+
+
+def q_headings_outline(spark, sf_dir):
+    """h1-h6 outline rows in document order (ops/outline.py): one
+    selector pass per page, JVM-side posexplode — section structure
+    for chunking/retrieval metadata. Oracle: the 'headings' variant
+    template's five-row closed-form outline per doc."""
+    from swiftsoup_spark.ops.outline import headings_outline
+    from swiftsoup_spark.spark.pages import variant_pages_df
+    return headings_outline(variant_pages_df(spark, sf_dir, "headings"))
+
+
 def q_image_sniff(spark, sf_dir):
     """Four-format container sniff (ops/imagehdr.sniff_image): every
     payload is real encoder output (PNG IHDR / JFIF SOF0 marker walk /
@@ -1647,6 +1666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- added after the r5 reorder (outside the ~50-row driver
         #    window by construction; pytest-oracle-gated) -------------
         "image_sniff": q_image_sniff,
+        "headings_outline": q_headings_outline,
+        "flesch": q_flesch,
     }
 
 
@@ -2691,6 +2712,35 @@ FROM d
             "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, "
             "(doc_id % 2 = 0) AS parsed "
             "FROM documents"),
+        "flesch": """
+WITH c AS (
+  SELECT doc_id,
+         greatest(1, len(string_split(text, ' '))) AS n_words,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+           AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       CAST((206835 * n_sentences * n_words - 1015 * n_words * n_words
+             - 84600 * n_syllables * n_sentences
+             + 1000000000 * n_sentences * n_words)
+            // (n_sentences * n_words) - 1000000000 AS BIGINT) AS flesch_e3
+FROM c
+""",
+        "headings_outline": f"""
+SELECT {URL_SQL} AS url, o.idx, o.level,
+       CASE o.idx WHEN 0 THEN 'Doc ' || doc_id
+                  WHEN 1 THEN 'Intro'
+                  WHEN 2 THEN 'Body ' || doc_id
+                  WHEN 3 THEN 'Deep'
+                  ELSE 'End' END AS text
+FROM documents
+CROSS JOIN (VALUES (0, 1), (1, 2), (2, 2), (3, 3), (4, 2))
+           AS o(idx, level)
+""",
         "image_sniff": (
             "SELECT doc_id, "
             "CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'png' "

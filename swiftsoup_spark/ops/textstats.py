@@ -410,3 +410,36 @@ def top_ngram_share(df, text_col: str = "text", ns=(2, 3)):
                        f"DIV n_chars"), F.lit(0))
              .cast("long").alias(f"top{n}_share_e6")]
     return out.select(*cols)
+
+
+def flesch_score(df, text_col: str = "text"):
+    """Flesch reading-ease per doc, integer-exact at milli-point
+    precision (no float path, so the DuckDB oracle replays it
+    bit-for-bit): score = 206.835 - 1.015*(words/sentences)
+    - 84.6*(syllables/words), with the classic vowel-group syllable
+    heuristic and [.!?]+ runs as sentence breaks.  All three counts
+    ship too (they are the useful filter features; the scalar is the
+    human-readable summary).
+
+    score_e3 uses the offset-floor trick: the numerator is shifted by
+    +OFF*s*w so Spark's truncating DIV equals floor division for the
+    (now positive) value, matching DuckDB's ``//`` exactly even when
+    the score is negative."""
+    w = F.greatest(F.lit(1), F.size(F.split(F.col(text_col), " "))).cast("long")
+    s = F.greatest(F.lit(1), F.size(F.expr(
+        f"regexp_extract_all({text_col}, '[.!?]+', 0)"))).cast("long")
+    sy = F.size(F.expr(
+        f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)")).cast("long")
+    base = df.select(
+        "doc_id",
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        sy.alias("n_syllables"))
+    return base.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        F.expr(
+            "(206835 * n_sentences * n_words - 1015 * n_words * n_words"
+            " - 84600 * n_syllables * n_sentences"
+            " + 1000000000 * n_sentences * n_words)"
+            " DIV (n_sentences * n_words) - 1000000000")
+        .cast("long").alias("flesch_e3"))

@@ -153,6 +153,14 @@ VARIANT_TEMPLATES = {
         " '</p></body></html>', 'ISO-8859-1') END",
         "CASE WHEN doc_id % 2 = 0 THEN 'B ' ELSE 'L ' END || doc_id ||"
         " ' café ' || text"),
+    # multi-level heading structure (h1/h2/h3 with text between) for the
+    # outline operator (ops/outline.py); also a plain extract-text corpus
+    "headings": (
+        "'<html><body><h1>Doc ' || doc_id || '</h1><h2>Intro</h2><p>' ||"
+        " text || '</p><h2>Body ' || doc_id || '</h2><h3>Deep</h3><p>' ||"
+        " text || '</p><h2>End</h2></body></html>'",
+        "'Doc ' || doc_id || ' Intro ' || text || ' Body ' || doc_id ||"
+        " ' Deep ' || text || ' End'"),
     # entity decoding in text AND attribute values (&amp; &lt; &gt; &quot;
     # &nbsp;)
     "entities": (
