@@ -26,6 +26,7 @@ from swiftsoup_spark.spark.pages import (
 )
 from swiftsoup_spark.spark import extract as X
 from swiftsoup_spark.ops import dedup as D, similarity as S, textstats as TX
+from swiftsoup_spark.ops.hll import hll_oracle_sql
 from swiftsoup_spark.ops.multimodal import image_features, synth_image_table
 
 
@@ -1400,6 +1401,24 @@ def q_image_meta(spark, sf_dir):
     return image_meta(synth_image_table(_docs(spark, sf_dir)))
 
 
+def q_jsonl_export(spark, sf_dir):
+    """JSONL shard export (ops/jsonl.py): fixed-key-order JSON lines
+    rendered by explicit string building so the oracle replays them
+    octet-for-octet; one JVM projection, shard column ready for a
+    partitioned write."""
+    from swiftsoup_spark.ops.jsonl import jsonl_export
+    return jsonl_export(_docs(spark, sf_dir))
+
+
+def q_hll_sketch(spark, sf_dir):
+    """Per-lang HyperLogLog distinct-text sketch (ops/hll.py):
+    md5-register construction in one partial-aggregable groupBy —
+    the mergeable sketch form, integer-only across the gate; the
+    DuckDB oracle replays every register bit-for-bit."""
+    from swiftsoup_spark.ops.hll import hll_sketch
+    return hll_sketch(_docs(spark, sf_dir), "lang", "text")
+
+
 def q_flesch(spark, sf_dir):
     """Flesch reading-ease (ops/textstats.flesch_score): vowel-group
     syllables, [.!?]+ sentence runs, milli-point score via the
@@ -1668,6 +1687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_sniff": q_image_sniff,
         "headings_outline": q_headings_outline,
         "flesch": q_flesch,
+        "hll_sketch": q_hll_sketch,
+        "jsonl_export": q_jsonl_export,
     }
 
 
@@ -2712,6 +2733,11 @@ FROM d
             "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, "
             "(doc_id % 2 = 0) AS parsed "
             "FROM documents"),
+        "hll_sketch": hll_oracle_sql("lang", "text", "documents",
+                                     group_alias="lang"),
+        "jsonl_export": __import__(
+            "swiftsoup_spark.ops.jsonl",
+            fromlist=["jsonl_oracle_sql"]).jsonl_oracle_sql(),
         "flesch": """
 WITH c AS (
   SELECT doc_id,
