@@ -1401,6 +1401,22 @@ def q_image_meta(spark, sf_dir):
     return image_meta(synth_image_table(_docs(spark, sf_dir)))
 
 
+def q_split_assign(spark, sf_dir):
+    """Content-hash train/val/test assignment (ops/mixing.split_assign):
+    reshard-proof (bucket from md5(text), not position), dup-leak-proof
+    (exact duplicates share a split), zero shuffle."""
+    from swiftsoup_spark.ops.mixing import split_assign
+    return split_assign(_docs(spark, sf_dir))
+
+
+def q_url_templates(spark, sf_dir):
+    """URL path-template mining (ops/urlnorm.url_path_templates):
+    numeric runs -> '{n}', counted per host — the crawler-trap /
+    URL-space profile. Text never rides the shuffle."""
+    from swiftsoup_spark.ops.urlnorm import url_path_templates
+    return url_path_templates(pages_df(spark, sf_dir))
+
+
 def q_jsonl_export(spark, sf_dir):
     """JSONL shard export (ops/jsonl.py): fixed-key-order JSON lines
     rendered by explicit string building so the oracle replays them
@@ -1689,6 +1705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flesch": q_flesch,
         "hll_sketch": q_hll_sketch,
         "jsonl_export": q_jsonl_export,
+        "split_assign": q_split_assign,
+        "url_templates": q_url_templates,
     }
 
 
@@ -2738,6 +2756,13 @@ FROM d
         "jsonl_export": __import__(
             "swiftsoup_spark.ops.jsonl",
             fromlist=["jsonl_oracle_sql"]).jsonl_oracle_sql(),
+        "split_assign": __import__(
+            "swiftsoup_spark.ops.mixing",
+            fromlist=["split_assign_sql"]).split_assign_sql(),
+        "url_templates": __import__(
+            "swiftsoup_spark.ops.urlnorm",
+            fromlist=["url_path_templates_sql"]).url_path_templates_sql(
+                URL_SQL),
         "flesch": """
 WITH c AS (
   SELECT doc_id,

@@ -87,3 +87,35 @@ mn AS (SELECT min(w) AS mn FROM w)
 SELECT g, CAST(floor(1000 * mn / w) AS INTEGER) AS rate_permille
 FROM w, mn
 """
+
+
+def split_assign(df, text_col: str = "text",
+                 val_permille: int = 10, test_permille: int = 10):
+    """Deterministic train/val/test assignment — the most-used single
+    operation in dataset prep, made reshard-proof: the bucket comes
+    from the CONTENT hash (md5 of text, :func:`bucket1000`), so a
+    document keeps its split across recrawls, re-partitioning, and
+    pipeline re-runs, and exact duplicates always land in the same
+    split (no train/test leakage through dup pairs). Pure map-side
+    codegen — zero shuffle at any scale."""
+    b = bucket1000(F.col(text_col))
+    split = (F.when(b < test_permille, "test")
+             .when(b < test_permille + val_permille, "val")
+             .otherwise("train"))
+    return df.select("doc_id", b.cast("int").alias("bucket"),
+                     split.alias("split"))
+
+
+def split_assign_sql(table: str = "documents", text_expr: str = "text",
+                     val_permille: int = 10,
+                     test_permille: int = 10) -> str:
+    """DuckDB replay of :func:`split_assign`."""
+    b = bucket1000_sql(text_expr)
+    return f"""
+WITH b AS (SELECT doc_id, CAST({b} AS INTEGER) AS bucket FROM {table})
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {test_permille} THEN 'test'
+            WHEN bucket < {test_permille + val_permille} THEN 'val'
+            ELSE 'train' END AS split
+FROM b
+"""

@@ -192,3 +192,34 @@ def filter_host_blocklist(df, blocked_df, url_col: str = "url"):
     return (df.withColumn("__h", host_of(F.col(url_col)))
             .join(blocked, F.col("__h") == F.col("__bh"), "left_anti")
             .drop("__h"))
+
+
+def url_path_templates(df, url_col: str = "url"):
+    """Crawler-trap / URL-space mining: collapse numeric path runs to
+    '{n}' and count urls per (host, template). Hosts whose url count
+    concentrates in one unbounded template (calendar pages, session
+    ids, pagination) are the classic infinite-crawl traps; the
+    template table is also the input for per-site sampling caps.
+    Map-side codegen (two regexes) + ONE groupBy of short strings —
+    text never rides the shuffle."""
+    path = F.regexp_extract(F.trim(F.col(url_col)), _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    tmpl = F.regexp_replace(path, "[0-9]+", "{n}")
+    return (df.select(host_of(F.col(url_col)).alias("host"),
+                      tmpl.alias("template"))
+            .groupBy("host", "template")
+            .agg(F.count("*").alias("n_urls")))
+
+
+def url_path_templates_sql(url_expr: str, table: str = "documents") -> str:
+    """DuckDB replay of :func:`url_path_templates`."""
+    url = f"trim({url_expr})"
+    path0 = f"coalesce(regexp_extract({url}, '{_PATH_RE}', 1), '')"
+    path = f"CASE WHEN {path0} = '' THEN '/' ELSE {path0} END"
+    tmpl = f"regexp_replace({path}, '[0-9]+', '{{n}}', 'g')"
+    host = f"lower(coalesce(regexp_extract({url}, '{_HOST_RE}', 1), ''))"
+    return f"""
+SELECT {host} AS host, {tmpl} AS template,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM {table} GROUP BY 1, 2
+"""

@@ -34,6 +34,12 @@ properties needing PropList data the stdlib lacks, e.g. ``Alphabetic``
 whose Other_Alphabetic marks unicodedata cannot see, ``Ideographic``,
 ``Dash``) raise ``re.error`` with a clear message — a documented
 boundary, not a silent mismatch.
+
+Canonical-equivalence matching is NOT part of the parity surface:
+the reference constructs ``NSRegularExpression(pattern:, options: [])``
+(Pattern.swift:26-31) and NSRegularExpression exposes no ICU
+UREGEX_CANON_EQ flag, so the reference matches code points literally —
+exactly as this shim does (verified round 5).
 """
 
 from __future__ import annotations
