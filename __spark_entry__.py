@@ -1401,6 +1401,16 @@ def q_image_meta(spark, sf_dir):
     return image_meta(synth_image_table(_docs(spark, sf_dir)))
 
 
+def q_embed_decontam(spark, sf_dir):
+    """Embedding-space benchmark decontamination
+    (ops/similarity.embed_decontam): the 16 'benchmark' vectors are
+    corpus members (vec_id < 16), so the gate checks both the
+    flag (their self-sim 1.0 trips it) and the full max-cosine
+    landscape of every other vector at e4 precision."""
+    bench = _emb(spark, sf_dir).filter(F.col("vec_id") < 16)
+    return S.embed_decontam(_emb(spark, sf_dir), bench)
+
+
 def q_split_assign(spark, sf_dir):
     """Content-hash train/val/test assignment (ops/mixing.split_assign):
     reshard-proof (bucket from md5(text), not position), dup-leak-proof
@@ -1707,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_export": q_jsonl_export,
         "split_assign": q_split_assign,
         "url_templates": q_url_templates,
+        "embed_decontam": q_embed_decontam,
     }
 
 
@@ -2756,6 +2767,18 @@ FROM d
         "jsonl_export": __import__(
             "swiftsoup_spark.ops.jsonl",
             fromlist=["jsonl_oracle_sql"]).jsonl_oracle_sql(),
+        "embed_decontam": """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+b AS (SELECT CAST(embedding AS DOUBLE[]) AS bv FROM embeddings
+      WHERE vec_id < 16),
+s AS (SELECT c.vec_id,
+             CAST(round(round(list_cosine_similarity(c.v, b.bv), 4)
+                        * 10000) AS BIGINT) AS sim_e4
+      FROM c CROSS JOIN b),
+m AS (SELECT vec_id, max(sim_e4) AS max_sim_e4 FROM s GROUP BY 1)
+SELECT vec_id, max_sim_e4, max_sim_e4 >= 9500 AS contaminated FROM m
+""",
         "split_assign": __import__(
             "swiftsoup_spark.ops.mixing",
             fromlist=["split_assign_sql"]).split_assign_sql(),

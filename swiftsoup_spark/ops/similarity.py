@@ -297,3 +297,32 @@ SELECT grp AS {group_expr}, CAST(dim AS INTEGER) AS dim,
        SUM(q) AS sum_e6, count(*) AS n_vecs
 FROM x GROUP BY 1, 2
 """
+
+
+def embed_decontam(emb_df, bench_df, threshold_e4: int = 9500):
+    """Benchmark decontamination in EMBEDDING space — the semantic
+    complement of the n-gram probe (ops/decontam): a corpus item is
+    contaminated when its max cosine against ANY benchmark vector
+    reaches the threshold, catching paraphrased/reformatted benchmark
+    leakage that shingle matching misses.
+
+    Scale shape: benchmark sets are small by construction (a few
+    thousand eval items), so the bench side broadcasts and the corpus
+    side stays map-only — a BroadcastNestedLoopJoin scoring k bench
+    vectors per corpus row, then ONE vec_id-keyed partial-aggregable
+    max (rows already co-located, so the combine collapses to one row
+    per vector before any exchange). Similarity crosses the gate as
+    round-4dp e4 integers — the same cross-engine-exact convention as
+    cosine_near_dup.
+    """
+    base = emb_df.select("vec_id", _as_double("embedding").alias("v"))
+    bench = bench_df.select(_as_double("embedding").alias("bv"))
+    sims = (base.crossJoin(F.broadcast(bench))
+            .select("vec_id",
+                    F.round(F.round(_cosine(F.col("v"), F.col("bv")), 4)
+                            * 10000).cast("long").alias("sim_e4")))
+    return (sims.groupBy("vec_id")
+            .agg(F.max("sim_e4").alias("max_sim_e4"))
+            .select("vec_id", "max_sim_e4",
+                    (F.col("max_sim_e4") >= threshold_e4)
+                    .alias("contaminated")))

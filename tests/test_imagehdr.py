@@ -126,3 +126,25 @@ def test_corpus_payloads_parse(sel):
         payload = egif(w, h, dig)
     fmt = ["png", "jpeg", "gif", "bmp"][sel]
     assert sniff_image(payload) == (fmt, w, h)
+
+
+def test_sniff_never_raises_on_garbage():
+    # crawl payloads are untrusted: arbitrary bytes must sniff to None
+    # or a tuple, never raise
+    import random
+    rnd = random.Random(99)
+    seeds = [
+        b"", b"\xff", b"\xff\xd8", b"BM", b"GIF89a", b"\x89PNG\r\n\x1a\n",
+        encode_jpeg_shell(4, 4, b"x")[:11], encode_bmp(
+            np.zeros((2, 2), dtype=np.uint8))[:20],
+    ]
+    for _ in range(3000):
+        base = seeds[rnd.randrange(len(seeds))]
+        n = rnd.randrange(0, 64)
+        blob = base + bytes(rnd.randrange(256) for _ in range(n))
+        if rnd.random() < 0.3 and blob:
+            i = rnd.randrange(len(blob))
+            blob = blob[:i] + bytes([rnd.randrange(256)]) + blob[i + 1:]
+        r = sniff_image(blob)
+        assert r is None or (len(r) == 3 and r[1] > 0 and r[2] > 0)
+        decode_bmp(blob)  # must not raise either

@@ -104,3 +104,27 @@ def test_uniform_noise_documented_degenerate(spark):
     # sanity floor: still clearly better than a single random bucket,
     # and the probed fraction of the corpus is only nprobe/k = 1/4
     assert 0.2 <= recall < 0.95, recall
+
+
+def test_embed_decontam_discrimination_and_plan(spark):
+    # planted: vec 100 is a near-copy of bench vec 0 (paraphrase leak),
+    # vec 101 is orthogonal — only 100 (and the bench members
+    # themselves) may flag
+    from swiftsoup_spark.ops.similarity import embed_decontam
+    dim = 8
+    bench_rows = [(0, [1.0] + [0.0] * (dim - 1)),
+                  (1, [0.0, 1.0] + [0.0] * (dim - 2))]
+    near = [0.999] + [0.02] * (dim - 1)
+    orth = [0.0] * (dim - 2) + [1.0, 0.0]
+    rows = bench_rows + [(100, near), (101, orth)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bench = emb.filter("vec_id < 2")
+    out = {r.vec_id: (r.max_sim_e4, r.contaminated)
+           for r in embed_decontam(emb, bench).collect()}
+    assert out[0] == (10000, True) and out[1] == (10000, True)
+    assert out[100][1] is True and out[100][0] >= 9900
+    assert out[101][1] is False
+    plan = embed_decontam(emb, bench)._jdf.queryExecution().executedPlan().toString()
+    # bench side must broadcast; the corpus side must not shuffle
+    # before the per-vector partial max
+    assert "BroadcastNestedLoopJoin" in plan, plan
