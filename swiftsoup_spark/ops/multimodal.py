@@ -86,17 +86,18 @@ SNIFF_SCHEMA = T.StructType([
 
 def synth_image_corpus(docs_df):
     """Documents -> a four-format image corpus (doc_id % 4: png, jpeg,
-    gif, bmp), every payload a structurally-valid container written by
-    the from-scratch encoders (ops/png.py, ops/imagehdr.py).  PNG and
-    BMP carry REAL pixel grids (the md5-digest tiling); JPEG/GIF shells
-    carry the digest in the scan/comment section.  Dims use the same
-    closed doc_id formulas as synth_image_table so oracles replay them
+    gif, bmp), every payload genuine encoder output from the
+    from-scratch codecs (ops/png.py, ops/jpeg.py, ops/imagehdr.py).
+    PNG, JPEG and BMP carry REAL pixel grids (the md5-digest tiling;
+    JPEG lossily); GIF is a valid container carrying the digest in a
+    comment block (LZW stays out of scope).  Dims use the same closed
+    doc_id formulas as synth_image_table so oracles replay them
     without parsing."""
     import numpy as np
     import pandas as pd
 
-    from swiftsoup_spark.ops.imagehdr import (encode_bmp, encode_gif_shell,
-                                              encode_jpeg_shell)
+    from swiftsoup_spark.ops.imagehdr import encode_bmp, encode_gif_shell
+    from swiftsoup_spark.ops.jpeg import encode_jpeg
     from swiftsoup_spark.ops.png import encode_png
 
     base = docs_df.select(
@@ -113,15 +114,14 @@ def synth_image_corpus(docs_df):
             for d, w, h, sel in zip(pdf["digest"], pdf["width"],
                                     pdf["height"], pdf["fsel"]):
                 w, h, d = int(w), int(h), bytes(d)
-                if sel in (0, 3):
-                    dig = np.frombuffer(d, dtype=np.uint8)
-                    grid = dig[(np.arange(h * w) % 16).reshape(h, w)]
-                    payloads.append(encode_png(grid) if sel == 0
-                                    else encode_bmp(grid))
-                elif sel == 1:
-                    payloads.append(encode_jpeg_shell(w, h, d))
-                else:
+                if sel == 2:
                     payloads.append(encode_gif_shell(w, h, d))
+                    continue
+                dig = np.frombuffer(d, dtype=np.uint8)
+                grid = dig[(np.arange(h * w) % 16).reshape(h, w)]
+                enc = (encode_png if sel == 0
+                       else encode_jpeg if sel == 1 else encode_bmp)
+                payloads.append(enc(grid))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
 
@@ -202,8 +202,8 @@ def _fake_decode(payload: bytes) -> list[float]:
 
 def image_features(img_df):
     """mapInPandas feature extraction: binary -> fixed-width float
-    vector. PNG and BMP payloads REALLY decode (ops/png.decode_png,
-    ops/imagehdr.decode_bmp) — features are the first 8 pixels / 255
+    vector. PNG, JPEG and BMP payloads REALLY decode (ops/png,
+    ops/jpeg, ops/imagehdr) — features are the first 8 pixels / 255
     and n_bytes counts decoded pixels; formats without an in-scope
     codec take the stub over raw payload bytes. One Arrow batch per
     call; the decode loop stays inside the batch."""
@@ -211,6 +211,7 @@ def image_features(img_df):
         import pandas as pd
 
         from swiftsoup_spark.ops.imagehdr import decode_bmp
+        from swiftsoup_spark.ops.jpeg import decode_jpeg
         from swiftsoup_spark.ops.png import decode_png
 
         for pdf in it:
@@ -226,6 +227,9 @@ def image_features(img_df):
                     flat = arr[:, :, 0].reshape(-1)
                 elif (bmp := decode_bmp(bytes(p))) is not None:
                     w, h, grey = bmp
+                    flat = grey.reshape(-1)
+                elif (jpg := decode_jpeg(bytes(p))) is not None:
+                    w, h, grey = jpg
                     flat = grey.reshape(-1)
                 else:
                     feats.append(_fake_decode(p))

@@ -112,20 +112,30 @@ def test_bmp_decode_bails():
 def test_corpus_payloads_parse(sel):
     # same construction as synth_image_corpus, minus Spark
     from swiftsoup_spark.ops.imagehdr import (encode_bmp as ebmp,
-                                              encode_gif_shell as egif,
-                                              encode_jpeg_shell as ejpg)
+                                              encode_gif_shell as egif)
+    from swiftsoup_spark.ops.jpeg import encode_jpeg as ejpg
     dig = bytes(range(16))
     w, h = 13, 9
-    if sel in (0, 3):
+    if sel == 2:
+        payload = egif(w, h, dig)
+    else:
         grid = np.frombuffer(dig, np.uint8)[
             (np.arange(h * w) % 16).reshape(h, w)]
-        payload = encode_png(grid) if sel == 0 else ebmp(grid)
-    elif sel == 1:
-        payload = ejpg(w, h, dig)
-    else:
-        payload = egif(w, h, dig)
+        payload = [encode_png, ejpg, None, ebmp][sel](grid)
     fmt = ["png", "jpeg", "gif", "bmp"][sel]
     assert sniff_image(payload) == (fmt, w, h)
+
+
+def test_corpus_jpeg_rows_really_decode():
+    from swiftsoup_spark.ops.jpeg import decode_jpeg, encode_jpeg
+    dig = bytes(range(16))
+    w, h = 33, 25
+    grid = np.frombuffer(dig, np.uint8)[
+        (np.arange(h * w) % 16).reshape(h, w)]
+    dec = decode_jpeg(encode_jpeg(grid))
+    assert dec is not None and (dec[0], dec[1]) == (w, h)
+    # values 0..15 on an 8-px period: lossy but nearby
+    assert np.mean(np.abs(dec[2].astype(int) - grid.astype(int))) < 8
 
 
 def test_sniff_never_raises_on_garbage():
