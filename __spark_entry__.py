@@ -1401,6 +1401,19 @@ def q_image_meta(spark, sf_dir):
     return image_meta(synth_image_table(_docs(spark, sf_dir)))
 
 
+def q_image_pixels(spark, sf_dir):
+    """Pixel-exact decode gate for the three LOSSLESS codecs (PNG via
+    zlib+unfilter, GIF via general LZW, BMP via DIB rows): decoded
+    pixel sums must equal the closed-form digest-tiling formula — a
+    value only byte-correct decodes produce. JPEG rows (lossy,
+    IDCT-precision-defined) are excluded here and pytest-gated in
+    test_jpeg instead."""
+    from swiftsoup_spark.ops.multimodal import (image_decode_check,
+                                                synth_image_corpus)
+    out = image_decode_check(synth_image_corpus(_docs(spark, sf_dir)))
+    return out.filter(F.col("doc_id") % 4 != 1)
+
+
 def q_embed_decontam(spark, sf_dir):
     """Embedding-space benchmark decontamination
     (ops/similarity.embed_decontam): the 16 'benchmark' vectors are
@@ -1718,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "url_templates": q_url_templates,
         "embed_decontam": q_embed_decontam,
+        "image_pixels": q_image_pixels,
     }
 
 
@@ -2767,6 +2781,28 @@ FROM d
         "jsonl_export": __import__(
             "swiftsoup_spark.ops.jsonl",
             fromlist=["jsonl_oracle_sql"]).jsonl_oracle_sql(),
+        "image_pixels": (lambda _b=[
+            f"((strpos('0123456789abcdef', substr(hx, {2 * j + 1}, 1)) - 1)"
+            f" * 16 + strpos('0123456789abcdef', substr(hx, {2 * j + 2}, 1))"
+            f" - 1)" for j in range(16)]: f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(1 + doc_id % 64 AS BIGINT) AS w,
+         CAST(1 + doc_id % 48 AS BIGINT) AS h
+  FROM documents WHERE doc_id % 4 != 1),
+s AS (
+  SELECT doc_id, w * h AS hw,
+         ({' + '.join(_b)}) AS sum16,
+         ({' + '.join(f"CASE WHEN {j} < (w * h) % 16 THEN {e} ELSE 0 END"
+                      for j, e in enumerate(_b))}) AS part
+  FROM d)
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'png'
+            WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+       hw AS n_pixels,
+       CAST((hw // 16) * sum16 + part AS BIGINT) AS pixel_sum
+FROM s
+""")(),
         "embed_decontam": """
 WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),

@@ -86,17 +86,17 @@ SNIFF_SCHEMA = T.StructType([
 
 def synth_image_corpus(docs_df):
     """Documents -> a four-format image corpus (doc_id % 4: png, jpeg,
-    gif, bmp), every payload genuine encoder output from the
-    from-scratch codecs (ops/png.py, ops/jpeg.py, ops/imagehdr.py).
-    PNG, JPEG and BMP carry REAL pixel grids (the md5-digest tiling;
-    JPEG lossily); GIF is a valid container carrying the digest in a
-    comment block (LZW stays out of scope).  Dims use the same closed
-    doc_id formulas as synth_image_table so oracles replay them
+    gif, bmp), every payload genuine encoder output from the four
+    from-scratch codecs (ops/png.py, ops/jpeg.py, ops/gif.py,
+    ops/imagehdr.py), every one carrying the REAL md5-digest-tiled
+    pixel grid (JPEG lossily, the rest exactly).  Dims use the same
+    closed doc_id formulas as synth_image_table so oracles replay them
     without parsing."""
     import numpy as np
     import pandas as pd
 
-    from swiftsoup_spark.ops.imagehdr import encode_bmp, encode_gif_shell
+    from swiftsoup_spark.ops.gif import encode_gif
+    from swiftsoup_spark.ops.imagehdr import encode_bmp
     from swiftsoup_spark.ops.jpeg import encode_jpeg
     from swiftsoup_spark.ops.png import encode_png
 
@@ -114,13 +114,10 @@ def synth_image_corpus(docs_df):
             for d, w, h, sel in zip(pdf["digest"], pdf["width"],
                                     pdf["height"], pdf["fsel"]):
                 w, h, d = int(w), int(h), bytes(d)
-                if sel == 2:
-                    payloads.append(encode_gif_shell(w, h, d))
-                    continue
                 dig = np.frombuffer(d, dtype=np.uint8)
                 grid = dig[(np.arange(h * w) % 16).reshape(h, w)]
-                enc = (encode_png if sel == 0
-                       else encode_jpeg if sel == 1 else encode_bmp)
+                enc = (encode_png, encode_jpeg, encode_gif,
+                       encode_bmp)[sel]
                 payloads.append(enc(grid))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
@@ -157,6 +154,61 @@ def image_sniff(img_df):
                                 "width": ws, "height": hs})
 
     return img_df.mapInPandas(batches, SNIFF_SCHEMA)
+
+
+DECODE_CHECK_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("n_pixels", T.LongType()),
+    T.StructField("pixel_sum", T.LongType()),
+])
+
+
+def image_decode_check(img_df):
+    """Full pixel decode through whichever codec the payload sniffs as
+    (PNG/JPEG/GIF/BMP), emitting the decoded pixel count and the exact
+    pixel SUM — for the lossless codecs a value only a byte-correct
+    decode produces, closed-form replayable from the synth digest
+    formulas (the hash gate for three real decoders at once).
+    Undecodable payloads emit nulls, never a metadata echo."""
+    def batches(it):
+        import pandas as pd
+
+        from swiftsoup_spark.ops.gif import decode_gif
+        from swiftsoup_spark.ops.imagehdr import decode_bmp, sniff_image
+        from swiftsoup_spark.ops.jpeg import decode_jpeg
+        from swiftsoup_spark.ops.png import decode_png
+
+        for pdf in it:
+            fmts, npx, sums = [], [], []
+            for p in pdf["payload"]:
+                p = bytes(p) if p is not None else None
+                sn = sniff_image(p)
+                dec = None
+                if sn is not None:
+                    fmt = sn[0]
+                    if fmt == "png":
+                        d = decode_png(p)
+                        dec = (d[0], d[1], d[3][:, :, 0]) if d else None
+                    elif fmt == "jpeg":
+                        dec = decode_jpeg(p)
+                    elif fmt == "gif":
+                        dec = decode_gif(p)
+                    else:
+                        dec = decode_bmp(p)
+                if dec is None:
+                    fmts.append(sn[0] if sn else None)
+                    npx.append(None)
+                    sums.append(None)
+                else:
+                    w, h, grey = dec
+                    fmts.append(sn[0])
+                    npx.append(w * h)
+                    sums.append(int(grey.astype("int64").sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "format": fmts,
+                                "n_pixels": npx, "pixel_sum": sums})
+
+    return img_df.mapInPandas(batches, DECODE_CHECK_SCHEMA)
 
 
 def image_meta(img_df):
@@ -210,6 +262,7 @@ def image_features(img_df):
     def batches(it):
         import pandas as pd
 
+        from swiftsoup_spark.ops.gif import decode_gif
         from swiftsoup_spark.ops.imagehdr import decode_bmp
         from swiftsoup_spark.ops.jpeg import decode_jpeg
         from swiftsoup_spark.ops.png import decode_png
@@ -230,6 +283,9 @@ def image_features(img_df):
                     flat = grey.reshape(-1)
                 elif (jpg := decode_jpeg(bytes(p))) is not None:
                     w, h, grey = jpg
+                    flat = grey.reshape(-1)
+                elif (gif := decode_gif(bytes(p))) is not None:
+                    w, h, grey = gif
                     flat = grey.reshape(-1)
                 else:
                     feats.append(_fake_decode(p))
