@@ -1401,6 +1401,25 @@ def q_image_meta(spark, sf_dir):
     return image_meta(synth_image_table(_docs(spark, sf_dir)))
 
 
+def q_audio_wav(spark, sf_dir):
+    """REAL audio decode gate: RIFF/WAV PCM16 payloads (ops/wav.py)
+    built from closed digest formulas, decoded by the chunk walk, and
+    reduced to per-frame |sample| sums the oracle replays exactly."""
+    from swiftsoup_spark.ops.multimodal import (synth_wav_table,
+                                                wav_frame_energy)
+    return wav_frame_energy(synth_wav_table(_docs(spark, sf_dir)))
+
+
+def q_video_y4m(spark, sf_dir):
+    """REAL video decode gate: Cmono YUV4MPEG2 payloads (ops/y4m.py),
+    parsed frame markers + raw luma planes, every 2nd frame sampled;
+    the 72-px plane is not a multiple of 16, so per-frame luma sums
+    genuinely differ and replay closed-form."""
+    from swiftsoup_spark.ops.multimodal import (synth_y4m_table,
+                                                y4m_frame_sample)
+    return y4m_frame_sample(synth_y4m_table(_docs(spark, sf_dir)))
+
+
 def q_image_pixels(spark, sf_dir):
     """Pixel-exact decode gate for the three LOSSLESS codecs (PNG via
     zlib+unfilter, GIF via general LZW, BMP via DIB rows): decoded
@@ -1732,6 +1751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": q_url_templates,
         "embed_decontam": q_embed_decontam,
         "image_pixels": q_image_pixels,
+        "audio_wav": q_audio_wav,
+        "video_y4m": q_video_y4m,
     }
 
 
@@ -2781,6 +2802,33 @@ FROM d
         "jsonl_export": __import__(
             "swiftsoup_spark.ops.jsonl",
             fromlist=["jsonl_oracle_sql"]).jsonl_oracle_sql(),
+        "audio_wav": (lambda _b=[
+            f"((strpos('0123456789abcdef', substr(hx, {2 * j + 1}, 1)) - 1)"
+            f" * 16 + strpos('0123456789abcdef', substr(hx, {2 * j + 2}, 1))"
+            f" - 1)" for j in range(16)]: f"""
+WITH d AS (SELECT doc_id, md5(text) AS hx FROM documents),
+e AS (SELECT doc_id, f,
+             256 * ({' + '.join(f"abs((({e}) * (1 + f)) % 256 - 128)"
+                                for e in _b)}) AS energy
+      FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) AS fr(f))
+SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+       CAST(energy AS BIGINT) AS energy
+FROM e
+""")(),
+        "video_y4m": (lambda _b=[
+            f"((strpos('0123456789abcdef', substr(hx, {2 * j + 1}, 1)) - 1)"
+            f" * 16 + strpos('0123456789abcdef', substr(hx, {2 * j + 2}, 1))"
+            f" - 1)" for j in range(16)]: f"""
+WITH d AS (SELECT doc_id, md5(text) AS hx FROM documents),
+e AS (SELECT doc_id, k,
+             ({' + '.join(f"({e}) * (4 + CASE WHEN (({j} - k) % 16 + 16)"
+                          f" % 16 < 8 THEN 1 ELSE 0 END)"
+                          for j, e in enumerate(_b))}) AS luma_sum
+      FROM d CROSS JOIN (VALUES (0), (2), (4)) AS fr(k))
+SELECT doc_id, CAST(k AS INTEGER) AS frame_idx,
+       CAST(luma_sum AS BIGINT) AS luma_sum
+FROM e
+""")(),
         "image_pixels": (lambda _b=[
             f"((strpos('0123456789abcdef', substr(hx, {2 * j + 1}, 1)) - 1)"
             f" * 16 + strpos('0123456789abcdef', substr(hx, {2 * j + 2}, 1))"

@@ -1,13 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Real Spark-side plumbing (schema, Arrow batching, mapInPandas batch
-shape) with a REAL from-scratch PNG decode path (``ops/png.py``, stdlib
-zlib only): PNG payloads are genuinely parsed — IHDR dims, row
-unfiltering, pixel access. Formats with no stdlib codec (jpeg here)
-take the documented STUB path: a deterministic fake decode over the
-payload bytes. Swap the stub for PIL/libvips/ffmpeg on a cluster with
-codecs — the batch contract (binary in, fixed-width features out) is
-what the engine guarantees either way."""
+shape) with REAL from-scratch decode paths for every uncompressed or
+stdlib-decompressible container: PNG (``ops/png.py``), baseline JPEG
+(``ops/jpeg.py``), GIF LZW (``ops/gif.py``), BMP (``ops/imagehdr.py``),
+WAV PCM16 (``ops/wav.py``), Y4M video (``ops/y4m.py``).  The documented
+STUB boundary is now exactly "compressed audio/video codecs"
+(mp3/aac/h264/... — no codec libs in this sandbox): those payloads take
+a deterministic fake decode over the raw bytes.  Swap the stub for
+ffmpeg/libvips on a cluster with codecs — the batch contract (binary
+in, fixed-width features out) is what the engine guarantees either
+way."""
 
 from __future__ import annotations
 
@@ -469,3 +472,133 @@ def image_resize(img_df, out_w: int = 4, out_h: int = 3):
             yield pd.DataFrame(out)
 
     return img_df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+# --- real uncompressed-container audio/video (WAV / Y4M) --------------------
+
+WAV_ENERGY_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("energy", T.LongType()),
+])
+
+Y4M_FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("luma_sum", T.LongType()),
+])
+
+
+def synth_wav_table(docs_df):
+    """Documents -> REAL mono PCM16 WAV payloads: 64 samples where
+    sample_i = ((b[i%16] * (1 + i//16)) % 256 - 128) * 256 over the
+    md5 digest bytes — every sample value is a closed-form function of
+    md5(text), so the decoded energies replay exactly in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from swiftsoup_spark.ops.wav import encode_wav
+
+    base = docs_df.select(
+        "doc_id", F.unhex(F.md5("text")).alias("digest"),
+        F.when(F.col("doc_id") % 2 == 0, 16000).otherwise(8000)
+         .cast("int").alias("rate"))
+
+    def batches(it):
+        for pdf in it:
+            payloads = []
+            for d, r in zip(pdf["digest"], pdf["rate"]):
+                b = np.frombuffer(bytes(d), np.uint8).astype(np.int64)
+                i = np.arange(64)
+                s = ((b[i % 16] * (1 + i // 16)) % 256 - 128) * 256
+                payloads.append(encode_wav(s.astype(np.int16), int(r)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return base.mapInPandas(batches, T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType())]))
+
+
+def wav_frame_energy(wav_df, frame: int = 16):
+    """REAL audio decode (ops/wav.py RIFF walk + PCM16) -> per-frame
+    energy sum(|sample|) rows. Undecodable payloads emit no rows."""
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from swiftsoup_spark.ops.wav import decode_wav
+
+        for pdf in it:
+            ids, idxs, es = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                dec = decode_wav(bytes(p)) if p is not None else None
+                if dec is None:
+                    continue
+                _rate, _ch, a = dec
+                mono = a[:, 0].astype(np.int64)
+                nf = len(mono) // frame
+                for f in range(nf):
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    es.append(int(np.abs(
+                        mono[f * frame:(f + 1) * frame]).sum()))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "energy": es})
+
+    return wav_df.mapInPandas(batches, WAV_ENERGY_SCHEMA)
+
+
+def synth_y4m_table(docs_df, n_frames: int = 6, w: int = 8, h: int = 9):
+    """Documents -> REAL Cmono Y4M payloads: frame k pixel i =
+    digest[(i + k) % 16] over the (h*w)-pixel plane — closed-form
+    replayable per frame (h*w=72 is NOT a multiple of 16, so frame
+    sums genuinely differ by k)."""
+    import numpy as np
+    import pandas as pd
+
+    from swiftsoup_spark.ops.y4m import encode_y4m
+
+    base = docs_df.select("doc_id", F.unhex(F.md5("text")).alias("digest"))
+
+    def batches(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["digest"]:
+                b = np.frombuffer(bytes(d), np.uint8)
+                i = np.arange(h * w)
+                frames = [b[(i + k) % 16].reshape(h, w)
+                          for k in range(n_frames)]
+                payloads.append(encode_y4m(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return base.mapInPandas(batches, T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType())]))
+
+
+def y4m_frame_sample(y4m_df, every: int = 2):
+    """REAL video decode (ops/y4m.py) + frame sampling: every
+    ``every``-th frame's luma sum. Undecodable payloads emit no rows."""
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from swiftsoup_spark.ops.y4m import decode_y4m
+
+        for pdf in it:
+            ids, idxs, sums = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                dec = decode_y4m(bytes(p)) if p is not None else None
+                if dec is None:
+                    continue
+                _w, _h, frames = dec
+                for k in range(0, len(frames), every):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    sums.append(int(frames[k].astype(np.int64).sum()))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "luma_sum": sums})
+
+    return y4m_df.mapInPandas(batches, Y4M_FRAME_SCHEMA)
