@@ -1401,6 +1401,25 @@ def q_image_meta(spark, sf_dir):
     return image_meta(synth_image_table(_docs(spark, sf_dir)))
 
 
+def q_page_directives(spark, sf_dir):
+    """Crawl-governance head metadata (ops/pagemeta.page_directives):
+    canonical link resolved via absUrl (relative on 2/3 of docs),
+    robots noindex/nofollow tokenization incl. case/space tolerance
+    and the 'none' shorthand. One fused kernel pass."""
+    from swiftsoup_spark.ops.pagemeta import page_directives
+    from swiftsoup_spark.spark.pages import variant_pages_df
+    return page_directives(variant_pages_df(spark, sf_dir, "headmeta"))
+
+
+def q_og_meta(spark, sf_dir):
+    """OpenGraph (property, content) rows in document order
+    (ops/pagemeta.og_meta): meta[property^="og:"] through the selector
+    engine, JVM-side posexplode."""
+    from swiftsoup_spark.ops.pagemeta import og_meta
+    from swiftsoup_spark.spark.pages import variant_pages_df
+    return og_meta(variant_pages_df(spark, sf_dir, "headmeta"))
+
+
 def q_audio_wav(spark, sf_dir):
     """REAL audio decode gate: RIFF/WAV PCM16 payloads (ops/wav.py)
     built from closed digest formulas, decoded by the chunk walk, and
@@ -1753,6 +1772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pixels": q_image_pixels,
         "audio_wav": q_audio_wav,
         "video_y4m": q_video_y4m,
+        "page_directives": q_page_directives,
+        "og_meta": q_og_meta,
     }
 
 
@@ -2802,6 +2823,21 @@ FROM d
         "jsonl_export": __import__(
             "swiftsoup_spark.ops.jsonl",
             fromlist=["jsonl_oracle_sql"]).jsonl_oracle_sql(),
+        "page_directives": f"""
+SELECT {URL_SQL} AS url,
+       CASE WHEN doc_id % 3 = 0 THEN 'https://canon.test/c' || doc_id
+            ELSE 'https://' || source || '.docs.test/c' || doc_id
+       END AS canonical,
+       CAST(doc_id % 4 AS INTEGER) IN (1, 3) AS noindex,
+       CAST(doc_id % 4 AS INTEGER) IN (2, 3) AS nofollow
+FROM documents
+""",
+        "og_meta": f"""
+SELECT {URL_SQL} AS url, o.idx, o.prop,
+       CASE o.idx WHEN 0 THEN 'OG ' || doc_id ELSE 'article' END AS content
+FROM documents
+CROSS JOIN (VALUES (0, 'og:title'), (1, 'og:type')) AS o(idx, prop)
+""",
         "audio_wav": (lambda _b=[
             f"((strpos('0123456789abcdef', substr(hx, {2 * j + 1}, 1)) - 1)"
             f" * 16 + strpos('0123456789abcdef', substr(hx, {2 * j + 2}, 1))"

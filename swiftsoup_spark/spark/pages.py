@@ -161,6 +161,21 @@ VARIANT_TEMPLATES = {
         " text || '</p><h2>End</h2></body></html>'",
         "'Doc ' || doc_id || ' Intro ' || text || ' Body ' || doc_id ||"
         " ' Deep ' || text || ' End'"),
+    # head-section governance metadata (canonical/robots/OpenGraph) for
+    # ops/pagemeta.py; canonical is relative on odd docs (absUrl path),
+    # robots content varies and includes the 'none' shorthand
+    "headmeta": (
+        "'<html><head>"
+        "<link rel=\"canonical\" href=\"' || CASE WHEN doc_id % 3 = 0 "
+        "THEN 'https://canon.test/c' || doc_id "
+        "ELSE '/c' || doc_id END || '\">"
+        "<meta name=\"robots\" content=\"' || CASE CAST(doc_id % 4 AS INT) "
+        "WHEN 0 THEN 'index, follow' WHEN 1 THEN 'NoIndex , follow' "
+        "WHEN 2 THEN 'index,nofollow' ELSE 'none' END || '\">"
+        "<meta property=\"og:title\" content=\"OG ' || doc_id || '\">"
+        "<meta property=\"og:type\" content=\"article\">"
+        "</head><body><p>' || text || '</p></body></html>'",
+        "'' || text"),
     # entity decoding in text AND attribute values (&amp; &lt; &gt; &quot;
     # &nbsp;)
     "entities": (
