@@ -1401,6 +1401,15 @@ def q_image_meta(spark, sf_dir):
     return image_meta(synth_image_table(_docs(spark, sf_dir)))
 
 
+def q_cms_sketch(spark, sf_dir):
+    """Count-min sketch counter table over corpus tokens (ops/cms.py):
+    4x256 md5-bucketed counters, one partial-aggregable groupBy of
+    ints, bit-exact vs the DuckDB replay. The heavy-hitters companion
+    to hll_sketch; merge = counter addition."""
+    from swiftsoup_spark.ops.cms import cms_sketch
+    return cms_sketch(_docs(spark, sf_dir))
+
+
 def q_page_directives(spark, sf_dir):
     """Crawl-governance head metadata (ops/pagemeta.page_directives):
     canonical link resolved via absUrl (relative on 2/3 of docs),
@@ -1774,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_y4m": q_video_y4m,
         "page_directives": q_page_directives,
         "og_meta": q_og_meta,
+        "cms_sketch": q_cms_sketch,
     }
 
 
@@ -2823,6 +2833,9 @@ FROM d
         "jsonl_export": __import__(
             "swiftsoup_spark.ops.jsonl",
             fromlist=["jsonl_oracle_sql"]).jsonl_oracle_sql(),
+        "cms_sketch": __import__(
+            "swiftsoup_spark.ops.cms",
+            fromlist=["cms_sketch_sql"]).cms_sketch_sql(),
         "page_directives": f"""
 SELECT {URL_SQL} AS url,
        CASE WHEN doc_id % 3 = 0 THEN 'https://canon.test/c' || doc_id
