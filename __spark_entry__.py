@@ -1630,6 +1630,76 @@ def q_events_hourly(spark, sf_dir):
                     "event_type", "n", "sum_value_e6"))
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (ops/similarity.semdedup): coarse
+    k-means-lite clusters (the same deterministic quantizer as
+    ann_ivf), intra-cluster cosine >= 0.95 drops the higher vec_id.
+    The sf embeddings are near-uniform noise with no qualifying pairs
+    (max pairwise cosine ~0.51), so the query plants the same
+    deterministic +0.02-per-dim near-duplicate copies as
+    embed_lsh_near_dup; the oracle replays seeding, one Lloyd round
+    (with the keep-seed-on-empty-cluster rule), assignment and the
+    intra-cluster pair drop verbatim."""
+    base = (_emb(spark, sf_dir).filter(F.col("vec_id") < 300)
+            .select("vec_id",
+                    F.transform("embedding", lambda x: x.cast("double"))
+                     .alias("embedding")))
+    pert = (base.filter(F.col("vec_id") % 3 == 0)
+            .select((F.col("vec_id") + 100000).alias("vec_id"),
+                    F.transform("embedding", lambda x: x + F.lit(0.02))
+                     .alias("embedding")))
+    return S.semdedup(base.unionByName(pert), n_clusters=8,
+                      threshold_e4=9500)
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """In-document paragraph repetition removal
+    (ops/dedup.dedup_paragraphs): each doc is given a planted repeated
+    paragraph (its 40-char prefix before AND after the body), and the
+    operator keeps only each paragraph's first occurrence — a pure
+    per-row codegen pass (split + indexed higher-order filter, no
+    shuffle). Oracle replays the construction and the keep-first rule
+    with DuckDB's indexed list_filter."""
+    from swiftsoup_spark.ops.dedup import dedup_paragraphs
+    d = _docs(spark, sf_dir)
+    raw = F.concat(F.substring("text", 1, 40), F.lit("\n"),
+                   F.col("text"), F.lit("\n"),
+                   F.substring("text", 1, 40))
+    return dedup_paragraphs(d.select("doc_id", raw.alias("text")))
+
+
+def q_perplexity_filter(spark, sf_dir):
+    """CCNet-style perplexity-bucket filter
+    (ops/ngramlm.perplexity_filter) over the same planted corpus and
+    broadcast char-5-gram model as lm_score: kept iff the model covers
+    the doc (coverage_e4 >= 6000) and scores it unsurprising
+    (avg_bits_e3 <= 3400); the doc_id % 41 == 7 'ab' plants pin the
+    too-short all-zeros -> dropped path."""
+    from swiftsoup_spark.ops.ngramlm import (char_ngram_model,
+                                             perplexity_filter)
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 41 == 7, F.lit("ab"))
+         .otherwise(F.col("text")).alias("text"))
+    model = char_ngram_model(planted, sample_mod=20, min_count=5)
+    return perplexity_filter(planted, model)
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE merge induction (ops/bpe.bpe_train): the corpus
+    is reduced ONCE to the word-count table, then each of 6 merge
+    rounds is one pair groupBy over the VOCAB + a TakeOrdered(1)
+    argmax scalar + a map-only literal replace. The ,,-separated
+    symbol-state encoding makes the merge a plain left-to-right
+    non-overlapping string replace — identical semantics in Spark and
+    DuckDB — so the oracle (6 unrolled CTE rounds with scalar-subquery
+    argmaxes) is value-exact, validated against a hand-rolled
+    reference BPE in tests/test_bpe.py."""
+    from swiftsoup_spark.ops.bpe import bpe_train
+    return bpe_train(_docs(spark, sf_dir), n_merges=6)
+
+
 # --------------------------------------------------------------------------
 
 _BODY_SQL = (
@@ -1784,6 +1854,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_directives": q_page_directives,
         "og_meta": q_og_meta,
         "cms_sketch": q_cms_sketch,
+        "semdedup": q_semdedup,
+        "paragraph_dedup": q_paragraph_dedup,
+        "perplexity_filter": q_perplexity_filter,
+        "bpe_train": q_bpe_train,
     }
 
 
@@ -2987,4 +3061,84 @@ SELECT source || '.docs.test' AS host,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
 FROM documents GROUP BY 1
 """,
+        "semdedup": """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE vec_id < 300),
+u AS (SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x + 0.02) AS v
+      FROM base WHERE vec_id % 3 = 0),
+rk AS (SELECT vec_id, v,
+              row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+       FROM u),
+seeds AS (SELECT r - 1 AS sid, v AS sv FROM rk WHERE r <= 8),
+a1 AS (SELECT vec_id, v, sid AS cid FROM (
+         SELECT u.vec_id, u.v, s.sid,
+                row_number() OVER (PARTITION BY u.vec_id
+                     ORDER BY list_cosine_similarity(u.v, s.sv) DESC, s.sid) AS rn
+         FROM u, seeds s) t WHERE rn = 1),
+comp AS (SELECT cid, dim, round(avg(val), 9) AS av FROM (
+           SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) - 1 AS dim
+           FROM a1) t
+         GROUP BY cid, dim),
+cent AS (SELECT s.sid AS cid, coalesce(c.cv, s.sv) AS cv FROM seeds s
+         LEFT JOIN (SELECT cid, list(av ORDER BY dim) AS cv
+                    FROM comp GROUP BY cid) c ON c.cid = s.sid),
+asg AS (SELECT vec_id, v, cid FROM (
+          SELECT u.vec_id, u.v, c.cid,
+                 row_number() OVER (PARTITION BY u.vec_id
+                      ORDER BY list_cosine_similarity(u.v, c.cv) DESC, c.cid) AS rn
+          FROM u, cent c) t WHERE rn = 1),
+drp AS (SELECT DISTINCT b.vec_id AS j
+        FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE CAST(round(round(list_cosine_similarity(a.v, b.v), 4) * 10000)
+                   AS BIGINT) >= 9500)
+SELECT CAST(asg.vec_id AS INTEGER) AS vec_id, CAST(asg.cid AS INTEGER) AS cid,
+       drp.j IS NULL AS kept
+FROM asg LEFT JOIN drp ON asg.vec_id = drp.j
+""",
+        "paragraph_dedup": """
+WITH t AS (SELECT doc_id,
+                  substr(text, 1, 40) || chr(10) || text || chr(10) ||
+                  substr(text, 1, 40) AS raw
+           FROM documents),
+s AS (SELECT doc_id, string_split(raw, chr(10)) AS ps FROM t)
+SELECT doc_id,
+       array_to_string(list_filter(ps, (x, i) -> list_position(ps, x) = i),
+                       chr(10)) AS text_clean,
+       CAST(len(ps) AS INTEGER) AS n_paras,
+       CAST(len(list_filter(ps, (x, i) -> list_position(ps, x) = i))
+            AS INTEGER) AS n_kept
+FROM s
+""",
+        "perplexity_filter": """
+WITH t AS (SELECT doc_id,
+                  CASE WHEN doc_id % 41 = 7 THEN 'ab' ELSE text END AS text
+           FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, length(text) - 4),
+                                   i -> substring(text, i, 5))) AS gram
+      FROM t WHERE length(text) >= 5),
+m AS (SELECT gram, count(*) AS cnt
+      FROM g WHERE doc_id % 20 = 0
+      GROUP BY gram HAVING count(*) >= 5),
+p AS (SELECT g.doc_id,
+             count(*) AS n_grams,
+             count(m.cnt) AS n_hits,
+             sum(CASE WHEN m.cnt IS NULL THEN 0
+                      ELSE length(printf('%b', m.cnt)) END) AS sum_bits
+      FROM g LEFT JOIN m USING (gram)
+      GROUP BY g.doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(p.n_hits * 10000 // p.n_grams, 0) AS BIGINT)
+         AS coverage_e4,
+       CAST(coalesce(p.sum_bits * 1000 // p.n_grams, 0) AS BIGINT)
+         AS avg_bits_e3,
+       (coalesce(p.n_hits * 10000 // p.n_grams, 0) >= 6000
+        AND coalesce(p.sum_bits * 1000 // p.n_grams, 0) <= 3400) AS kept
+FROM t LEFT JOIN p USING (doc_id)
+""",
+        "bpe_train": __import__(
+            "swiftsoup_spark.ops.bpe",
+            fromlist=["bpe_train_sql"]).bpe_train_sql(6),
     }

@@ -594,3 +594,26 @@ def incremental_dedup(df, new_col: str = "is_new", text_col: str = "text"):
                     F.when(F.col("__e"), "exact")
                      .when(F.col("__n"), "near")
                      .otherwise("kept").alias("verdict")))
+
+
+def dedup_paragraphs(df, text_col: str = "text", sep: str = "\n"):
+    """In-DOCUMENT repetition removal: keep the FIRST occurrence of
+    each exact-duplicate paragraph within a document, preserving
+    original order (the within-doc half of the CCNet/Gopher repetition
+    treatment — the cross-doc half is :func:`remove_boilerplate_lines`,
+    the statistical half is textstats.quality_repetition).
+
+    Returns (doc_id, text_clean, n_paras, n_kept).
+
+    Scale shape: pure per-row whole-stage codegen — split + an indexed
+    higher-order filter (element i survives iff its FIRST index in the
+    array is i). No shuffle, no UDF, no state: map-only at any corpus
+    size, and the filter is O(p^2) only in the per-document paragraph
+    count (tiny), never across rows."""
+    arr = F.split(F.col(text_col), sep)
+    kept = F.filter(arr, lambda x, i: F.array_position(arr, x) == i + 1)
+    return df.select(
+        "doc_id",
+        F.array_join(kept, sep).alias("text_clean"),
+        F.size(arr).cast("int").alias("n_paras"),
+        F.size(kept).cast("int").alias("n_kept"))

@@ -97,3 +97,27 @@ def lm_score(df, model_df, n: int = N_GRAM, text_col: str = "text"):
                F.coalesce(F.expr("sum_bits * 1000 DIV n_grams"), F.lit(0))
                 .cast("long").alias("avg_bits_e3")))
     return out
+
+
+def perplexity_filter(df, model_df, n: int = N_GRAM,
+                      min_coverage_e4: int = 6000,
+                      max_bits_e3: int = 3400,
+                      text_col: str = "text"):
+    """CCNet-style perplexity-bucket corpus filter on top of
+    :func:`lm_score`: a document is kept when the broadcast n-gram LM
+    both COVERS it (coverage_e4 >= min_coverage_e4 — the model has
+    seen its character distribution) and finds it unsurprising
+    (avg_bits_e3 <= max_bits_e3 — low integer-exact bits/gram, the
+    no-float stand-in for low perplexity). Too-short docs score all
+    zeros and are dropped by the coverage bound.
+
+    Returns (doc_id, coverage_e4, avg_bits_e3, kept) for every doc.
+
+    Scale shape: inherits lm_score's — model broadcast, text never
+    shuffles, one doc_id-keyed partial aggregate; the filter itself is
+    a map-only projection."""
+    scored = lm_score(df, model_df, n=n, text_col=text_col)
+    return scored.select(
+        "doc_id", "coverage_e4", "avg_bits_e3",
+        ((F.col("coverage_e4") >= min_coverage_e4)
+         & (F.col("avg_bits_e3") <= max_bits_e3)).alias("kept"))

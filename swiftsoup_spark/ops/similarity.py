@@ -326,3 +326,46 @@ def embed_decontam(emb_df, bench_df, threshold_e4: int = 9500):
             .select("vec_id", "max_sim_e4",
                     (F.col("max_sim_e4") >= threshold_e4)
                     .alias("contaminated")))
+
+
+def semdedup(emb_df, n_clusters: int = 8, threshold_e4: int = 9500,
+             centroids=None, iters: int = 1):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public paper): coarse-cluster the embedding
+    space with the same deterministic k-means-lite quantizer as IVF
+    (:func:`train_centroids`), then inside each cluster drop every
+    vector that has a lower-id neighbor at cosine >= threshold. The
+    survivor of a duplicate group is its lowest vec_id — deterministic
+    and local to each over-threshold pair, no iterative clustering.
+
+    Returns (vec_id, cid, kept) for EVERY input vector.
+
+    Scale shape: the pair stage is an intra-cluster self-join on the
+    centroid id — O(n^2/k) work vs all-pairs O(n^2); at 10^9+ vectors
+    pick k ~ sqrt(n) (the paper's regime: ~sqrt(n)-sized buckets) so
+    each bucket's quadratic term stays bounded and the join is an
+    ordinary shuffled equi join on cid. Centroids fold into the plan
+    as literals (k*d doubles — broadcast by construction). Similarity
+    crosses the engine gate as round-4dp e4 integers, the same
+    convention as cosine_near_dup/embed_decontam.
+    """
+    if centroids is None:
+        centroids = train_centroids(emb_df, k=n_clusters, iters=iters)
+    base = emb_df.select("vec_id", _as_double("embedding").alias("v"))
+    cid, _ = _best_centroid(F.col("v"), centroids)
+    assign = base.select("vec_id", cid, "v")
+    left = assign.select(F.col("vec_id").alias("i"),
+                         F.col("cid").alias("ci"), F.col("v").alias("vi"))
+    right = assign.select(F.col("vec_id").alias("j"),
+                          F.col("cid").alias("cj"), F.col("v").alias("vj"))
+    dropped = (left.join(right, (F.col("ci") == F.col("cj"))
+                         & (F.col("i") < F.col("j")))
+               .select("j",
+                       F.round(F.round(_cosine(F.col("vi"), F.col("vj")), 4)
+                               * 10000).cast("long").alias("sim_e4"))
+               .filter(F.col("sim_e4") >= threshold_e4)
+               .select("j").distinct())
+    return (assign.join(dropped, assign["vec_id"] == dropped["j"], "left")
+            .select(F.col("vec_id").cast("int").alias("vec_id"),
+                    F.col("cid").cast("int").alias("cid"),
+                    F.col("j").isNull().alias("kept")))
