@@ -1700,6 +1700,18 @@ def q_bpe_train(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), n_merges=6)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """BPE corpus encoding (ops/bpe.bpe_encode): apply the first 6
+    learned merges to the word-count table and report the top-30 BPE
+    tokens by corpus frequency. Same execution shape as training —
+    the corpus is reduced ONCE to word counts; merge rounds and the
+    final token explode run over the Zipf-small VOCAB weighted by
+    count, so corpus text never rides a shuffle. Oracle: the training
+    CTE chain then unnest off the final state (bpe_encode_sql)."""
+    from swiftsoup_spark.ops.bpe import bpe_encode
+    return bpe_encode(_docs(spark, sf_dir), n_merges=6, k=30)
+
+
 # --------------------------------------------------------------------------
 
 _BODY_SQL = (
@@ -1858,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "perplexity_filter": q_perplexity_filter,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -3141,4 +3154,7 @@ FROM t LEFT JOIN p USING (doc_id)
         "bpe_train": __import__(
             "swiftsoup_spark.ops.bpe",
             fromlist=["bpe_train_sql"]).bpe_train_sql(6),
+        "bpe_encode": __import__(
+            "swiftsoup_spark.ops.bpe",
+            fromlist=["bpe_encode_sql"]).bpe_encode_sql(6, k=30),
     }

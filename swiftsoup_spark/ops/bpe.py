@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_train", "bpe_train_sql"]
+__all__ = ["bpe_train", "bpe_train_sql", "bpe_encode", "bpe_encode_sql"]
 
 
 def _word_counts(df, text_col: str):
@@ -89,11 +89,42 @@ def bpe_train(df, n_merges: int = 3, text_col: str = "text"):
         out, "round: int, pair: string, merged: string, pair_count: long")
 
 
-def bpe_train_sql(n_merges: int = 3, text_expr: str = "text",
-                  table: str = "documents") -> str:
-    """DuckDB replay of :func:`bpe_train`: the same word counts, state
-    encoding, argmax (scalar subquery per round) and literal replace,
-    unrolled over ``n_merges`` CTE rounds."""
+def bpe_encode(df, n_merges: int = 3, text_col: str = "text",
+               k: int = 20):
+    """Apply the first ``n_merges`` learned merges to the corpus and
+    return the top-``k`` BPE tokens by corpus frequency
+    (token, n) — the encode side of the BPE loop. Same execution shape
+    as training: the corpus is reduced ONCE to the word-count table,
+    the merge rounds run over the vocab, and the final fully-merged
+    vocab state IS the encoding — tokens explode off the vocab weighted
+    by word count, so the only corpus-scale pass is the word groupBy.
+    Ties in the top-k break on token order (deterministic)."""
+    vocab = _word_counts(df, text_col).select(
+        F.concat(F.lit(",,"),
+                 F.regexp_replace("w", "(.)", "$1,,")).alias("s"),
+        "cnt")
+    for _ in range(n_merges):
+        top = (vocab.select(F.explode(_pairs(F.col("s"))).alias("pair"),
+                            "cnt")
+               .groupBy("pair").agg(F.sum("cnt").alias("pc"))
+               .orderBy(F.col("pc").desc(), F.col("pair"))
+               .limit(1).collect())
+        if not top:
+            break
+        a, b = top[0]["pair"].split(" ")
+        vocab = vocab.select(
+            F.replace(F.col("s"), F.lit(f",{a},,{b},"),
+                      F.lit(f",{a}{b},")).alias("s"),
+            "cnt")
+    tok = F.explode(F.filter(F.split("s", ",,"), lambda x: x != ""))
+    return (vocab.select(tok.alias("token"), "cnt")
+            .groupBy("token").agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "token").limit(k))
+
+
+def _train_ctes(n_merges: int, text_expr: str, table: str) -> str:
+    """The shared WITH-chain of the DuckDB replay: word counts ->
+    v1..v{n+1} states with per-round argmax CTEs t1..tn."""
     parts = [f"""
 WITH v1 AS (
   SELECT ',,' || regexp_replace(w, '(.)', '\\1,,', 'g') AS s, cnt FROM (
@@ -120,10 +151,30 @@ v{r + 1} AS (
          AS s, cnt
   FROM v{r}
 )""")
+    return "".join(parts)
+
+
+def bpe_encode_sql(n_merges: int = 3, text_expr: str = "text",
+                   table: str = "documents", k: int = 20) -> str:
+    """DuckDB replay of :func:`bpe_encode`: the training CTE chain,
+    then tokens unnested off the final state weighted by word count."""
+    return _train_ctes(n_merges, text_expr, table) + f"""
+SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM (
+  SELECT unnest(list_filter(string_split(s, ',,'), x -> x <> '')) AS token,
+         cnt
+  FROM v{n_merges + 1}) t
+GROUP BY token ORDER BY n DESC, token LIMIT {k}"""
+
+
+def bpe_train_sql(n_merges: int = 3, text_expr: str = "text",
+                  table: str = "documents") -> str:
+    """DuckDB replay of :func:`bpe_train`: the same word counts, state
+    encoding, argmax (scalar subquery per round) and literal replace,
+    unrolled over ``n_merges`` CTE rounds."""
     selects = [
         f"SELECT {r} AS round, pair,"
         f" replace(pair, ' ', '') AS merged,"
         f" CAST(pc AS BIGINT) AS pair_count FROM t{r}"
         for r in range(1, n_merges + 1)]
-    parts.append("\n" + "\nUNION ALL\n".join(selects))
-    return "".join(parts)
+    return (_train_ctes(n_merges, text_expr, table)
+            + "\n" + "\nUNION ALL\n".join(selects))

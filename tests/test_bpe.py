@@ -22,7 +22,8 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from swiftsoup_spark.ops.bpe import bpe_train, bpe_train_sql  # noqa: E402
+from swiftsoup_spark.ops.bpe import (bpe_encode, bpe_encode_sql,  # noqa: E402
+                                     bpe_train, bpe_train_sql)
 
 
 @pytest.fixture(scope="module")
@@ -107,6 +108,68 @@ def test_boundary_no_false_match(spark):
     srows = sorted(tuple(r) for r in bpe_train(df, 3).collect())
     assert srows == expected
     assert _duck_rows(texts, 3) == expected
+
+
+def _ref_encode(texts, n, k):
+    """Token frequencies of the final merged vocab state (the encode
+    side): run the reference trainer's vocab loop, then weight each
+    surviving symbol by its word count."""
+    wc = collections.Counter()
+    for t in texts:
+        for w in re.split("[^a-z]+", t.lower()):
+            if len(w) >= 2:
+                wc[w] += 1
+    vocab = collections.Counter()
+    for w, c in wc.items():
+        vocab[tuple(w)] += c
+    for _ in range(n):
+        pc = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        nv = collections.Counter()
+        for syms, c in vocab.items():
+            s, i, ns = list(syms), 0, []
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                    ns.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            nv[tuple(ns)] += c
+        vocab = nv
+    tok = collections.Counter()
+    for syms, c in vocab.items():
+        for s in syms:
+            tok[s] += c
+    return sorted(tok.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_encode_matches_reference_and_oracle(spark):
+    expected = [tuple(x) for x in _ref_encode(TEXTS, 6, 15)]
+    df = spark.createDataFrame(list(enumerate(TEXTS)),
+                               "doc_id: long, text: string")
+    srows = [(r["token"], r["n"])
+             for r in bpe_encode(df, 6, k=15).collect()]
+    assert srows == expected
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(TEXTS))
+    con.execute(f"CREATE TABLE documents AS SELECT * FROM (VALUES {vals}) "
+                "AS t(doc_id, text)")
+    assert con.execute(bpe_encode_sql(6, k=15)).fetchall() == expected
+
+
+def test_encode_merged_tokens_surface(spark):
+    # "th" and "the" should dominate the TEXTS corpus after 6 merges:
+    # the top token must be multi-character, proving merges applied.
+    df = spark.createDataFrame(list(enumerate(TEXTS)),
+                               "doc_id: long, text: string")
+    rows = bpe_encode(df, 6, k=5).collect()
+    assert len(rows[0]["token"]) > 1
 
 
 def test_deterministic(spark):
