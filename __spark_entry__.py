@@ -1712,6 +1712,19 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_encode(_docs(spark, sf_dir), n_merges=6, k=30)
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing fingerprint dedup (ops/winnow, Schleimer et al. 2003 /
+    MOSS): map-only local-min k-gram fingerprint selection (rightmost
+    tie-break via packed-BIGINT encoding), document-frequency prune
+    (2 <= df <= 8, the boilerplate/skew guard capping per-fingerprint
+    join fanout), ONE equi self-join on the fingerprint hash. Detects
+    copied passages >= k+w-1 = 23 chars with a provable floor —
+    complements block-aligned span hashing. Oracle: identical packed
+    min-of-window selection in DuckDB list functions."""
+    from swiftsoup_spark.ops.winnow import winnow_pairs
+    return winnow_pairs(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 
 _BODY_SQL = (
@@ -1871,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_filter": q_perplexity_filter,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "winnow_pairs": q_winnow_pairs,
     }
 
 
@@ -3157,4 +3171,7 @@ FROM t LEFT JOIN p USING (doc_id)
         "bpe_encode": __import__(
             "swiftsoup_spark.ops.bpe",
             fromlist=["bpe_encode_sql"]).bpe_encode_sql(6, k=30),
+        "winnow_pairs": __import__(
+            "swiftsoup_spark.ops.winnow",
+            fromlist=["winnow_pairs_sql"]).winnow_pairs_sql(),
     }
