@@ -1725,6 +1725,29 @@ def q_winnow_pairs(spark, sf_dir):
     return winnow_pairs(_docs(spark, sf_dir))
 
 
+def q_jsonld_meta(spark, sf_dir):
+    """JSON-LD extraction (ops/structdata.jsonld_fields): the kernel
+    lifts the raw script[type=application/ld+json] DataNode body (one
+    string per page, absent on doc_id%5=4 pages -> all-null row); the
+    field decode is Catalyst get_json_object inside whole-stage
+    codegen — including the $['@type'] bracket path and a nested
+    $.author.name — never Python JSON."""
+    from swiftsoup_spark.ops.structdata import jsonld_fields
+    from swiftsoup_spark.spark.pages import variant_pages_df
+    return jsonld_fields(variant_pages_df(spark, sf_dir, "structdata"))
+
+
+def q_microdata(spark, sf_dir):
+    """HTML microdata items (ops/structdata.microdata_items): itemprop
+    elements resolved to the NEAREST itemscope ancestor, value source
+    per the microdata spec (meta->content exercises the attr path,
+    span->text() the text path), emitted as document-order rows via
+    one JVM posexplode."""
+    from swiftsoup_spark.ops.structdata import microdata_items
+    from swiftsoup_spark.spark.pages import variant_pages_df
+    return microdata_items(variant_pages_df(spark, sf_dir, "structdata"))
+
+
 # --------------------------------------------------------------------------
 
 _BODY_SQL = (
@@ -1885,6 +1908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "winnow_pairs": q_winnow_pairs,
+        "jsonld_meta": q_jsonld_meta,
+        "microdata": q_microdata,
     }
 
 
@@ -3174,4 +3199,25 @@ FROM t LEFT JOIN p USING (doc_id)
         "winnow_pairs": __import__(
             "swiftsoup_spark.ops.winnow",
             fromlist=["winnow_pairs_sql"]).winnow_pairs_sql(),
+        "jsonld_meta": f"""
+SELECT {URL_SQL} AS url,
+       CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 'Article' END AS ld_type,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE 'Doc ' || doc_id END AS headline,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE CAST(doc_id % 97 AS BIGINT) END AS word_count,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE 'A' || (doc_id % 7) END AS author
+FROM documents
+""",
+        "microdata": f"""
+SELECT {URL_SQL} AS url, CAST(0 AS BIGINT) AS item_idx,
+       p.prop_idx, 'https://schema.org/Product' AS itemtype, p.prop,
+       CASE p.prop_idx WHEN 0 THEN 'P ' || doc_id
+            WHEN 1 THEN 'SKU-' || doc_id
+            ELSE '' || (doc_id % 50) END AS value
+FROM documents
+CROSS JOIN (VALUES (CAST(0 AS BIGINT), 'name'), (CAST(1 AS BIGINT), 'sku'),
+                   (CAST(2 AS BIGINT), 'price')) AS p(prop_idx, prop)
+""",
     }

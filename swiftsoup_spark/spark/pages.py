@@ -176,6 +176,27 @@ VARIANT_TEMPLATES = {
         "<meta property=\"og:type\" content=\"article\">"
         "</head><body><p>' || text || '</p></body></html>'",
         "'' || text"),
+    # schema.org structured data: a JSON-LD script (absent on doc_id%5=4
+    # pages — the null path), plus a microdata itemscope whose itemprop
+    # values exercise both value sources (element text AND meta@content).
+    # script data is a DataNode, excluded from text() (expected text
+    # proves it); the head/body JSON braces are literal SQL text.
+    "structdata": (
+        "'<html><head><title>S ' || doc_id || '</title>' || "
+        "CASE WHEN doc_id % 5 = 4 THEN '' ELSE "
+        "'<script type=\"application/ld+json\">"
+        "{\"@type\":\"Article\",\"headline\":\"Doc ' || doc_id || '\","
+        "\"wordCount\":' || (doc_id % 97) || ',"
+        "\"author\":{\"@type\":\"Person\",\"name\":\"A' || (doc_id % 7) ||"
+        " '\"}}</script>' END || "
+        "'</head><body>"
+        "<div itemscope itemtype=\"https://schema.org/Product\">"
+        "<span itemprop=\"name\">P ' || doc_id || '</span>"
+        "<meta itemprop=\"sku\" content=\"SKU-' || doc_id || '\">"
+        "<span itemprop=\"price\">' || (doc_id % 50) || '</span></div>"
+        "<p>' || text || '</p></body></html>'",
+        "'S ' || doc_id || ' P ' || doc_id || ' ' || (doc_id % 50) ||"
+        " ' ' || text"),
     # entity decoding in text AND attribute values (&amp; &lt; &gt; &quot;
     # &nbsp;)
     "entities": (
