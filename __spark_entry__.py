@@ -1748,6 +1748,17 @@ def q_microdata(spark, sf_dir):
     return microdata_items(variant_pages_df(spark, sf_dir, "structdata"))
 
 
+def q_feed_items(spark, sf_dir):
+    """RSS/Atom feed flattening (ops/feeds.feed_items): deterministic
+    feeds (RSS 2.0 on even doc_ids, Atom on odd, 1+id%3 items) parsed
+    with the XML tree builder — preserve-case tags, self-closing Atom
+    <link href>, entity decode in titles — and emitted as item rows via
+    one fused mapInArrow + JVM posexplode. Exercises BOTH link value
+    paths: RSS element text vs Atom href attribute."""
+    from swiftsoup_spark.ops.feeds import feed_items, synth_feed_table
+    return feed_items(synth_feed_table(_docs(spark, sf_dir)))
+
+
 # --------------------------------------------------------------------------
 
 _BODY_SQL = (
@@ -1910,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "jsonld_meta": q_jsonld_meta,
         "microdata": q_microdata,
+        "feed_items": q_feed_items,
     }
 
 
@@ -3219,5 +3231,16 @@ SELECT {URL_SQL} AS url, CAST(0 AS BIGINT) AS item_idx,
 FROM documents
 CROSS JOIN (VALUES (CAST(0 AS BIGINT), 'name'), (CAST(1 AS BIGINT), 'sku'),
                    (CAST(2 AS BIGINT), 'price')) AS p(prop_idx, prop)
+""",
+        "feed_items": """
+SELECT doc_id, CAST(i.n AS BIGINT) AS item_idx,
+       CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+       'T ' || doc_id || '-' || i.n || ' & more' AS title,
+       'https://h' || ((doc_id + i.n) % 9) || '.test/a' || doc_id ||
+         '-' || i.n AS link,
+       '2026-01-0' || (1 + i.n) AS ts
+FROM documents
+CROSS JOIN (VALUES (0), (1), (2)) AS i(n)
+WHERE i.n < 1 + doc_id % 3
 """,
     }
