@@ -1759,6 +1759,42 @@ def q_feed_items(spark, sf_dir):
     return feed_items(synth_feed_table(_docs(spark, sf_dir)))
 
 
+def q_latest_snapshot(spark, sf_dir):
+    """Latest-capture-per-URL dedup (ops/snapshots.latest_snapshot):
+    1 + doc_id % 3 synthetic captures per url; ONE groupBy with
+    max(struct(ts, payload)) — partial-aggregable (old captures die
+    map-side, never shuffle), tie-broken deterministically by payload,
+    no window sort. The canonical Common-Crawl multi-snapshot collapse."""
+    from swiftsoup_spark.ops.snapshots import latest_snapshot, synth_captures
+    return latest_snapshot(synth_captures(_docs(spark, sf_dir)))
+
+
+def q_fix_mojibake(spark, sf_dir):
+    """Mojibake repair (ops/mojibake.repair_mojibake): ftfy-style
+    Latin-1/CP1252 double-encoding fix, gated on a STRICT UTF-8
+    round-trip so genuine Latin text never mutates; doc_id % 3 == 0
+    rows carry planted 'cafÃ©' mojibake, the rest legit 'café' (the
+    false-positive guard is part of the oracle contract)."""
+    from pyspark.sql import functions as F
+    from swiftsoup_spark.ops.mojibake import repair_mojibake
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("CASE WHEN doc_id % 3 = 0 THEN 'cafÃ© ' ELSE 'café ' END"
+               " || text").alias("text"))
+    return repair_mojibake(df).select("doc_id", "was_mojibake", "text_fixed")
+
+
+def q_template_clusters(spark, sf_dir):
+    """DOM template clustering (ops/template.template_clusters): md5 of
+    the arena's DFS tag sequence per page (structure only, content
+    ignored) grouped by host — the CMS-template discovery step. The
+    fingerprint rides the same fused scan→mapInArrow stage as
+    extraction; only tiny (host, fp) pairs reach the shuffle."""
+    from swiftsoup_spark.ops.template import template_clusters
+    from swiftsoup_spark.spark.pages import pages_df
+    return template_clusters(pages_df(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 
 _BODY_SQL = (
@@ -1922,6 +1958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_meta": q_jsonld_meta,
         "microdata": q_microdata,
         "feed_items": q_feed_items,
+        "latest_snapshot": q_latest_snapshot,
+        "fix_mojibake": q_fix_mojibake,
+        "template_clusters": q_template_clusters,
     }
 
 
@@ -3242,5 +3281,24 @@ SELECT doc_id, CAST(i.n AS BIGINT) AS item_idx,
 FROM documents
 CROSS JOIN (VALUES (0), (1), (2)) AS i(n)
 WHERE i.n < 1 + doc_id % 3
+""",
+        "latest_snapshot": f"""
+SELECT {URL_SQL} AS url,
+       CAST(1767225600 + doc_id * 10 + doc_id % 3 AS BIGINT) AS ts_epoch,
+       'v' || (doc_id % 3) || ' ' || text AS content
+FROM documents
+""",
+        "fix_mojibake": """
+SELECT doc_id, doc_id % 3 = 0 AS was_mojibake,
+       'café ' || text AS text_fixed
+FROM documents
+""",
+        "template_clusters": """
+SELECT source || '.docs.test' AS host,
+       md5('html/head/meta/title/body/div/h1'
+           || repeat('/p', CAST(1 + doc_id % 4 AS INT)) || '/div/a') AS fp,
+       count(*) AS n_pages
+FROM documents
+GROUP BY 1, 2
 """,
     }
