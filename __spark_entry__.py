@@ -1784,6 +1784,48 @@ def q_fix_mojibake(spark, sf_dir):
     return repair_mojibake(df).select("doc_id", "was_mojibake", "text_fixed")
 
 
+def q_scrub_text(spark, sf_dir):
+    """Unicode scrub (ops/scrub.scrub_text): strip zero-width/control/
+    BOM chars, normalize exotic spaces — ONE shared regex pattern
+    rendered to Java regex AND RE2 (dual-dialect codegen, like
+    urlnorm). Input plants BOM + ZWSP + NBSP around each doc; pure JVM
+    whole-stage codegen, zero Python."""
+    from pyspark.sql import functions as F
+    from swiftsoup_spark.ops.scrub import scrub_text
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("\ufeff"), F.col("text"), F.lit("\u200b"),
+                 F.lit("\u00a0"), F.lit("end")).alias("text"))
+    return scrub_text(df).select("doc_id", "text_scrubbed", "n_removed")
+
+
+def q_host_boilerplate(spark, sf_dir):
+    """Host-scoped template-line removal (ops/dedup.
+    remove_host_boilerplate): drop lines present in ≥ max(2, half the
+    host's docs) distinct docs OF THE SAME HOST — per-site footer/nav
+    chrome. Planted 'Footer of {host}' / 'Contact {host}' lines vanish;
+    the unique body line survives; closed-form oracle."""
+    from pyspark.sql import functions as F
+    from swiftsoup_spark.ops.dedup import remove_host_boilerplate
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("source || '.docs.test'").alias("host"),
+        F.expr("'Footer of ' || source || chr(10) || 'B' || doc_id || ' ' "
+               "|| text || chr(10) || 'Contact ' || source").alias("text"))
+    return remove_host_boilerplate(df)
+
+
+def q_bm25(spark, sf_dir):
+    """Integer-exact BM25 top-5 retrieval (ops/search.bm25_topk):
+    bit-length idf + one exact integer division for the tf-saturation
+    term — no libm ln anywhere, scores replay bit-for-bit in DuckDB.
+    df is pruned to query terms before any corpus join (broadcast
+    probe); per-query top-k is salted two-phase (no corpus-wide
+    window)."""
+    from swiftsoup_spark.ops.search import bm25_topk, queries_df
+    return bm25_topk(_docs(spark, sf_dir), queries_df(spark), k=5)
+
+
 def q_template_clusters(spark, sf_dir):
     """DOM template clustering (ops/template.template_clusters): md5 of
     the arena's DFS tag sequence per page (structure only, content
@@ -1961,6 +2003,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_snapshot": q_latest_snapshot,
         "fix_mojibake": q_fix_mojibake,
         "template_clusters": q_template_clusters,
+        "scrub_text": q_scrub_text,
+        "host_boilerplate": q_host_boilerplate,
+        "bm25": q_bm25,
     }
 
 
@@ -3300,5 +3345,46 @@ SELECT source || '.docs.test' AS host,
        count(*) AS n_pages
 FROM documents
 GROUP BY 1, 2
+""",
+        "scrub_text": """
+SELECT doc_id, text || ' end' AS text_scrubbed, CAST(2 AS INT) AS n_removed
+FROM documents
+""",
+        "host_boilerplate": """
+SELECT doc_id, source || '.docs.test' AS host,
+       'B' || doc_id || ' ' || text AS text_clean,
+       CAST(3 AS BIGINT) AS n_lines, CAST(2 AS INT) AS n_removed
+FROM documents
+""",
+        "bm25": """
+WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM e
+       WHERE term != '' GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM e WHERE term != '' GROUP BY 1),
+av AS (SELECT count(*) AS n, (100 * sum(dl)) // count(*) AS avgdl_e2
+       FROM dl),
+q(query_id, terms) AS (VALUES (CAST(0 AS BIGINT), 'spark join'),
+                              (CAST(1 AS BIGINT), 'window sort merge'),
+                              (CAST(2 AS BIGINT), 'customer table')),
+qt AS (SELECT DISTINCT query_id, unnest(string_split(terms, ' ')) AS term
+       FROM q),
+dfq AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+cand AS (SELECT qt.query_id, tf.doc_id,
+                greatest(length(bin(av.n + 1)) - length(bin(dfq.df)), 1)
+                * ((10000 * 88 * av.avgdl_e2 * tf.tf)
+                   // (40 * av.avgdl_e2 * tf.tf + 12 * av.avgdl_e2
+                       + 3600 * dl.dl)) AS w
+         FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+              JOIN dl USING (doc_id) CROSS JOIN av),
+s AS (SELECT query_id, doc_id, CAST(sum(w) AS BIGINT) AS score
+      FROM cand GROUP BY 1, 2),
+r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM s)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+FROM r WHERE rank <= 5
 """,
     }

@@ -470,6 +470,55 @@ def remove_boilerplate_lines(df, text_col: str = "text", max_docs: int = 5,
         .select("doc_id", "text_clean", "n_lines", "n_removed"))
 
 
+def remove_host_boilerplate(df, host_col: str = "host",
+                            text_col: str = "text", min_docs: int = 2,
+                            min_frac: float = 0.5):
+    """Host-scoped template-line removal: drop every line appearing
+    (whitespace-normalized) in at least ``max(min_docs, ceil(min_frac *
+    host_doc_count))`` distinct documents OF THE SAME HOST — the
+    per-site footer/nav chrome that corpus-level thresholds miss on
+    small sites and over-fire on across sites. The standard site-level
+    variant of CCNet line dedup (cf. :func:`remove_boilerplate_lines`).
+
+    Returns (doc_id, host, text_clean, n_lines, n_removed).
+
+    Plan shape mirrors the corpus variant with the key widened to
+    (host, line_key): pass 0 is a tiny host→doc-count aggregate
+    (broadcast); pass 1 counts distinct docs per (host, line); pass 2
+    re-explodes with positions, LEFT-joins the flagged lines on the
+    uniform (host, md5) key, and rebuilds each doc with one bounded
+    sort_array(collect_list). A viral host's template line partial-
+    aggregates map-side in pass 1, so skew never funnels raw lines."""
+    norm = lambda c: F.trim(F.regexp_replace(c, "[ \\t\\r]+", " "))
+    host_docs = (df.groupBy(host_col)
+                 .agg(F.count("*").alias("__hd")))
+    lines = df.select(
+        "doc_id", host_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    keyed = lines.withColumn("line_key", F.md5(norm(F.col("line"))))
+    freq = (keyed.groupBy(host_col, "line_key")
+            .agg(F.count_distinct("doc_id").alias("__nd")))
+    boiler = (freq.join(F.broadcast(host_docs), host_col)
+              .filter(F.col("__nd") >= F.greatest(
+                  F.lit(min_docs),
+                  F.ceil(F.lit(min_frac) * F.col("__hd"))))
+              .select(host_col, "line_key", F.lit(1).alias("__boiler")))
+    flagged = keyed.join(boiler, [host_col, "line_key"], "left")
+    return (flagged.groupBy("doc_id", host_col).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("__boiler").isNotNull(), 1).otherwise(0))
+         .cast("int").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.when(
+                    F.col("__boiler").isNull(),
+                    F.struct("pos", "line")))),
+                lambda s: s["line"]),
+            "\n").alias("text_clean"))
+        .select("doc_id", F.col(host_col).alias("host"), "text_clean",
+                "n_lines", "n_removed"))
+
+
 # --- duplicated-span detection (block rolling-hash) --------------------------
 
 
