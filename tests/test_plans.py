@@ -160,3 +160,57 @@ def test_host_sample_salted_two_phase(spark, tmp_path_factory):
     assert plan.count("Exchange") >= 2, plan
     assert re.search(r"keys=\[host#\d+, s#\d+", plan), plan
     assert re.search(r"keys=\[host#\d+\]", plan), plan
+
+
+def test_bm25_broadcasts_query_model(spark):
+    """BM25's (query, term, idf) model must broadcast onto the corpus
+    tf table (map-only probe), and the per-query top-k must be the
+    salted TWO-phase shape — no corpus-wide window, no cartesian."""
+    import __spark_entry__ as E
+    df = E.queries()["bm25"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, plan
+    import re
+    # phase 1 keys (query_id, __s salt), phase 2 key (query_id)
+    assert re.search(r"keys=\[query_id#\d+L?, __s#\d+", plan), plan
+    assert re.search(r"keys=\[query_id#\d+L?\]", plan), plan
+
+
+def test_template_fingerprint_fused(spark, tmp_path_factory):
+    """The DFS-tag fingerprint must ride ONE fused scan→MapInArrow
+    stage (html never shuffles); only (host, fp) pairs reach the
+    partial-aggregated groupBy."""
+    from swiftsoup_spark.ops.template import template_clusters
+    from swiftsoup_spark.spark.pages import pages_df
+
+    out = str(tmp_path_factory.mktemp("pages6"))
+    pages_df(spark, SF_DIR).write.mode("overwrite").parquet(out)
+    pages = spark.read.parquet(out)
+    plan = _plan(template_clusters(pages))
+    assert "MapInArrow" in plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") >= 2  # map-side partials
+
+
+def test_latest_snapshot_single_partial_agg(spark):
+    """Argmax-per-url must be ONE max(struct) aggregate with map-side
+    partials — no Window, no self-join back."""
+    import __spark_entry__ as E
+    df = E.queries()["latest_snapshot"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
+
+
+def test_host_boilerplate_broadcasts_host_counts(spark):
+    """The tiny host→doc-count aggregate must broadcast; line traffic
+    stays keyed on the uniform (host, line_key)."""
+    import __spark_entry__ as E
+    df = E.queries()["host_boilerplate"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
