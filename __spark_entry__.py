@@ -1826,6 +1826,33 @@ def q_bm25(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), queries_df(spark), k=5)
 
 
+def q_dedup_norm(spark, sf_dir):
+    """Normalized-key exact dedup (ops/dedup.norm_exact_dedup): the
+    CCNet/BigScience aggressive normalization (lowercase, non-letters →
+    space, squeeze, trim) so case/punctuation/digit noise never splits
+    a duplicate group. Input carries two variants per doc (raw + upper-
+    cased-with-noise); one md5 groupBy, count+min both partial-
+    aggregable. Oracle replays the identical normalization in RE2."""
+    from pyspark.sql import functions as F
+    from swiftsoup_spark.ops.dedup import norm_exact_dedup
+    df = (_docs(spark, sf_dir).selectExpr(
+        "explode(array(struct(doc_id * 2 AS id, text AS t), "
+        "struct(doc_id * 2 + 1 AS id, upper(text) || ' !!! 123' AS t)))"
+        " AS s")
+        .select(F.col("s.id").alias("id"), F.col("s.t").alias("text")))
+    return norm_exact_dedup(df, "text", "id")
+
+
+def q_bm25_snippets(spark, sf_dir):
+    """Search-result rendering (ops/search.bm25_snippets): keyword-in-
+    context snippets for the BM25 top-k — the tiny hit list broadcasts
+    BACK onto the corpus (map-only; text never shuffles, non-hit docs
+    never materialize), snippet window via locate/substring in pure
+    JVM codegen."""
+    from swiftsoup_spark.ops.search import bm25_snippets, queries_df
+    return bm25_snippets(_docs(spark, sf_dir), queries_df(spark), k=5)
+
+
 def q_template_clusters(spark, sf_dir):
     """DOM template clustering (ops/template.template_clusters): md5 of
     the arena's DFS tag sequence per page (structure only, content
@@ -2006,6 +2033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_text": q_scrub_text,
         "host_boilerplate": q_host_boilerplate,
         "bm25": q_bm25,
+        "dedup_norm": q_dedup_norm,
+        "bm25_snippets": q_bm25_snippets,
     }
 
 
@@ -3386,5 +3415,50 @@ r AS (SELECT query_id, doc_id, score,
       FROM s)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
 FROM r WHERE rank <= 5
+""",
+        "dedup_norm": """
+WITH v AS (SELECT doc_id * 2 AS id, text AS t FROM documents
+           UNION ALL
+           SELECT doc_id * 2 + 1, upper(text) || ' !!! 123'
+           FROM documents)
+SELECT md5(trim(regexp_replace(regexp_replace(lower(t),
+           '[^a-z ]', ' ', 'g'), ' +', ' ', 'g'))) AS nkey,
+       count(*) AS n_docs, min(id) AS rep_id
+FROM v GROUP BY 1
+""",
+        "bm25_snippets": """
+WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM e
+       WHERE term != '' GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM e WHERE term != '' GROUP BY 1),
+av AS (SELECT count(*) AS n, (100 * sum(dl)) // count(*) AS avgdl_e2
+       FROM dl),
+q(query_id, terms, t1) AS (VALUES
+    (CAST(0 AS BIGINT), 'spark join', 'spark'),
+    (CAST(1 AS BIGINT), 'window sort merge', 'window'),
+    (CAST(2 AS BIGINT), 'customer table', 'customer')),
+qt AS (SELECT DISTINCT query_id, unnest(string_split(terms, ' ')) AS term
+       FROM q),
+dfq AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+cand AS (SELECT qt.query_id, tf.doc_id,
+                greatest(length(bin(av.n + 1)) - length(bin(dfq.df)), 1)
+                * ((10000 * 88 * av.avgdl_e2 * tf.tf)
+                   // (40 * av.avgdl_e2 * tf.tf + 12 * av.avgdl_e2
+                       + 3600 * dl.dl)) AS w
+         FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+              JOIN dl USING (doc_id) CROSS JOIN av),
+s AS (SELECT query_id, doc_id, CAST(sum(w) AS BIGINT) AS score
+      FROM cand GROUP BY 1, 2),
+r AS (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM s)
+SELECT r.query_id, CAST(r.rank AS BIGINT) AS rank, r.doc_id,
+       substr(d.text, greatest(strpos(d.text, q.t1) - 30, 1), 60)
+         AS snippet
+FROM r JOIN q USING (query_id) JOIN documents d ON d.doc_id = r.doc_id
+WHERE r.rank <= 5
 """,
     }

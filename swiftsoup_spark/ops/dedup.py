@@ -519,6 +519,30 @@ def remove_host_boilerplate(df, host_col: str = "host",
                 "n_lines", "n_removed"))
 
 
+def norm_key_col(col):
+    """Aggressive dedup-key normalization (the CCNet/BigScience recipe):
+    lowercase, non-letters → space, squeeze runs, trim — so case,
+    punctuation, and digit noise never split a duplicate group."""
+    return F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(col), "[^a-z ]", " "), " +", " "))
+
+
+def norm_key_sql(expr: str) -> str:
+    """The identical normalization as DuckDB SQL (RE2 needs the 'g'
+    flag where Java regexp_replace is global by default)."""
+    return ("trim(regexp_replace(regexp_replace(lower(" + expr + "), "
+            "'[^a-z ]', ' ', 'g'), ' +', ' ', 'g'))")
+
+
+def norm_exact_dedup(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup on the NORMALIZED key: (nkey, n_docs, rep_id) —
+    one md5 groupBy with map-side partials (count + min both partial-
+    aggregable), representative = lowest id, deterministic."""
+    return (df.groupBy(F.md5(norm_key_col(F.col(text_col))).alias("nkey"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(id_col).alias("rep_id")))
+
+
 # --- duplicated-span detection (block rolling-hash) --------------------------
 
 

@@ -37,7 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk", "QUERY_SET", "queries_df", "queries_values_sql"]
+__all__ = ["bm25_topk", "bm25_snippets", "QUERY_SET", "queries_df",
+           "queries_values_sql"]
 
 # deterministic demo query set over the synthetic vocabulary
 QUERY_SET = [(0, "spark join"), (1, "window sort merge"),
@@ -110,3 +111,25 @@ def bm25_topk(docs, queries, k: int = 5, id_col: str = "doc_id",
             .select("query_id", (F.col("pos") + 1).cast("long").alias("rank"),
                     F.col("t.d").alias("doc_id"),
                     (-F.col("t.ns")).cast("long").alias("score")))
+
+
+def bm25_snippets(docs, queries, k: int = 5, width: int = 30,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """(query_id, rank, doc_id, snippet): the top-k result rows with a
+    keyword-in-context snippet of ``2*width`` chars around the first
+    occurrence of the query's FIRST term (document start when the hit
+    came from another term — locate()'s 0 clamps to position 1).
+
+    Scale shape: the (query × k) hit list is tiny, so it BROADCASTS
+    back onto the corpus — one map-only pass projects snippets; the
+    corpus text never shuffles and non-hit docs never materialize."""
+    top = bm25_topk(docs, queries, k, id_col=id_col, text_col=text_col)
+    probe = (queries
+             .select("query_id", F.split("terms", " ")[0].alias("__t"))
+             .join(top, "query_id"))
+    return (docs.join(F.broadcast(probe), id_col)
+            .selectExpr(
+                "query_id", "rank", id_col,
+                f"substring({text_col}, "
+                f"greatest(locate(__t, {text_col}) - {width}, 1), "
+                f"{2 * width}) AS snippet"))

@@ -80,3 +80,45 @@ def test_bm25_deterministic_across_partitionings(spark):
     a = bm25_topk(docs.repartition(1), queries_df(spark), k=5).collect()
     b = bm25_topk(docs.repartition(17), queries_df(spark), k=5).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_norm_exact_dedup(spark):
+    from swiftsoup_spark.ops.dedup import norm_exact_dedup
+    df = spark.createDataFrame(
+        [(1, "Hello,   World! 42"), (2, "hello world"),
+         (3, "HELLO ... world"), (4, "different text")],
+        "doc_id long, text string")
+    out = {r.nkey: r for r in norm_exact_dedup(df).collect()}
+    assert len(out) == 2
+    big = max(out.values(), key=lambda r: r.n_docs)
+    assert (big.n_docs, big.rep_id) == (3, 1)
+
+
+def test_norm_key_sql_matches(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+    from swiftsoup_spark.ops.dedup import norm_key_col, norm_key_sql
+    vals = ["A  b,c!", "x9y", "  trim me  ", "plain"]
+    got = [r.k for r in spark.createDataFrame([(v,) for v in vals],
+                                              "t string")
+           .select(norm_key_col(F.col("t")).alias("k"), "t")
+           .orderBy("t").collect()]
+    exp = [r[0] for r in duckdb.connect().execute(
+        f"SELECT {norm_key_sql('t')} FROM (SELECT unnest(?) AS t)"
+        " ORDER BY t", [vals]).fetchall()]
+    assert got == exp
+
+
+def test_bm25_snippets_window(spark):
+    from swiftsoup_spark.ops.search import bm25_snippets
+    docs = spark.createDataFrame(
+        [(0, ("pad " * 20) + "spark sits here " + ("tail " * 20)),
+         (1, "join only doc")],
+        "doc_id long, text string")
+    qs = spark.createDataFrame([(0, "spark join")],
+                               "query_id long, terms string")
+    rows = {r.doc_id: r for r in bm25_snippets(docs, qs, k=2,
+                                               width=10).collect()}
+    assert "spark" in rows[0].snippet and len(rows[0].snippet) == 20
+    # doc 1 matched via 'join' only: locate('spark')=0 -> window from pos 1
+    assert rows[1].snippet.startswith("join only")
