@@ -1942,15 +1942,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         # -- last green row r1-r3 ---------------------------------------
         "fingerprint": q_fingerprint,
-        "ann_brute_force": q_ann_brute_force,
         "ann_bucketed": q_ann_bucketed,
-        "cosine_near_dup": q_cosine_near_dup,
         "image_meta": q_image_meta,
         "image_features": q_image_features,
-        "events_hourly": q_events_hourly,
-        "host_url_sample": q_host_url_sample,
-        "host_stats": q_host_stats,
-        # -- core extraction window (r4-green, kept in the gate) --------
+        # -- r4-green but touched by the r5 kernel fixes (raw-source
+        # dirty tracking, foster-parent spans, xml guard — b401d5e):
+        # fresh rows prove the serializer/span surface stayed green
+        "outer_html": q_outer_html,
+        "html_roundtrip": q_html_roundtrip,
+        "rewrite_links_raw": q_rewrite_links_raw,
+        "selector_spans": q_selector_spans,
+        "extract_text_tables": q_extract_text_tables,
+        # ---- ~position 50: the driver gate records roughly this far ----
         "extract_text": q_extract_text,
         "extract_main_text": q_extract_main_text,
         "extract_title": q_extract_title,
@@ -1964,18 +1967,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_basic": q_clean_basic,
         "clean_simpletext": q_clean_simpletext,
         "clean_isvalid": q_clean_isvalid,
-        "outer_html": q_outer_html,
-        "html_roundtrip": q_html_roundtrip,
-        "rewrite_links_raw": q_rewrite_links_raw,
-        "selector_spans": q_selector_spans,
         "own_text": q_own_text,
         "form_data": q_form_data,
         "parse_xml": q_parse_xml,
-        # ---- ~position 50: r4-green remainder --------------------------
         "parse_metrics": q_parse_metrics,
         "corpus_metrics": q_corpus_metrics,
         "extract_quality_pipeline": q_extract_quality_pipeline,
-        "extract_text_tables": q_extract_text_tables,
         "extract_text_tables_clean": q_extract_text_tables_clean,
         "extract_text_misnested": q_extract_text_misnested,
         "extract_text_svg": q_extract_text_svg,
@@ -2035,6 +2032,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "dedup_norm": q_dedup_norm,
         "bm25_snippets": q_bm25_snippets,
+        # -- rotated out of the gate window (older green rows, code
+        # unchanged since): r3 similarity baselines + r2 host/stream aggs
+        "ann_brute_force": q_ann_brute_force,
+        "cosine_near_dup": q_cosine_near_dup,
+        "events_hourly": q_events_hourly,
+        "host_url_sample": q_host_url_sample,
+        "host_stats": q_host_stats,
     }
 
 
