@@ -1853,6 +1853,51 @@ def q_bm25_snippets(spark, sf_dir):
     return bm25_snippets(_docs(spark, sf_dir), queries_df(spark), k=5)
 
 
+# deterministic interval dimension for the range-join query: 8 90-min
+# windows on a 2 h stride + 2 wide 6 h windows that OVERLAP them (an
+# event can honestly match several intervals). Epochs from 2024-01-01Z.
+_RJ_BASE = 1704067200
+_RJ_WINDOWS = ([(i, _RJ_BASE + i * 7200, _RJ_BASE + i * 7200 + 5400)
+                for i in range(8)]
+               + [(8, _RJ_BASE, _RJ_BASE + 21600),
+                  (9, _RJ_BASE + 21600, _RJ_BASE + 43200)])
+
+
+def q_asof_snapshot(spark, sf_dir):
+    """As-of join (ops/asof.as_of_join): most-recent capture at-or-
+    before each probe timestamp — the temporal lookup Spark has no
+    operator for, done as equi join (bounded per-key fanout) + one
+    partial-aggregable max(struct) argmax. Probe ts sits between
+    captures 1 and 2, so 1-capture urls resolve to c=0, the rest to
+    c=1 (closed-form oracle)."""
+    from pyspark.sql import functions as F
+    from swiftsoup_spark.ops.asof import as_of_join
+    from swiftsoup_spark.ops.snapshots import synth_captures
+    from swiftsoup_spark.spark.pages import TS0, URL_SQL
+    docs = _docs(spark, sf_dir)
+    probes = docs.select(
+        F.expr(URL_SQL).alias("url"),
+        (F.lit(TS0) + F.col("doc_id") * 10 + 1).cast("long").alias("q_ts"))
+    return as_of_join(probes, synth_captures(docs))
+
+
+def q_range_join(spark, sf_dir):
+    """Bucketized range join (ops/rangejoin.interval_join_bucketed):
+    events matched to overlapping time windows via hour-bucket
+    EQUI join + residual BETWEEN — never a nested-loop predicate
+    join; intervals broadcast, corpus side map-only. Oracle is the
+    naive BETWEEN join in DuckDB."""
+    from pyspark.sql import functions as F
+    from swiftsoup_spark.ops.rangejoin import interval_join_bucketed
+    iv = spark.createDataFrame(_RJ_WINDOWS,
+                               "w_id long, start_ep long, end_ep long")
+    j = interval_join_bucketed(_events(spark, sf_dir), iv)
+    return (j.groupBy("w_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value") * 1000000).cast("long")
+                 .alias("sum_value_e6")))
+
+
 def q_template_clusters(spark, sf_dir):
     """DOM template clustering (ops/template.template_clusters): md5 of
     the arena's DFS tag sequence per page (structure only, content
@@ -2032,6 +2077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "dedup_norm": q_dedup_norm,
         "bm25_snippets": q_bm25_snippets,
+        "asof_snapshot": q_asof_snapshot,
+        "range_join": q_range_join,
         # -- rotated out of the gate window (older green rows, code
         # unchanged since): r3 similarity baselines + r2 host/stream aggs
         "ann_brute_force": q_ann_brute_force,
@@ -3465,4 +3512,24 @@ SELECT r.query_id, CAST(r.rank AS BIGINT) AS rank, r.doc_id,
 FROM r JOIN q USING (query_id) JOIN documents d ON d.doc_id = r.doc_id
 WHERE r.rank <= 5
 """,
+        "asof_snapshot": f"""
+SELECT {URL_SQL} AS url,
+       CAST(1767225600 + doc_id * 10 + 1 AS BIGINT) AS q_ts,
+       CAST(1767225600 + doc_id * 10 + least(1, doc_id % 3) AS BIGINT)
+         AS ts_epoch,
+       'v' || least(1, doc_id % 3) || ' ' || text AS content
+FROM documents
+""",
+        "range_join": (
+            "WITH w(w_id, start_ep, end_ep) AS (VALUES "
+            + ", ".join(f"(CAST({i} AS BIGINT), {s}, {e})"
+                        for i, s, e in _RJ_WINDOWS)
+            + """),
+e AS (SELECT CAST(extract(epoch FROM ts) AS BIGINT) AS ep, value
+      FROM events)
+SELECT w_id, count(*) AS n_events,
+       CAST(round(sum(value) * 1000000) AS BIGINT) AS sum_value_e6
+FROM e JOIN w ON e.ep BETWEEN w.start_ep AND w.end_ep
+GROUP BY 1
+"""),
     }
