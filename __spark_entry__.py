@@ -1934,6 +1934,106 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_extract_text(spark, "/root/testdata/sf0.001")
 
 
+# multi-regdom url synth for the governance queries: ~74 registered
+# domains (37 sites × {.com, .co.uk}), every 4th site on a PSL
+# second-level registry so the PSL path is exercised — shared verbatim
+# with the oracle
+REGDOM_URL_SQL = ("'https://www.site' || (doc_id % 37) || "
+                  "(CASE WHEN doc_id % 4 = 0 THEN '.co.uk' "
+                  "ELSE '.com' END) || '/p' || doc_id")
+
+# soft-404 page synth: every 11th doc is an HTTP-200 error page, every
+# 13th (non-11th) a thin stub, the rest real articles — shared verbatim
+# with the oracle, which replays the extraction closed-form
+SOFT404_HTML_SQL = (
+    "CASE WHEN doc_id % 11 = 0 THEN "
+    "'<html><head><title>404 Not Found</title></head><body>"
+    "<p>the page you requested was not found</p></body></html>' "
+    "WHEN doc_id % 13 = 0 THEN "
+    "'<html><head><title>Stub ' || doc_id || '</title></head><body>"
+    "<p>tiny</p></body></html>' "
+    "ELSE '<html><head><title>Doc ' || doc_id || '</title></head><body>"
+    "<p>' || text || '</p></body></html>' END")
+SOFT404_TITLE_SQL = ("CASE WHEN doc_id % 11 = 0 THEN '404 Not Found' "
+                     "WHEN doc_id % 13 = 0 THEN 'Stub ' || doc_id "
+                     "ELSE 'Doc ' || doc_id END")
+SOFT404_TEXT_SQL = (
+    "CASE WHEN doc_id % 11 = 0 THEN "
+    "'404 Not Found the page you requested was not found' "
+    "WHEN doc_id % 13 = 0 THEN 'Stub ' || doc_id || ' tiny' "
+    "ELSE 'Doc ' || doc_id || ' ' || text END")
+
+# planted exact duplicates for soft-dedup: every 5th doc collapses to
+# one of 3 shared boilerplate strings — shared verbatim with the oracle
+SOFTDEDUP_TEXT_SQL = ("CASE WHEN doc_id % 5 = 0 THEN "
+                      "'shared boilerplate copy ' || (doc_id % 3) "
+                      "ELSE text END")
+
+
+def q_corpus_composition(spark, sf_dir):
+    """Corpus composition report (ops/governance.corpus_composition):
+    per-PSL-registered-domain doc/token counts, integer-exact ppm token
+    share, and the rank-ordered concentration curve (cum_share_ppm) —
+    the governance table a 100 TB corpus ships with. Text never
+    shuffles; windows run over the regdom table only."""
+    from swiftsoup_spark.ops.governance import corpus_composition
+    load_documents(spark, sf_dir)
+    d = spark.sql(
+        f"SELECT {REGDOM_URL_SQL} AS url, text FROM documents")
+    return corpus_composition(d)
+
+
+def q_split_by_host(spark, sf_dir):
+    """Site-leakage-safe train/val/test split
+    (ops/governance.split_by_host): buckets from md5(registered
+    domain), so every page of a site shares a split — the complement of
+    content-hash split_assign. Zero shuffle."""
+    from swiftsoup_spark.ops.governance import split_by_host
+    load_documents(spark, sf_dir)
+    d = spark.sql(
+        f"SELECT doc_id, {REGDOM_URL_SQL} AS url FROM documents")
+    return split_by_host(d)
+
+
+def q_softdedup_weights(spark, sf_dir):
+    """Soft de-duplication weights (ops/governance.softdedup_weights):
+    every copy kept with integer-exact ppm weight 1/n_copies (plus the
+    is_rep canonical mark) over a corpus with planted boilerplate
+    duplicates. Text never rides the shuffle — only (doc_id, md5)."""
+    from swiftsoup_spark.ops.governance import softdedup_weights
+    load_documents(spark, sf_dir)
+    d = spark.sql(
+        f"SELECT doc_id, {SOFTDEDUP_TEXT_SQL} AS text FROM documents")
+    return softdedup_weights(d)
+
+
+def q_soft404(spark, sf_dir):
+    """Soft-404 detection (ops/governance.soft404_flags): kernel-
+    extracted title + body from ONE fused parse pass, error-phrase
+    title match and thin-content token floor over a corpus with planted
+    HTTP-200 error pages and stubs."""
+    from swiftsoup_spark.ops.governance import soft404_flags
+    load_documents(spark, sf_dir)
+    pages = spark.sql(
+        f"SELECT {URL_SQL} AS url, {SOFT404_HTML_SQL} AS html "
+        f"FROM documents")
+    return soft404_flags(pages)
+
+
+def q_anchor_terms(spark, sf_dir):
+    """Inbound anchor-term histogram (ops/linkgraph.
+    inbound_anchor_terms): per target host, the top-3 anchor-text terms
+    across all pages linking to it — kernel a[href] extraction +
+    absUrl, counts via one (host, term) groupBy, per-host top-k by the
+    salted two-phase min-K. The off-page relevance signal."""
+    from swiftsoup_spark.ops.linkgraph import inbound_anchor_terms
+    load_documents(spark, sf_dir)
+    pages = spark.sql(
+        f"SELECT {URL_SQL} AS url, {LINKS_HTML_SQL} AS html "
+        f"FROM documents")
+    return inbound_anchor_terms(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate records
     # roughly the first 50 entries. Round-5 rotation puts first the
@@ -2086,6 +2186,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "host_url_sample": q_host_url_sample,
         "host_stats": q_host_stats,
+        # -- governance layer (late r5; appended per convention) --------
+        "corpus_composition": q_corpus_composition,
+        "split_by_host": q_split_by_host,
+        "softdedup_weights": q_softdedup_weights,
+        "soft404": q_soft404,
+        "anchor_terms": q_anchor_terms,
     }
 
 
@@ -3532,4 +3638,39 @@ SELECT w_id, count(*) AS n_events,
 FROM e JOIN w ON e.ep BETWEEN w.start_ep AND w.end_ep
 GROUP BY 1
 """),
+        "corpus_composition": __import__(
+            "swiftsoup_spark.ops.governance",
+            fromlist=["corpus_composition_sql"]).corpus_composition_sql(
+                REGDOM_URL_SQL),
+        "split_by_host": __import__(
+            "swiftsoup_spark.ops.governance",
+            fromlist=["split_by_host_sql"]).split_by_host_sql(
+                REGDOM_URL_SQL),
+        "softdedup_weights": __import__(
+            "swiftsoup_spark.ops.governance",
+            fromlist=["softdedup_weights_sql"]).softdedup_weights_sql(
+                SOFTDEDUP_TEXT_SQL),
+        "soft404": __import__(
+            "swiftsoup_spark.ops.governance",
+            fromlist=["soft404_sql"]).soft404_sql(
+                URL_SQL, SOFT404_TITLE_SQL, SOFT404_TEXT_SQL),
+        "anchor_terms": """
+WITH p AS (SELECT source || '.docs.test' AS src_host, doc_id
+           FROM documents),
+e AS (
+  SELECT 'h' || (doc_id % 7) || '.ext.test' AS dst_host,
+         'to ' || (doc_id % 7) AS anchor FROM p
+  UNION ALL SELECT src_host, 'self' FROM p
+  UNION ALL SELECT 'h' || ((doc_id + 3) % 7) || '.ext.test',
+                   'alt ' || ((doc_id + 3) % 7) FROM p),
+t AS (SELECT dst_host, unnest(string_split(anchor, ' ')) AS term FROM e),
+c AS (SELECT dst_host, term, count(*) AS n FROM t GROUP BY 1, 2),
+r AS (SELECT dst_host, term, n,
+             row_number() OVER (PARTITION BY dst_host
+                                ORDER BY n DESC, term) AS rank
+      FROM c)
+SELECT dst_host, CAST(rank AS BIGINT) AS rank, term,
+       CAST(n AS BIGINT) AS n
+FROM r WHERE rank <= 3
+""",
     }

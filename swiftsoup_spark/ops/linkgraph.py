@@ -159,24 +159,13 @@ def pagerank_oracle_sql(edges_cte: str, iters: int = 5,
             + f"\nSELECT host, rank_e12 FROM r{iters}")
 
 
-def outlink_host_edges(pages, k_anchors: int = 3, salt: int = 8):
-    """Kernel-extracted host-graph edges with anchor-text summaries.
-
-    The real acquisition-side edge extraction (vs. the formula edges the
-    PageRank tests use): parse each page with the HTML kernel, select
-    ``a[href]``, resolve each href against the document base
-    (Node.absUrl semantics — <base href> honored), and aggregate to
-    (src_host, dst_host, n_links, anchors) where ``anchors`` is the
-    first ``k_anchors`` distinct anchor texts, lexicographic.
-
-    Scale shape: the kernel pass is one fused mapInArrow stage emitting
-    per-link (abs_href, anchor) array pairs; the explode is linear; the
-    only shuffle is the (src,dst) groupBy. Anchor-text state is bounded
-    by the salted two-phase min-K (a viral edge — every page of one CDN
-    linking one tracker — never funnels its anchor list into one task);
-    anchor text is truncated to 64 chars BEFORE the shuffle so the
-    bounded state is also byte-bounded.
-    """
+def anchor_pairs(pages):
+    """Kernel pass shared by the edge/anchor aggregations:
+    (src_host, dst_host, anchor) per ``a[href]``, hrefs resolved
+    against the document base (Node.absUrl semantics — <base href>
+    honored), anchor text truncated to 64 chars BEFORE any shuffle so
+    downstream aggregate state is byte-bounded. One fused mapInArrow
+    stage + a linear explode; no shuffle happens here."""
     from pyspark.sql import types as T
 
     from swiftsoup_spark.spark.extract import apply_kernel, fast_parse
@@ -198,15 +187,67 @@ def outlink_host_edges(pages, k_anchors: int = 3, salt: int = 8):
         [T.StructField("hrefs", T.ArrayType(T.StringType())),
          T.StructField("texts", T.ArrayType(T.StringType()))],
         ctx_col="url")
-    pairs = (links
-             .select("url", F.explode(F.arrays_zip("hrefs", "texts"))
-                     .alias("l"))
-             .select(F.regexp_extract("url", HOST_RE, 1).alias("src_host"),
-                     F.regexp_extract(F.col("l.hrefs"), HOST_RE, 1)
-                      .alias("dst_host"),
-                     F.substring(F.col("l.texts"), 1, 64).alias("anchor"))
-             .filter(F.col("dst_host") != ""))
-    pairs = pairs.withColumn(
+    return (links
+            .select("url", F.explode(F.arrays_zip("hrefs", "texts"))
+                    .alias("l"))
+            .select(F.regexp_extract("url", HOST_RE, 1).alias("src_host"),
+                    F.regexp_extract(F.col("l.hrefs"), HOST_RE, 1)
+                     .alias("dst_host"),
+                    F.substring(F.col("l.texts"), 1, 64).alias("anchor"))
+            .filter(F.col("dst_host") != ""))
+
+
+def inbound_anchor_terms(pages, k: int = 3, salt: int = 8):
+    """(dst_host, rank, term, n): the top-k inbound anchor-text TERMS
+    per target host — what the rest of the web calls a site, the
+    classic off-page relevance/spam signal (an SEO-stuffed host shows a
+    term histogram its own content doesn't have).
+
+    Scale shape: the kernel pass and explode are linear
+    (:func:`anchor_pairs`); term counting is one (dst_host, term)
+    groupBy with map-side partials; top-k per host is the salted
+    two-phase min-K (ops/search.bm25_topk pattern) so a host with 10^6
+    distinct inbound terms never funnels them into one task — phase-2
+    state is ≤ k·salt structs per host. Ties break (−n, term)."""
+    terms = (anchor_pairs(pages)
+             .select("dst_host",
+                     F.explode(F.split("anchor", " ")).alias("term"))
+             .filter(F.col("term") != "")
+             .groupBy("dst_host", "term").agg(F.count("*").alias("n")))
+    key = F.struct((-F.col("n")).alias("nn"), F.col("term").alias("t"))
+    p1 = (terms.withColumn("__s", F.pmod(F.xxhash64("term"), F.lit(salt)))
+          .groupBy("dst_host", "__s")
+          .agg(F.slice(F.array_sort(F.collect_list(key)), 1, k).alias("t")))
+    top = (p1.select("dst_host", F.explode("t").alias("t"))
+           .groupBy("dst_host")
+           .agg(F.slice(F.array_sort(F.collect_list("t")), 1, k)
+                .alias("top")))
+    return (top.select("dst_host", F.posexplode("top").alias("pos", "t"))
+            .select("dst_host",
+                    (F.col("pos") + 1).cast("long").alias("rank"),
+                    F.col("t.t").alias("term"),
+                    (-F.col("t.nn")).cast("long").alias("n")))
+
+
+def outlink_host_edges(pages, k_anchors: int = 3, salt: int = 8):
+    """Kernel-extracted host-graph edges with anchor-text summaries.
+
+    The real acquisition-side edge extraction (vs. the formula edges the
+    PageRank tests use): parse each page with the HTML kernel, select
+    ``a[href]``, resolve each href against the document base
+    (Node.absUrl semantics — <base href> honored), and aggregate to
+    (src_host, dst_host, n_links, anchors) where ``anchors`` is the
+    first ``k_anchors`` distinct anchor texts, lexicographic.
+
+    Scale shape: the kernel pass is one fused mapInArrow stage emitting
+    per-link (abs_href, anchor) array pairs; the explode is linear; the
+    only shuffle is the (src,dst) groupBy. Anchor-text state is bounded
+    by the salted two-phase min-K (a viral edge — every page of one CDN
+    linking one tracker — never funnels its anchor list into one task);
+    anchor text is truncated to 64 chars BEFORE the shuffle so the
+    bounded state is also byte-bounded.
+    """
+    pairs = anchor_pairs(pages).withColumn(
         "s", F.pmod(F.xxhash64("src_host", "dst_host", "anchor"),
                     F.lit(salt)))
     part = pairs.groupBy("src_host", "dst_host", "s").agg(
