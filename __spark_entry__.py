@@ -2034,6 +2034,28 @@ def q_anchor_terms(spark, sf_dir):
     return inbound_anchor_terms(pages)
 
 
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic training-shard shuffle (ops/selection.
+    shuffle_shards): md5-keyed pseudo-random permutation into 64
+    shards with in-shard positions — reshard-proof (position depends
+    only on doc_id), no global sort (per-shard windows only)."""
+    from swiftsoup_spark.ops.selection import shuffle_shards
+    return shuffle_shards(_docs(spark, sf_dir))
+
+
+def q_select_budget(spark, sf_dir):
+    """Token-budget selection (ops/selection.select_token_budget):
+    keep the best 40% of corpus tokens by integer quality score via
+    the histogram-threshold two-phase — full score classes decided
+    map-side off a broadcast prefix table, only the boundary class
+    pays a (per-class) window. Score here: n_chars DIV 16."""
+    from swiftsoup_spark.ops.selection import select_token_budget
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr("n_chars DIV 16").alias("score"),
+        F.size(F.split("text", " ")).alias("n_tokens"))
+    return select_token_budget(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate records
     # roughly the first 50 entries. Round-5 rotation puts first the
@@ -2192,6 +2214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "softdedup_weights": q_softdedup_weights,
         "soft404": q_soft404,
         "anchor_terms": q_anchor_terms,
+        "shuffle_shards": q_shuffle_shards,
+        "select_budget": q_select_budget,
     }
 
 
@@ -3673,4 +3697,11 @@ SELECT dst_host, CAST(rank AS BIGINT) AS rank, term,
        CAST(n AS BIGINT) AS n
 FROM r WHERE rank <= 3
 """,
+        "shuffle_shards": __import__(
+            "swiftsoup_spark.ops.selection",
+            fromlist=["shuffle_shards_sql"]).shuffle_shards_sql(),
+        "select_budget": __import__(
+            "swiftsoup_spark.ops.selection",
+            fromlist=["select_token_budget_sql"]).select_token_budget_sql(
+                "n_chars // 16", "len(string_split(text, ' '))"),
     }
