@@ -12,11 +12,16 @@ miss, with a provable detection floor instead of a stride blind spot.
 
 Execution shape (100 TB honest):
 
-* fingerprint selection is map-only whole-stage codegen — per row one
-  higher-order ``transform`` builds the k-gram hash array and a second
-  selects window minima; text never rides a shuffle. Work is
-  O(len * w) per doc (the SQL form of the O(len) streaming algorithm;
-  w is a small constant).
+* fingerprint selection is a map-only ``mapInArrow`` kernel (the
+  ops/dedup.simhash pattern): k-gram shingles are built as one strided
+  byte-matrix copy per ASCII doc and hashed by the C
+  ``batch_md5_prefix64`` over the raw Arrow buffers; window minima are
+  one vectorized ``sliding_window_view(...).min`` — O(len * w) per doc
+  with no per-position Python OR per-position Catalyst eval. (A pure
+  higher-order-function formulation was measured O(n^2 * k): a lambda
+  that closes over another lazy ``transform`` column re-evaluates the
+  whole inner array per window, and interpreted UTF8String.substring
+  scans from the string start per call.) Text never rides a shuffle.
 * the (doc, fingerprint) table is linear in corpus size (1/(w+1)
   expected density per the paper).
 * candidate pairing is ONE equi self-join on the fingerprint hash,
@@ -45,30 +50,84 @@ __all__ = ["winnow_fingerprints", "winnow_pairs", "winnow_pairs_sql"]
 _B = 1 << 24  # position field width of the packed fingerprint
 
 
-def _fp_array(text_col, k: int, w: int):
-    """Column: distinct packed winnow fingerprints of a text column."""
-    t = F.substring(text_col, 1, _B - 1)
-    n = F.length(t)
-    hs = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.conv(F.substring(F.md5(F.substr(t, i + 1, F.lit(k))),
-                                     1, 8), 16, 10).cast("long") * _B
-        + (_B - 1 - i))
-    return F.array_distinct(F.transform(
-        F.sequence(F.lit(1), n - k - w + 2),
-        lambda j: F.array_min(F.slice(hs, j, w))))
+def _doc_winnow(t: str, k: int, w: int):
+    """numpy: (fp, pos) arrays of one document's winnow sample —
+    md5-prefix32 k-gram hashes packed with inverted position, sliding
+    window min, distinct. Bit-identical to the SQL oracle's
+    list_transform formulation."""
+    import numpy as np
+    import pyarrow as pa
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from swiftsoup_spark.kernel.fastpath import batch_md5_prefix64
+
+    t = t[:_B - 1]
+    n = len(t)
+    m = n - k + 1
+    b = t.encode("utf-8")
+    if len(b) == n:
+        # ASCII: shingles = one strided copy of the byte matrix, zero
+        # per-position Python strings; Arrow array built from buffers
+        win = np.ascontiguousarray(
+            sliding_window_view(np.frombuffer(b, np.uint8), k))
+        offs = np.arange(0, (m + 1) * k, k, dtype=np.int32)
+        arr = pa.Array.from_buffers(
+            pa.utf8(), m, [None, pa.py_buffer(offs.tobytes()),
+                           pa.py_buffer(win.tobytes())])
+    else:
+        arr = pa.array([t[i:i + k] for i in range(m)], pa.utf8())
+    hv = batch_md5_prefix64(arr)
+    if hv is None:                      # no native module: stdlib md5
+        import hashlib
+        hv = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8],
+                            "big") for s in arr.to_pylist()),
+            dtype=np.uint64, count=m)
+    h32 = (hv >> np.uint64(32)).astype(np.int64)
+    enc = h32 * _B + (_B - 1 - np.arange(m, dtype=np.int64))
+    sel = np.unique(sliding_window_view(enc, w).min(axis=1))
+    return sel // _B, (_B - 1) - (sel % _B)
 
 
 def winnow_fingerprints(df, k: int = 16, w: int = 8,
                         id_col: str = "doc_id", text_col: str = "text"):
     """(id, fp, pos) rows: the winnow fingerprint sample of each doc.
-    fp is the 32-bit k-gram hash, pos its 0-based character offset."""
-    keep = df.filter(F.length(text_col) >= k + w - 1)
-    enc = F.explode(_fp_array(F.col(text_col), k, w)).alias("enc")
-    return (keep.select(F.col(id_col), enc)
-            .select(id_col,
-                    F.expr(f"enc DIV {_B}").alias("fp"),
-                    (F.lit(_B - 1) - F.col("enc") % _B).alias("pos")))
+    fp is the 32-bit k-gram hash, pos its 0-based character offset.
+    One fused mapInArrow stage over (id, text); see module docstring
+    for why this is a kernel and not a higher-order-function column."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("fp", T.LongType()),
+        T.StructField("pos", T.LongType())])
+    keep = (df.filter(F.length(text_col) >= k + w - 1)
+            .select(id_col, text_col))
+
+    def batches(it):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        for batch in it:
+            texts = pc.fill_null(batch.column(text_col), "").to_pylist()
+            fps, poss, counts = [], [], np.zeros(len(texts), np.int64)
+            for i, t in enumerate(texts):
+                fp, pos = _doc_winnow(t, k, w)
+                fps.append(fp)
+                poss.append(pos)
+                counts[i] = len(fp)
+            idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+            ids = pc.take(batch.column(id_col), pa.array(idx, pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [ids,
+                 pa.array(np.concatenate(fps) if fps else
+                          np.zeros(0, np.int64), pa.int64()),
+                 pa.array(np.concatenate(poss) if poss else
+                          np.zeros(0, np.int64), pa.int64())],
+                [id_col, "fp", "pos"])
+
+    return keep.mapInArrow(batches, out_schema)
 
 
 def winnow_pairs(df, k: int = 16, w: int = 8, max_df: int = 8,
@@ -78,8 +137,15 @@ def winnow_pairs(df, k: int = 16, w: int = 8, max_df: int = 8,
     distinct winnow fingerprints, after pruning fingerprints present in
     more than max_df docs (boilerplate guard / join-skew cap).
     Returns (i, j, shared) with i < j."""
+    # materialize the fingerprint index ONCE (it feeds the df-prune
+    # aggregate and BOTH sides of the self-join — without this the
+    # md5 extraction pass runs three times). The index is the linear
+    # ~1/(w+1)-density MOSS table, exactly what a production run would
+    # checkpoint; same localCheckpoint convention as
+    # ops/dedup.connected_components.
     e = (winnow_fingerprints(df, k, w, id_col, text_col)
-         .select(F.col(id_col).alias("d"), "fp").distinct())
+         .select(F.col(id_col).alias("d"), "fp").distinct()
+         .localCheckpoint())
     dfreq = (e.groupBy("fp").agg(F.count("*").alias("ndocs"))
              .filter((F.col("ndocs") >= 2) & (F.col("ndocs") <= max_df))
              .select("fp"))
