@@ -47,16 +47,21 @@ def _word_counts(df, text_col: str):
 def _pairs(s_col):
     """Adjacent (overlapping) symbol pairs of a ,,-encoded state, each
     rendered 'a b'."""
-    arr = F.filter(F.split(s_col, ",,"), lambda x: x != "")
+    from swiftsoup_spark.ops.hof import with_array
+
+    # symbol array bound as a lambda variable (ops/hof.py) — a closure
+    # would re-split the state string once per pair.
     # guard the fully-merged single-symbol state: sequence(1, 0) is a
     # DESCENDING [1, 0] in Spark, not empty
-    return F.when(
-        F.size(arr) > 1,
-        F.transform(
-            F.sequence(F.lit(1), F.size(arr) - 1),
-            lambda i: F.concat(F.element_at(arr, i), F.lit(" "),
-                               F.element_at(arr, i + 1)))
-    ).otherwise(F.array().cast("array<string>"))
+    return with_array(
+        F.filter(F.split(s_col, ",,"), lambda x: x != ""),
+        lambda arr: F.when(
+            F.size(arr) > 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.concat(F.element_at(arr, i), F.lit(" "),
+                                   F.element_at(arr, i + 1)))
+        ).otherwise(F.array().cast("array<string>")))
 
 
 def bpe_train(df, n_merges: int = 3, text_col: str = "text"):

@@ -21,18 +21,26 @@ from pyspark.sql import functions as F
 def chunk_documents(df, text_col: str = "text", id_col: str = "doc_id",
                     chunk: int = 128, overlap: int = 16):
     """(id, text) -> (id, chunk_idx, chunk_text, n_tokens) windows."""
+    from swiftsoup_spark.ops.hof import with_array
+
     if not 0 <= overlap < chunk:
         raise ValueError("need 0 <= overlap < chunk")
     step = chunk - overlap
-    w = F.split(F.col(text_col), " ")
-    n = F.size(w)
-    # number of windows: 1 + ceil(max(n - chunk, 0) / step)
-    extra = F.greatest(n - chunk, F.lit(0))
-    n_win = (F.lit(1) + F.ceil(extra / step)).cast("int")
-    starts = F.sequence(F.lit(0), n_win - 1)
-    chunks = F.transform(
-        starts,
-        lambda i: F.array_join(F.slice(w, i * step + 1, chunk), " "))
+
+    # the split array is BOUND as a lambda variable (ops/hof.py): a
+    # closure over the computed split re-evaluates it per window
+    # (CollapseProject inlines staged projections into lambda bodies),
+    # turning O(n) chunking into O(n^2/step) on long documents
+    def windows(w):
+        n = F.size(w)
+        # number of windows: 1 + ceil(max(n - chunk, 0) / step)
+        extra = F.greatest(n - chunk, F.lit(0))
+        n_win = (F.lit(1) + F.ceil(extra / step)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.array_join(F.slice(w, i * step + 1, chunk), " "))
+
+    chunks = with_array(F.split(F.col(text_col), " "), windows)
     out = df.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
     return out.select(

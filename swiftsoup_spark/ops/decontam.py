@@ -35,12 +35,16 @@ def _ngrams(col, n: int):
     Guarded for short texts: Spark's ``sequence(1, 0)`` counts DOWN, so
     docs with fewer than ``n`` words must short-circuit to an empty
     array instead."""
-    w = F.split(_norm(col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - n + 1),
-        lambda i: F.array_join(F.slice(w, i, n), " "))
-    return F.when(F.size(w) >= n, grams).otherwise(
-        F.array().cast("array<string>"))
+    from swiftsoup_spark.ops.hof import with_array
+
+    # the split array is BOUND as a lambda variable (ops/hof.py): a
+    # closure over the computed split would re-evaluate it per n-gram
+    return with_array(
+        F.split(_norm(col), " "),
+        lambda w: F.when(F.size(w) >= n, F.transform(
+            F.sequence(F.lit(1), F.size(w) - n + 1),
+            lambda i: F.array_join(F.slice(w, i, n), " "))
+        ).otherwise(F.array().cast("array<string>")))
 
 
 def benchmark_ngram_set(bench_df, n: int = 8, text_col: str = "text"):

@@ -575,16 +575,21 @@ def duplicate_span_blocks(df, text_col: str = "text", block: int = 16,
     """
     if offsets is None:
         offsets = (0, block // 2)
-    w = F.split(F.col(text_col), " ")
+    from swiftsoup_spark.ops.hof import with_array
+
     empty = F.array().cast("array<string>")
 
     def grid(o):
-        nbo = F.floor((F.size(w) - o) / block).cast("int")
-        return F.when(nbo >= 1, F.transform(
-            F.sequence(F.lit(0), nbo - 1),
-            lambda i: F.md5(F.array_join(
-                F.slice(w, i * block + o + 1, block), " ")))
-        ).otherwise(empty)
+        # split bound as a lambda variable (ops/hof.py) — a closure
+        # would re-split the text once per block
+        def blocks_of(w):
+            nbo = F.floor((F.size(w) - o) / block).cast("int")
+            return F.when(nbo >= 1, F.transform(
+                F.sequence(F.lit(0), nbo - 1),
+                lambda i: F.md5(F.array_join(
+                    F.slice(w, i * block + o + 1, block), " ")))
+            ).otherwise(empty)
+        return with_array(F.split(F.col(text_col), " "), blocks_of)
 
     blocks = grid(offsets[0])
     for o in offsets[1:]:

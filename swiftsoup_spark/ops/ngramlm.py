@@ -49,11 +49,23 @@ N_GRAM = 5
 
 
 def _grams(col, n: int = N_GRAM):
-    """Array of all char n-grams of ``col`` (empty when len < n)."""
+    """Array of all char n-grams of ``col`` (empty when len < n).
+
+    Built from a bound char array (ops/hof.py) instead of per-position
+    ``substr``: interpreted UTF8String.substring scans from the string
+    start on every call, so the substr form is O(len^2) char touches
+    per document (measured 92 s on one 200 KB row); slicing a bound
+    split-to-chars array is linear. ``split(col, '')`` chars are UTF-16
+    units under Java regex — identical to substr() on all BMP text
+    (the model and the scorer both use THIS function, so scoring is
+    self-consistent regardless)."""
+    from swiftsoup_spark.ops.hof import with_array
+
     return F.when(
         F.length(col) >= n,
-        F.transform(F.sequence(F.lit(1), F.length(col) - (n - 1)),
-                    lambda i: col.substr(i, F.lit(n)))
+        with_array(F.split(col, ""), lambda cs: F.transform(
+            F.sequence(F.lit(1), F.size(cs) - (n - 1)),
+            lambda i: F.array_join(F.slice(cs, i, n), "")))
     ).otherwise(F.array().cast("array<string>"))
 
 

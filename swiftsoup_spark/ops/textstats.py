@@ -374,14 +374,25 @@ def top_ngram_share(df, text_col: str = "text", ns=(2, 3)):
     base = df.select("doc_id",
                      F.length(F.col(text_col)).alias("n_chars"),
                      words.alias("ws"))
+    from swiftsoup_spark.ops.hof import with_array
+
+    # word array bound as a lambda variable (ops/hof.py): the ws
+    # projection gets CollapseProject-inlined into the lambda otherwise
+    # and re-evaluated per gram. NB: the binder must take exactly ONE
+    # parameter — pyspark passes (element, index) to 2-arg lambdas.
+    def gram_builder(n):
+        def build(ws):
+            return F.when(
+                F.size(ws) >= n,
+                F.transform(F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                            lambda i: F.array_join(
+                                F.slice(ws, i, F.lit(n)), " "))
+            ).otherwise(F.array().cast("array<string>"))
+        return build
+
     streams = []
     for n in ns:
-        grams = F.when(
-            F.size("ws") >= n,
-            F.transform(F.sequence(F.lit(1), F.size("ws") - (n - 1)),
-                        lambda i: F.array_join(
-                            F.slice("ws", i, F.lit(n)), " "))
-        ).otherwise(F.array().cast("array<string>"))
+        grams = with_array(F.col("ws"), gram_builder(n))
         streams.append(base.select(
             "doc_id", F.lit(n).alias("n"),
             F.explode(grams).alias("gram")))
