@@ -398,6 +398,19 @@ def q_nb_quality(spark, sf_dir):
     return score_nb(planted, model)
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (ops/dsir.py; Xie et al. 2023):
+    hashed unigram+bigram bucket LLR weights fit target-vs-raw
+    (target = the deterministic doc_id %% 10 == 0 sample), integer
+    log2 importance score per document, and the acceptance-sampling
+    draw kept w.p. 2^(score - smax) decided by pure bit shifts on an
+    md5 uniform — bit-identical across partitionings and engines.
+    Output (doc_id, n_grams, score, kept) for every document."""
+    from swiftsoup_spark.ops.dsir import dsir_select
+    return dsir_select(_docs(spark, sf_dir), target_mod=10,
+                       buckets=1024, band_bits=40)
+
+
 def q_chunk_docs(spark, sf_dir):
     """Token-window chunking (ops/chunking.py): every document split
     into 32-token windows with 8-token overlap — the shard-prep step
@@ -2094,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tables": q_html_tables,
         "chunk_docs": q_chunk_docs,
         "nb_quality": q_nb_quality,
+        "dsir_select": q_dsir_select,
         "pack_chunks": q_pack_chunks,
         "sample_temperature": q_sample_temperature,
         "event_sessions": q_event_sessions,
@@ -2754,6 +2768,9 @@ FROM t
             THEN ' qualmark clean wellformed'
             WHEN doc_id % 3 <> 0 AND doc_id % 10 = 0
             THEN ' qualmark' ELSE '' END AS text FROM documents)"""),
+        "dsir_select": __import__(
+            "swiftsoup_spark.ops.dsir", fromlist=["dsir_sql"]
+            ).dsir_sql(target_mod=10, buckets=1024, band_bits=40),
         "chunk_docs": __import__("swiftsoup_spark.ops.chunking",
                                  fromlist=["chunk_documents_sql"]
                                  ).chunk_documents_sql(chunk=32, overlap=8),
