@@ -2122,7 +2122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_seen": q_bloom_seen,
         "incremental_dedup": q_incremental_dedup,
         # -- last green row r1-r3 ---------------------------------------
-        "fingerprint": q_fingerprint,
         "ann_bucketed": q_ann_bucketed,
         "image_meta": q_image_meta,
         "image_features": q_image_features,
@@ -2134,7 +2133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rewrite_links_raw": q_rewrite_links_raw,
         "selector_spans": q_selector_spans,
         "extract_text_tables": q_extract_text_tables,
-        # ---- ~position 50: the driver gate records roughly this far ----
+        # ---- position 50: the driver gate records exactly this far ----
+        # (rotated out to make room for dsir_select: fingerprint — the
+        # trivial md5-normalization op, stale-r3, lowest re-gate value)
+        "fingerprint": q_fingerprint,
         "extract_text": q_extract_text,
         "extract_main_text": q_extract_main_text,
         "extract_title": q_extract_title,
