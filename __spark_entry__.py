@@ -849,6 +849,27 @@ def q_near_dup_clusters(spark, sf_dir):
                                limit_ids=300)
 
 
+def q_near_dup_consensus(spark, sf_dir):
+    """Ensemble dedup (ops/dedup.py consensus_near_dup_clusters): the
+    union of the MinHash-LSH and banded-SimHash pair sets closed into
+    connected components — the keep-one-per-cluster decision over
+    everything ANY detector flagged. Oracle closes the same unioned
+    edge set with a recursive CTE."""
+    return D.consensus_near_dup_clusters(
+        _docs(spark, sf_dir), threshold=0.5, max_hamming=3,
+        limit_ids=300)
+
+
+def q_char_entropy(spark, sf_dir):
+    """Char-distribution entropy quality signal (ops/textstats.py
+    char_entropy): bit-length-quantized millibits/char — the
+    compression-ratio filter family (low entropy = keyboard mash /
+    repeated tokens). Explode + two hash aggs; exploded char rows
+    collapse map-side to ≤|alphabet| rows per doc before the
+    shuffle."""
+    return TX.char_entropy(_docs(spark, sf_dir))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, limit_ids=200)
 
@@ -2108,6 +2129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "nb_quality": q_nb_quality,
         "dsir_select": q_dsir_select,
+        "near_dup_consensus": q_near_dup_consensus,
+        "char_entropy": q_char_entropy,
         "pack_chunks": q_pack_chunks,
         "sample_temperature": q_sample_temperature,
         "event_sessions": q_event_sessions,
@@ -2122,7 +2145,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_seen": q_bloom_seen,
         "incremental_dedup": q_incremental_dedup,
         # -- last green row r1-r3 ---------------------------------------
-        "ann_bucketed": q_ann_bucketed,
         "image_meta": q_image_meta,
         "image_features": q_image_features,
         # -- r4-green but touched by the r5 kernel fixes (raw-source
@@ -2132,11 +2154,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_roundtrip": q_html_roundtrip,
         "rewrite_links_raw": q_rewrite_links_raw,
         "selector_spans": q_selector_spans,
-        "extract_text_tables": q_extract_text_tables,
         # ---- position 50: the driver gate records exactly this far ----
-        # (rotated out to make room for dsir_select: fingerprint — the
-        # trivial md5-normalization op, stale-r3, lowest re-gate value)
+        # Rotated out for the never-gated r5 additions (dsir_select,
+        # near_dup_consensus, char_entropy): fingerprint (trivial md5
+        # normalization, stale-r3), ann_bucketed (superseded by
+        # ann_ivf, which IS in the window), and extract_text_tables
+        # (r4-green text path; the r5 kernel fix touched only raw-span
+        # bookkeeping, which the four raw re-gates above cover). All
+        # stay pytest-gated via test_oracle_parity.
+        "extract_text_tables": q_extract_text_tables,
         "fingerprint": q_fingerprint,
+        "ann_bucketed": q_ann_bucketed,
         "extract_text": q_extract_text,
         "extract_main_text": q_extract_main_text,
         "extract_title": q_extract_title,
@@ -2943,6 +2971,37 @@ SELECT d.doc_id,
        CAST(coalesce(least(d.doc_id, m.mb), d.doc_id) AS BIGINT) AS cluster_id
 FROM docs d LEFT JOIN minr m ON m.a = d.doc_id
 """,
+        "near_dup_consensus": f"""
+WITH RECURSIVE
+mh AS ({lsh_pairs}),
+sw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       FROM documents WHERE doc_id < 300),
+sh_h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 16) AS UBIGINT) AS hv
+         FROM sw),
+sh_bits AS (SELECT doc_id, b,
+                   SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+            FROM sh_h, (SELECT unnest(range(64)) AS b) GROUP BY doc_id, b),
+sh_v AS (SELECT doc_id,
+                SUM(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << b
+                         ELSE 0 END) AS uv
+         FROM sh_bits GROUP BY doc_id),
+sh AS (SELECT a.doc_id AS i, b.doc_id AS j
+       FROM sh_v a JOIN sh_v b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(CAST(a.uv AS UBIGINT),
+                           CAST(b.uv AS UBIGINT))) <= 3),
+pairs AS (SELECT i, j FROM mh UNION SELECT i, j FROM sh),
+sym AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+minr AS (SELECT a, min(b) AS mb FROM reach GROUP BY a),
+docs AS (SELECT doc_id FROM documents WHERE doc_id < 300)
+SELECT d.doc_id,
+       CAST(coalesce(least(d.doc_id, m.mb), d.doc_id) AS BIGINT) AS cluster_id
+FROM docs d LEFT JOIN minr m ON m.a = d.doc_id
+""",
+        "char_entropy": TX.char_entropy_sql(),
         "ngram_jaccard": jac,
         "simhash": """
 WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -695,3 +695,35 @@ def dedup_paragraphs(df, text_col: str = "text", sep: str = "\n"):
         F.array_join(kept, sep).alias("text_clean"),
         F.size(arr).cast("int").alias("n_paras"),
         F.size(kept).cast("int").alias("n_kept"))
+
+
+def consensus_near_dup_clusters(df, text_col: str = "text",
+                                threshold: float = 0.5,
+                                max_hamming: int = 3,
+                                limit_ids: int | None = None,
+                                max_group: int = 1000, max_iter: int = 25):
+    """Ensemble near-duplicate clusters: the union of the MinHash-LSH
+    pair set (set-Jaccard similarity — robust to reordering) and the
+    banded SimHash pair set (Hamming over the token-multiset sketch —
+    robust to small edits), closed into connected components. Real
+    dedup pipelines run several detectors precisely because each has
+    blind spots; the keep-one-per-cluster decision wants the closure
+    of EVERYTHING any detector flagged.
+
+    Returns (doc_id, cluster_id) for every document, cluster_id = min
+    doc_id of the consensus component.
+
+    Scale shape: both detectors are banded single self-joins with the
+    exact-dup rep-collapse skew guard (their own contracts); the union
+    is one distinct over (i, j) pair keys — tiny relative to the
+    corpus — and the closure is the O(log diameter) pointer-jumping CC
+    (:func:`connected_components`). Document text rides neither the
+    union nor the closure."""
+    if limit_ids is not None:
+        df = df.filter(F.col("doc_id") < limit_ids)
+    mh = minhash_lsh_pairs(df, text_col, threshold=threshold,
+                           max_group=max_group).select("i", "j")
+    sh = simhash_near_dup(df, text_col, max_hamming=max_hamming,
+                          max_group=max_group).select("i", "j")
+    edges = mh.unionByName(sh).distinct()
+    return connected_components(edges, df, max_iter=max_iter)

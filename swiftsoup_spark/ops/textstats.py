@@ -454,3 +454,76 @@ def flesch_score(df, text_col: str = "text"):
             " + 1000000000 * n_sentences * n_words)"
             " DIV (n_sentences * n_words) - 1000000000")
         .cast("long").alias("flesch_e3"))
+
+
+def char_entropy(df, text_col: str = "text"):
+    """Character-distribution entropy quality signal, bit-length
+    quantized so both engines replay it exactly.
+
+    The compression-ratio / entropy filter family (Gopher drops docs
+    whose bytes compress too well — keyboard mash, repeated tokens,
+    binary junk all have skewed char distributions): per document,
+
+        H_q = sum over distinct chars c of  cnt_c * (bits(N) - bits(cnt_c))
+
+    with ``bits(x)`` = floor(log2 x) + 1 (base-2 digit count — the
+    repo-wide no-libm log), N = char count. ``bits(N) - bits(cnt)`` is
+    within ±1 bit of log2(N/cnt), so ``entropy_milli = 1000 * H_q DIV
+    N`` is a monotone integer proxy for Shannon entropy in millibits
+    per char: near 0 for single-char spam, high for diverse text.
+    Output (doc_id, n_chars, n_distinct, entropy_milli) for every doc
+    (empty docs score all zeros).
+
+    Scale shape: explode to one row per char, then TWO hash
+    aggregations — (doc_id, ch) count and a doc_id rollup. The
+    exploded rows never leave their stage: partial aggregation
+    collapses them to at most |alphabet| rows per doc (≲200 for
+    webtext) before the shuffle, so shuffle volume is ~alphabet-size
+    per doc and document text itself never rides the wire. The per-row
+    HOF alternative (count each distinct char by scanning the array)
+    is O(|alphabet| × N) compute per doc — strictly worse at scale.
+    """
+    chars = df.select(
+        "doc_id", F.length(text_col).cast("long").alias("n"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"))
+    per_ch = (chars.filter(F.col("ch") != "")
+              .groupBy("doc_id", "n", "ch")
+              .agg(F.count("*").alias("cnt")))
+    bits_n = F.length(F.conv(F.col("n").cast("string"), 10, 2))
+    bits_c = F.length(F.conv(F.col("cnt").cast("string"), 10, 2))
+    per_doc = (per_ch.groupBy("doc_id", "n")
+               .agg(F.count("*").alias("n_distinct"),
+                    F.sum(F.col("cnt") * (bits_n - bits_c))
+                    .alias("hq")))
+    return (df.select("doc_id").join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n", F.lit(0)).cast("long").alias("n_chars"),
+                F.coalesce("n_distinct", F.lit(0)).cast("long")
+                .alias("n_distinct"),
+                F.coalesce(F.expr("hq * 1000 DIV n"), F.lit(0))
+                .cast("long").alias("entropy_milli")))
+
+
+def char_entropy_sql(table: str = "documents",
+                     text_col: str = "text") -> str:
+    """DuckDB replay of :func:`char_entropy` (split('') in Spark emits
+    UTF-16 units; DuckDB's codepoint split differs only on non-BMP
+    chars, absent from the synthetic corpus — same boundary the char
+    n-gram family documents)."""
+    return f"""
+WITH ch AS (SELECT doc_id, length({text_col}) AS n,
+                   unnest(string_split({text_col}, '')) AS ch
+            FROM {table}),
+pc AS (SELECT doc_id, n, ch, count(*) AS cnt
+       FROM ch WHERE ch <> '' GROUP BY doc_id, n, ch),
+pd AS (SELECT doc_id, n, count(*) AS n_distinct,
+              SUM(cnt * (length(bin(CAST(n AS BIGINT)))
+                         - length(bin(CAST(cnt AS BIGINT))))) AS hq
+       FROM pc GROUP BY doc_id, n)
+SELECT d.doc_id,
+       CAST(coalesce(pd.n, 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(pd.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(coalesce(pd.hq * 1000 // pd.n, 0) AS BIGINT) AS entropy_milli
+FROM {table} d LEFT JOIN pd ON d.doc_id = pd.doc_id
+"""
