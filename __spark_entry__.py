@@ -404,11 +404,13 @@ def q_dsir_select(spark, sf_dir):
     (target = the deterministic doc_id %% 10 == 0 sample), integer
     log2 importance score per document, and the acceptance-sampling
     draw kept w.p. 2^(score - smax) decided by pure bit shifts on an
-    md5 uniform — bit-identical across partitionings and engines.
+    md5 uniform — bit-identical across partitionings and engines. The
+    fit runs on the doc_id %% 2 sample (at 100 TB scoring is the only
+    full pass; scored is checkpointed so it runs exactly once).
     Output (doc_id, n_grams, score, kept) for every document."""
     from swiftsoup_spark.ops.dsir import dsir_select
     return dsir_select(_docs(spark, sf_dir), target_mod=10,
-                       buckets=1024, band_bits=40)
+                       buckets=1024, band_bits=40, fit_sample_mod=2)
 
 
 def q_chunk_docs(spark, sf_dir):
@@ -2800,7 +2802,8 @@ FROM t
             THEN ' qualmark' ELSE '' END AS text FROM documents)"""),
         "dsir_select": __import__(
             "swiftsoup_spark.ops.dsir", fromlist=["dsir_sql"]
-            ).dsir_sql(target_mod=10, buckets=1024, band_bits=40),
+            ).dsir_sql(target_mod=10, buckets=1024, band_bits=40,
+                       fit_sample_mod=2),
         "chunk_docs": __import__("swiftsoup_spark.ops.chunking",
                                  fromlist=["chunk_documents_sql"]
                                  ).chunk_documents_sql(chunk=32, overlap=8),

@@ -61,8 +61,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-__all__ = ["hashed_gram_buckets", "dsir_weights", "dsir_select",
-           "dsir_sql"]
+__all__ = ["hashed_gram_buckets", "dsir_weights", "dsir_scores",
+           "dsir_select", "dsir_sql"]
 
 U_BITS = 60  # uniform width: 15 md5 hex chars, fits signed BIGINT
 
@@ -95,10 +95,19 @@ def hashed_gram_buckets(df, buckets: int = 1024, text_col: str = "text",
 
 
 def dsir_weights(df, target_mod: int = 10, buckets: int = 1024,
-                 text_col: str = "text", id_col: str = "doc_id"):
+                 fit_sample_mod: int = 1, text_col: str = "text",
+                 id_col: str = "doc_id"):
     """(bucket, weight) — bit-length LLR of the target sample
     (``doc_id % target_mod == 0``) vs the raw rest. At most
-    ``buckets`` rows: always broadcastable."""
+    ``buckets`` rows: always broadcastable.
+
+    ``fit_sample_mod`` bounds the FIT pass: both distributions are
+    estimated on the deterministic ``doc_id % fit_sample_mod == 0``
+    subset (the paper fits its bag-of-ngrams models on samples of the
+    raw pool, not the full crawl) — at 100 TB the only full corpus
+    pass is scoring."""
+    if fit_sample_mod > 1:
+        df = df.filter(F.col(id_col) % fit_sample_mod == 0)
     g = hashed_gram_buckets(df, buckets, text_col, id_col)
     is_target = F.col(id_col) % target_mod == 0
     counts = (g.groupBy("bucket")
@@ -112,30 +121,49 @@ def dsir_weights(df, target_mod: int = 10, buckets: int = 1024,
                     .cast("int").alias("weight")))
 
 
-def dsir_select(df, target_mod: int = 10, buckets: int = 1024,
-                band_bits: int = 40, text_col: str = "text",
+def dsir_scores(df, target_mod: int = 10, buckets: int = 1024,
+                fit_sample_mod: int = 1, text_col: str = "text",
                 id_col: str = "doc_id"):
-    """(doc_id, n_grams, score, kept) for EVERY input document.
-
-    ``score`` is the integer log2-scale importance weight; ``kept`` is
-    the importance-resampling draw: True with probability
-    ``2^(score - smax)`` (0 beyond ``band_bits`` below the max),
-    decided deterministically from md5(doc_id) so the result is
-    bit-identical across partitionings and engines."""
+    """(doc_id, n_grams, score) for EVERY input document — the
+    importance-weight pass without the resampling draw. One broadcast
+    hash join (the ≤``buckets``-row model) + one doc-keyed aggregate;
+    document text never rides a shuffle."""
     model = F.broadcast(dsir_weights(df, target_mod, buckets,
-                                     text_col, id_col))
+                                     fit_sample_mod, text_col, id_col))
     g = hashed_gram_buckets(df, buckets, text_col, id_col)
     per = (g.join(model, "bucket", "left")
            .groupBy(id_col)
            .agg(F.count("*").alias("n_grams"),
                 F.sum(F.coalesce(F.col("weight"), F.lit(0)))
                 .alias("score")))
-    scored = (df.select(id_col).join(per, id_col, "left")
-              .select(id_col,
-                      F.coalesce("n_grams", F.lit(0)).cast("long")
-                      .alias("n_grams"),
-                      F.coalesce("score", F.lit(0)).cast("long")
-                      .alias("score")))
+    return (df.select(id_col).join(per, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_grams", F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    F.coalesce("score", F.lit(0)).cast("long")
+                    .alias("score")))
+
+
+def dsir_select(df, target_mod: int = 10, buckets: int = 1024,
+                band_bits: int = 40, fit_sample_mod: int = 1,
+                text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, n_grams, score, kept) for EVERY input document.
+
+    ``score`` is the integer log2-scale importance weight; ``kept`` is
+    the importance-resampling draw: True with probability
+    ``2^(score - smax)`` (0 beyond ``band_bits`` below the max),
+    decided deterministically from md5(doc_id) so the result is
+    bit-identical across partitionings and engines.
+
+    The score table is referenced twice (the smax aggregate AND the
+    final projection), so it is pinned with an eager
+    ``localCheckpoint`` — without it Catalyst inlines the whole
+    subtree into both consumers and the corpus scan + gram explode +
+    model fit run TWICE (observed: 11 exchanges, duplicated bucket
+    groupBys). The checkpoint holds (doc_id, 2 longs) per doc — tiny
+    next to the text it replaces."""
+    scored = dsir_scores(df, target_mod, buckets, fit_sample_mod,
+                         text_col, id_col).localCheckpoint(eager=True)
     smax = scored.agg(F.max("score").alias("smax"))
     u = F.conv(F.substring(
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":dsir"))),
@@ -154,9 +182,11 @@ def dsir_select(df, target_mod: int = 10, buckets: int = 1024,
 
 
 def dsir_sql(target_mod: int = 10, buckets: int = 1024,
-             band_bits: int = 40, table: str = "documents") -> str:
+             band_bits: int = 40, fit_sample_mod: int = 1,
+             table: str = "documents") -> str:
     """DuckDB replay of :func:`dsir_select` (identical md5 hashing,
-    bit-length logs, and shift-compare resampling)."""
+    bit-length logs, sample-bounded fit, and shift-compare
+    resampling)."""
     return f"""
 WITH ws AS (SELECT doc_id,
                    list_filter(string_split(text, ' '),
@@ -178,7 +208,7 @@ c AS (SELECT bucket,
                AS np,
              SUM(CASE WHEN doc_id % {target_mod} = 0 THEN 0 ELSE 1 END)
                AS nn
-      FROM gb GROUP BY bucket),
+      FROM gb WHERE doc_id % {fit_sample_mod} = 0 GROUP BY bucket),
 tot AS (SELECT SUM(np) AS tp, SUM(nn) AS tn FROM c),
 m AS (SELECT bucket,
              CAST((length(bin(CAST(np + 1 AS BIGINT)))

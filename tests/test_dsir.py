@@ -13,7 +13,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from swiftsoup_spark.ops.dsir import (  # noqa: E402
-    dsir_select, dsir_sql, dsir_weights, hashed_gram_buckets)
+    dsir_scores, dsir_select, dsir_sql, dsir_weights,
+    hashed_gram_buckets)
 
 
 @pytest.fixture(scope="module")
@@ -74,11 +75,14 @@ def test_resample_semantics(spark):
 
 def test_enrichment_and_plan(spark):
     """Kept raw docs must be enriched in target-like documents, and
-    the scoring join must be a broadcast (text never shuffles)."""
+    the scoring join must be a broadcast (text never shuffles) —
+    plan-gated on the pre-checkpoint scoring pipeline."""
     df = spark.createDataFrame(_corpus(400), "doc_id long, text string")
+    splan = (dsir_scores(df, target_mod=10, buckets=256)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in splan
+    assert "CartesianProduct" not in splan
     out = dsir_select(df, target_mod=10, buckets=256, band_bits=40)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
     rows = [r for r in out.collect() if r.doc_id % 10 != 0]  # raw pool
     kept_like = sum(1 for r in rows if r.kept and r.doc_id % 9 == 1)
     kept_spam = sum(1 for r in rows if r.kept and r.doc_id % 9 != 1)
@@ -106,3 +110,32 @@ def test_duckdb_replay_bit_exact(spark):
     want = sorted(map(tuple, con.sql(
         dsir_sql(target_mod=10, buckets=128, band_bits=40)).fetchall()))
     assert got == want
+
+
+def test_sample_bounded_fit_replay(spark):
+    """fit_sample_mod bounds the FIT pass (the 100 TB contract: scoring
+    is the only full corpus pass). The sampled fit changes the model —
+    and the DuckDB replay with the same mod stays bit-exact."""
+    rows = _corpus(350)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = sorted(map(tuple, dsir_select(df, buckets=128).collect()))
+    samp = sorted(map(tuple, dsir_select(df, buckets=128,
+                                         fit_sample_mod=3).collect()))
+    assert full != samp          # the sample genuinely changes the fit
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows,
+                                           columns=["doc_id", "text"]))
+    want = sorted(map(tuple, con.sql(
+        dsir_sql(buckets=128, fit_sample_mod=3)).fetchall()))
+    assert samp == want
+
+
+def test_scored_single_pass(spark):
+    """scored is checkpointed, so the returned plan must NOT re-inline
+    the gram explode / model fit: no hashpartitioning exchange above
+    the checkpoint, and exactly one 1-row broadcast cross (smax)."""
+    df = spark.createDataFrame(_corpus(100), "doc_id long, text string")
+    out = dsir_select(df, buckets=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
