@@ -1761,6 +1761,19 @@ def q_winnow_pairs(spark, sf_dir):
     return winnow_pairs(_docs(spark, sf_dir))
 
 
+def q_passage_excise(spark, sf_dir):
+    """Cross-doc duplicated-passage EXCISION (ops/winnow
+    excise_shared_passages; ExactSubstr semantics from Lee et al. 2022
+    via the winnow index instead of a suffix array): every
+    winnow-selected k-gram shared by >= 2 docs is cut as a k+w-1 span,
+    spans merged gaps-and-islands, text rebuilt piecewise. Marks are a
+    SEMI-join (no fanout); text rides one doc_id join, line_dedup's
+    budget. Output (doc_id, n_spans, n_cut, text_clean) for every
+    doc."""
+    from swiftsoup_spark.ops.winnow import excise_shared_passages
+    return excise_shared_passages(_docs(spark, sf_dir))
+
+
 def q_jsonld_meta(spark, sf_dir):
     """JSON-LD extraction (ops/structdata.jsonld_fields): the kernel
     lifts the raw script[type=application/ld+json] DataNode body (one
@@ -2133,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "near_dup_consensus": q_near_dup_consensus,
         "char_entropy": q_char_entropy,
+        "passage_excise": q_passage_excise,
         "pack_chunks": q_pack_chunks,
         "sample_temperature": q_sample_temperature,
         "event_sessions": q_event_sessions,
@@ -2148,7 +2162,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         # -- last green row r1-r3 ---------------------------------------
         "image_meta": q_image_meta,
-        "image_features": q_image_features,
         # -- r4-green but touched by the r5 kernel fixes (raw-source
         # dirty tracking, foster-parent spans, xml guard — b401d5e):
         # fresh rows prove the serializer/span surface stayed green
@@ -2162,11 +2175,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # normalization, stale-r3), ann_bucketed (superseded by
         # ann_ivf, which IS in the window), and extract_text_tables
         # (r4-green text path; the r5 kernel fix touched only raw-span
-        # bookkeeping, which the four raw re-gates above cover). All
-        # stay pytest-gated via test_oracle_parity.
+        # bookkeeping, which the four raw re-gates above cover), and
+        # image_features (shares the r5 codec path with image_meta and
+        # image_resize, both still in the window). All stay
+        # pytest-gated via test_oracle_parity.
         "extract_text_tables": q_extract_text_tables,
         "fingerprint": q_fingerprint,
         "ann_bucketed": q_ann_bucketed,
+        "image_features": q_image_features,
         "extract_text": q_extract_text,
         "extract_main_text": q_extract_main_text,
         "extract_title": q_extract_title,
@@ -3586,6 +3602,10 @@ FROM t LEFT JOIN p USING (doc_id)
         "winnow_pairs": __import__(
             "swiftsoup_spark.ops.winnow",
             fromlist=["winnow_pairs_sql"]).winnow_pairs_sql(),
+        "passage_excise": __import__(
+            "swiftsoup_spark.ops.winnow",
+            fromlist=["excise_shared_passages_sql"]
+            ).excise_shared_passages_sql(),
         "jsonld_meta": f"""
 SELECT {URL_SQL} AS url,
        CASE WHEN doc_id % 5 = 4 THEN NULL ELSE 'Article' END AS ld_type,

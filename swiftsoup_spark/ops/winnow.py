@@ -45,7 +45,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-__all__ = ["winnow_fingerprints", "winnow_pairs", "winnow_pairs_sql"]
+__all__ = ["winnow_fingerprints", "winnow_pairs", "winnow_pairs_sql",
+           "excise_shared_passages", "excise_shared_passages_sql"]
 
 _B = 1 << 24  # position field width of the packed fingerprint
 
@@ -193,3 +194,166 @@ ee AS (SELECT e.d, e.fp FROM e JOIN keepfp USING (fp))
 SELECT a.d AS i, b.d AS j, count(*) AS shared
 FROM ee a JOIN ee b ON a.fp = b.fp AND a.d < b.d
 GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""
+
+
+def excise_shared_passages(df, k: int = 16, w: int = 8,
+                           min_docs: int = 2, id_col: str = "doc_id",
+                           text_col: str = "text"):
+    """Cross-document duplicated-passage EXCISION — the text-rewrite
+    counterpart of :func:`winnow_pairs` (Lee et al. 2022's ExactSubstr
+    dedup removes the duplicated substring and keeps the document;
+    this op does that with the winnow index instead of a suffix
+    array). Every winnow-SELECTED k-gram whose fingerprint appears in
+    >= ``min_docs`` documents is cut as the span
+    ``[pos, pos + k + w - 1)``; overlapping spans merge.
+
+    Coverage contract (honest): inside a long copied passage the two
+    documents select identical fingerprints except within w windows of
+    the boundaries (selection depends only on local hash content), and
+    selected positions are at most w apart — so the k+w-1 span
+    extension tiles the interior of any shared passage >= k + w - 1
+    chars, leaving at most ~k+w boundary chars at each end. Short
+    duplications (< k + w - 1) may be missed entirely — the same
+    floor :func:`winnow_pairs` documents.
+
+    Returns (doc_id, n_spans, n_cut, text_clean) for EVERY input row
+    (docs with nothing shared pass through, n_spans = n_cut = 0).
+
+    Scale shape: the fingerprint index is linear (~1/(w+1) density);
+    the shared-fp set comes from one uniform fp-keyed groupBy; marking
+    is a SEMI-join of marks against that set (each mark meets at most
+    one fp row — no fanout, so no max_df cap is needed here, unlike
+    the pairs self-join); span merging is the classic gaps-and-islands
+    pair of doc-keyed windows over ~marks rows; the rebuild joins the
+    per-doc span ARRAY (tiny) back to the corpus — text rides exactly
+    one doc_id-keyed join, the same budget as line_dedup's rebuild.
+    """
+    span = k + w - 1
+    idx = winnow_fingerprints(df, k, w, id_col, text_col)
+    shared = (idx.select(F.col(id_col).alias("d"), "fp").distinct()
+              .groupBy("fp").agg(F.count("*").alias("ndocs"))
+              .filter(F.col("ndocs") >= min_docs).select("fp"))
+    marks = (idx.join(shared, "fp", "left_semi")
+             .select(F.col(id_col).alias("d"), "pos").distinct())
+    from pyspark.sql.window import Window
+    prev = (Window.partitionBy("d").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    upto = (Window.partitionBy("d").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    sp = (marks
+          .withColumn("maxe", F.max(F.col("pos") + span).over(prev))
+          .withColumn("isnew",
+                      F.when(F.col("maxe").isNull()
+                             | (F.col("pos") > F.col("maxe")), 1)
+                      .otherwise(0))
+          .withColumn("isl", F.sum("isnew").over(upto)))
+    islands = (sp.groupBy("d", "isl")
+               .agg(F.min("pos").alias("s"),
+                    F.max(F.col("pos") + span).alias("e")))
+    per_doc = (islands.groupBy("d")
+               .agg(F.array_sort(F.collect_list(F.struct("s", "e")))
+                    .alias("spans")))
+    j = df.join(per_doc, F.col(id_col) == F.col("d"), "left")
+    n = F.length(text_col)
+    rebuilt = F.aggregate(
+        F.col("spans"),
+        F.struct(F.lit(0).cast("long").alias("prev"),
+                 F.lit("").alias("acc")),
+        lambda a, x: F.struct(
+            F.least(x["e"], n.cast("long")).alias("prev"),
+            F.concat(a["acc"],
+                     F.col(text_col).substr(
+                         (a["prev"] + 1).cast("int"),
+                         (x["s"] - a["prev"]).cast("int")))
+            .alias("acc")),
+        lambda a: F.concat(
+            a["acc"],
+            F.col(text_col).substr((a["prev"] + 1).cast("int"),
+                                   (n.cast("long") - a["prev"])
+                                   .cast("int"))))
+    clean = F.when(F.col("spans").isNull(), F.col(text_col)) \
+             .otherwise(rebuilt)
+    return j.select(
+        F.col(id_col),
+        F.coalesce(F.size("spans"), F.lit(0)).cast("int")
+        .alias("n_spans"),
+        (n - F.length(clean)).cast("long").alias("n_cut"),
+        clean.alias("text_clean"))
+
+
+def excise_shared_passages_sql(k: int = 16, w: int = 8,
+                               min_docs: int = 2,
+                               table: str = "documents",
+                               id_expr: str = "doc_id",
+                               text_expr: str = "text") -> str:
+    """DuckDB replay of :func:`excise_shared_passages` (same winnow
+    selection as :func:`winnow_pairs_sql`, same gaps-and-islands
+    windows, same piece-wise rebuild)."""
+    span = k + w - 1
+    return f"""
+WITH d AS (
+  SELECT {id_expr} AS d, substr({text_expr}, 1, {_B - 1}) AS t
+  FROM {table} WHERE length({text_expr}) >= {k + w - 1}
+),
+h AS (
+  SELECT d, length(t) AS n,
+         list_transform(range(0, length(t) - {k} + 1), i ->
+           CAST('0x' || substr(md5(substr(t, CAST(i + 1 AS INT), {k})),
+                               1, 8) AS BIGINT) * {_B}
+           + ({_B - 1} - i)) AS hs
+  FROM d
+),
+fps AS (
+  SELECT d, unnest(list_distinct(list_transform(
+           range(1, n - {k} - {w} + 3),
+           j -> list_min(hs[CAST(j AS INT):CAST(j + {w} - 1 AS INT)]))))
+         AS enc
+  FROM h
+),
+e AS (SELECT d, enc // {_B} AS fp,
+             {_B - 1} - (enc % {_B}) AS pos FROM fps),
+shared AS (
+  SELECT fp FROM (SELECT DISTINCT d, fp FROM e)
+  GROUP BY fp HAVING count(*) >= {min_docs}
+),
+marks AS (SELECT DISTINCT e.d, e.pos FROM e JOIN shared USING (fp)),
+sp AS (
+  SELECT d, pos,
+         max(pos + {span}) OVER (PARTITION BY d ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+  FROM marks
+),
+sp2 AS (
+  SELECT d, pos,
+         SUM(CASE WHEN maxe IS NULL OR pos > maxe THEN 1 ELSE 0 END)
+           OVER (PARTITION BY d ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM sp
+),
+islands AS (
+  SELECT d, isl, min(pos) AS s, max(pos + {span}) AS e
+  FROM sp2 GROUP BY d, isl
+),
+pieces AS (
+  SELECT i.d, i.s, least(i.e, length(doc.{text_expr})) AS e,
+         coalesce(lag(least(i.e, length(doc.{text_expr})))
+                  OVER (PARTITION BY i.d ORDER BY i.s), 0) AS pstart,
+         doc.{text_expr} AS t
+  FROM islands i JOIN {table} doc ON doc.{id_expr} = i.d
+),
+built AS (
+  SELECT d,
+         count(*) AS n_spans,
+         string_agg(substr(t, CAST(pstart + 1 AS INT),
+                           CAST(s - pstart AS INT)), '' ORDER BY s)
+           || substr(any_value(t), CAST(max(e) + 1 AS INT)) AS text_clean
+  FROM pieces GROUP BY d
+)
+SELECT doc.{id_expr} AS doc_id,
+       CAST(coalesce(b.n_spans, 0) AS INTEGER) AS n_spans,
+       CAST(length(doc.{text_expr})
+            - length(coalesce(b.text_clean, doc.{text_expr}))
+            AS BIGINT) AS n_cut,
+       coalesce(b.text_clean, doc.{text_expr}) AS text_clean
+FROM {table} doc LEFT JOIN built b ON b.d = doc.{id_expr}
+"""

@@ -117,3 +117,88 @@ def test_df_prune_kills_universal_grams(spark):
     df = spark.createDataFrame(list(enumerate(texts)),
                                "doc_id: long, text: string")
     assert winnow_pairs(df, K, W, max_df=4, min_shared=1).count() == 0
+
+
+# ------------------------------------------------- passage excision
+
+def _excise_corpus():
+    copied = ("this exact passage was copied verbatim across both "
+              "documents and is quite long indeed")
+    return copied, [
+        (0, "unique preamble zero. " + copied + " unique tail zero."),
+        (1, "different head one -- " + copied + " -- plus a coda one."),
+        (2, "entirely original content with nothing shared at all, "
+            "long enough to fingerprint cleanly."),
+        (3, "short"),
+        (4, ""),
+    ]
+
+
+def test_excise_cuts_shared_keeps_unique(spark):
+    from swiftsoup_spark.ops.winnow import excise_shared_passages
+    copied, rows = _excise_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           excise_shared_passages(df, k=K, w=W).collect()}
+    # the copied passage is gone from both carriers (interior tiling:
+    # at most ~K+W boundary chars may survive at each end)
+    for d in (0, 1):
+        assert out[d].n_spans >= 1
+        assert copied[K + W:-(K + W)] not in out[d].text_clean
+        assert out[d].n_cut >= len(copied) - 2 * (K + W)
+    # unique text survives up to the documented boundary slop: the
+    # span extends k+w-1 chars FORWARD past the last shared
+    # fingerprint, so up to ~k+w leading chars of the tail may go
+    assert "unique preamble zero." in out[0].text_clean
+    assert "tail zero." in out[0].text_clean
+    # untouched docs pass through byte-identical
+    assert out[2].text_clean == rows[2][1] and out[2].n_cut == 0
+    assert out[3].text_clean == "short" and out[3].n_spans == 0
+    assert out[4].text_clean == "" and out[4].n_spans == 0
+
+
+def test_excise_duckdb_replay(spark):
+    import pandas as pd
+
+    from swiftsoup_spark.ops.winnow import (excise_shared_passages,
+                                            excise_shared_passages_sql)
+    _, rows = _excise_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, excise_shared_passages(df, k=K, w=W)
+                     .collect()))
+    con = duckdb.connect()
+    con.register("documents",
+                 pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(map(tuple,
+                      con.sql(excise_shared_passages_sql(k=K, w=W))
+                      .fetchall()))
+    assert got == want
+
+
+def test_excise_partitioning_invariance(spark):
+    from swiftsoup_spark.ops.winnow import excise_shared_passages
+    _, rows = _excise_corpus()
+    df = spark.createDataFrame(rows * 3, "doc_id long, text string") \
+        .distinct()
+    a = sorted(map(tuple,
+                   excise_shared_passages(df.coalesce(1)).collect()))
+    b = sorted(map(tuple,
+                   excise_shared_passages(df.repartition(5)).collect()))
+    assert a == b
+
+
+def test_excise_overlapping_spans_merge(spark):
+    """Two shared passages closer than k+w-1 chars merge into ONE span
+    (gaps-and-islands), and the gap text between them is cut with the
+    merged span rather than double-counted."""
+    from swiftsoup_spark.ops.winnow import excise_shared_passages
+    p1 = "first shared passage body long enough to fingerprint alpha"
+    p2 = "second shared passage body long enough to fingerprint beta"
+    rows = [
+        (0, "AA " + p1 + " x " + p2 + " ZZ"),       # 1-char-ish gap
+        (1, "BB " + p1 + " y " + p2 + " YY"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           excise_shared_passages(df, k=K, w=W).collect()}
+    assert out[0].n_spans == 1 and out[1].n_spans == 1
