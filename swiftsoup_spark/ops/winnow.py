@@ -229,7 +229,12 @@ def excise_shared_passages(df, k: int = 16, w: int = 8,
     one doc_id-keyed join, the same budget as line_dedup's rebuild.
     """
     span = k + w - 1
-    idx = winnow_fingerprints(df, k, w, id_col, text_col)
+    # the index feeds BOTH the shared-fp aggregate and the marks
+    # semi-join; checkpoint it so the mapInArrow kernel pass runs once
+    # (the winnow_pairs convention — without it Catalyst inlines the
+    # kernel subtree into both consumers)
+    idx = winnow_fingerprints(df, k, w, id_col, text_col) \
+        .localCheckpoint()
     shared = (idx.select(F.col(id_col).alias("d"), "fp").distinct()
               .groupBy("fp").agg(F.count("*").alias("ndocs"))
               .filter(F.col("ndocs") >= min_docs).select("fp"))

@@ -214,3 +214,20 @@ def test_host_boilerplate_broadcasts_host_counts(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_passage_excise_semi_join_no_fanout(spark):
+    """Passage excision: marks must SEMI-join the shared-fingerprint
+    set (no pair fanout, unlike the winnow_pairs self-join), with no
+    cartesian anywhere and every exchange keyed (fp for the shared-set
+    aggregate, d for the island windows / rebuild join)."""
+    import re
+
+    import __spark_entry__ as E
+    df = E.queries()["passage_excise"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    keys = {m for m in re.findall(
+        r"Exchange hashpartitioning\((\w+)", plan)}
+    assert keys <= {"d", "fp", "doc_id"}, plan
